@@ -1,0 +1,106 @@
+"""Frozen feature + gating spec (pure-Python reference implementation).
+
+This module *defines* the per-document semantics.  The Spark pipeline
+(quality_filter/functions/rules.py) re-expresses the same formulas as
+native Column expressions; goldens + the F1 harness pin the two together.
+Every function here is a pure per-row function of (text, config, models) —
+no cross-row state — so results are identical at any parallelism level.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Iterable
+
+# ---- frozen lexical definitions (shared strings, used verbatim in Spark) --
+
+# token separator characters (explicit class: Java \s is ASCII-only while
+# Python \s is Unicode — an explicit class keeps both engines identical)
+TOKEN_SEP_CHARS = " \t\n\r\x0b\f\u00a0"
+TOKEN_SEP_PATTERN = "[" + TOKEN_SEP_CHARS + "]+"
+
+# symbol characters counted by the symbol-density rule
+SYMBOL_PATTERN = r"[#%&*+<=>@^_|~$\\]"
+
+# caps used by normalized features
+LENGTH_NORM_CAP = 2000.0
+# the hashed add-k LM saturates near ppl≈260 for fully-unseen text, so the
+# normalization lives on that scale
+PPL_NORM_CAP = 300.0
+PPL_NORM_SCALE = 100.0
+
+_token_sep_re = re.compile(TOKEN_SEP_PATTERN)
+_symbol_re = re.compile(SYMBOL_PATTERN)
+
+
+def sigmoid(x: float) -> float:
+    if x >= 0:
+        return 1.0 / (1.0 + math.exp(-x))
+    e = math.exp(x)
+    return e / (1.0 + e)
+
+
+def tokenize(text: str) -> list[str]:
+    return [t for t in _token_sep_re.split(text.strip())] if text.strip() else []
+
+
+def text_features(text: str, stopwords: Iterable[str]) -> dict[str, float]:
+    """The heuristic (Gopher/C4-style) feature block.  Frozen spec:
+
+      n_chars         = len(text)
+      tokens          = split on TOKEN_SEP_PATTERN after strip
+      n_words         = len(tokens)
+      stopword_ratio  = #(lower(token) in stopwords) / n_words   (0 if no tokens)
+      symbol_ratio    = #(symbol chars) / n_chars                (0 if empty)
+      distinct_ratio  = #distinct lower(token) / n_words         (0 if no tokens)
+      mean_word_len   = sum(len(token)) / n_words                (0 if no tokens)
+      length_norm     = min(n_chars, 2000) / 2000
+    """
+    sw = set(stopwords)
+    n_chars = len(text)
+    tokens = tokenize(text)
+    n_words = len(tokens)
+    lower = [t.lower() for t in tokens]
+    stop_n = sum(1 for t in lower if t in sw)
+    sym_n = len(_symbol_re.findall(text))
+    return {
+        "n_chars": float(n_chars),
+        "n_words": float(n_words),
+        "stopword_ratio": (stop_n / n_words) if n_words else 0.0,
+        "symbol_ratio": (sym_n / n_chars) if n_chars else 0.0,
+        "distinct_ratio": (len(set(lower)) / n_words) if n_words else 0.0,
+        "mean_word_len": (sum(len(t) for t in tokens) / n_words) if n_words else 0.0,
+        "length_norm": min(float(n_chars), LENGTH_NORM_CAP) / LENGTH_NORM_CAP,
+    }
+
+
+def ppl_norm(ppl: float) -> float:
+    return min(ppl, PPL_NORM_CAP) / PPL_NORM_SCALE
+
+
+def quality_score(feats: dict[str, float], weights: dict[str, float], bias: float) -> float:
+    z = bias + sum(w * feats[name] for name, w in weights.items())
+    return sigmoid(z)
+
+
+def tox_pattern(lexicon: Iterable[str]) -> str:
+    """Word-bounded alternation over the lexicon; applied to lower(text)."""
+    return r"\b(" + "|".join(sorted(lexicon)) + r")\b"
+
+
+def tox_score(text: str, lexicon: Iterable[str], n_words: float, a: float, b: float) -> float:
+    """sigmoid(a * matches/n_words + b) — the calibrated-sigmoid-vs-fixed-
+    threshold gate pattern (/root/reference/opennsfw2/_inference.py:224)."""
+    if not n_words:
+        return sigmoid(b)
+    matches = len(re.findall(tox_pattern(lexicon), text.lower()))
+    return sigmoid(a * (matches / n_words) + b)
+
+
+def scrub_pii(text: str, pii_rules) -> str:
+    """Chained substitution in frozen rule order (email → phone → ip)."""
+    out = text
+    for rule in pii_rules:
+        out = re.sub(rule.pattern, rule.replacement, out)
+    return out

@@ -1,0 +1,45 @@
+"""Extractor goldens — exact strings, the byte-identical contract."""
+
+from quality_filter.text.extraction import extract_text, extract_text_from_bytes
+
+
+def test_strips_boilerplate_tags():
+    html = (
+        "<html><head><title>T</title><script>var x=1;</script>"
+        "<style>p{}</style></head><body><nav><a href='/'>home</a></nav>"
+        "<p>Hello   world</p><footer>foot</footer></body></html>"
+    )
+    assert extract_text(html) == "Hello world"
+
+
+def test_whitespace_collapse_and_join():
+    html = "<p>  a\n b </p><p>c\t\td</p>"
+    assert extract_text(html) == "a b c d"
+
+
+def test_charrefs_and_nfc():
+    # &eacute; decodes to é; NBSP (&nbsp;) is whitespace-collapsed
+    html = "<p>caf&eacute;&nbsp;&nbsp;ole</p>"
+    assert extract_text(html) == "café ole"
+
+
+def test_nested_skip_tags():
+    html = "<nav><div>menu <span>deep</span></div></nav><p>body</p>"
+    assert extract_text(html) == "body"
+
+
+def test_undecodable_bytes_return_none():
+    assert extract_text_from_bytes(b"<p>ok</p>\xff\xfe\x80 more") is None
+
+
+def test_none_input():
+    assert extract_text_from_bytes(None) is None
+
+
+def test_valid_bytes_roundtrip():
+    assert extract_text_from_bytes("<p>héllo wörld</p>".encode("utf-8")) == "héllo wörld"
+
+
+def test_deterministic():
+    html = "<html><body><p>same input same output</p></body></html>"
+    assert extract_text(html) == extract_text(html)

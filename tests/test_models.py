@@ -1,0 +1,81 @@
+"""Model artifact tests: determinism + separation power."""
+
+import random
+
+import numpy as np
+import pytest
+
+from quality_filter import corpus
+from quality_filter.config import DEFAULT_ARTIFACT_DIR
+from quality_filter.models import hashing
+from quality_filter.models.langid import LangIdModel
+from quality_filter.models.lm import CharLM, DEFAULT_PPL
+
+
+@pytest.fixture(scope="module")
+def lid() -> LangIdModel:
+    return LangIdModel.load(f"{DEFAULT_ARTIFACT_DIR}/langid.npz")
+
+
+@pytest.fixture(scope="module")
+def lm() -> CharLM:
+    return CharLM.load(f"{DEFAULT_ARTIFACT_DIR}/lm.npz")
+
+
+def test_hashing_deterministic():
+    codes = hashing.char_codes("hello wörld 中文")
+    h1 = hashing.ngram_hashes(codes, 3, 4096)
+    h2 = hashing.ngram_hashes(codes, 3, 4096)
+    assert (h1 == h2).all()
+    assert h1.min() >= 0 and h1.max() < 4096
+
+
+def test_hashing_short_text():
+    assert len(hashing.ngram_hashes(hashing.char_codes("ab"), 3, 64)) == 0
+    assert len(hashing.char_codes("")) == 0
+
+
+def test_langid_heldout_accuracy(lid):
+    # held-out sentences from a DIFFERENT seed than training (seed=7)
+    rnd = random.Random(991)
+    texts, truth = [], []
+    for lang in corpus.LANGS:
+        for _ in range(40):
+            texts.append(" ".join(rnd.choices(corpus.WORDS[lang], k=12)))
+            truth.append(lang)
+    labels, confs = lid.predict_batch(texts)
+    acc = float(np.mean(labels == np.array(truth, dtype=object)))
+    assert acc >= 0.98, f"langid held-out accuracy {acc}"
+    assert float(np.median(confs)) > 0.9
+
+
+def test_langid_empty_text(lid):
+    labels, confs = lid.predict_batch([None, ""])
+    assert list(labels) == ["und", "und"]
+    assert confs.tolist() == [0.0, 0.0]
+
+
+def test_lm_separates_gibberish(lm):
+    rnd = random.Random(17)
+    clean = " ".join(rnd.choices(corpus.WORDS["en"], k=60))
+    gib = " ".join("".join(rnd.choices("qxzjkvwf", k=7)) for _ in range(60))
+    assert lm.perplexity(clean) < 60 < 200 < lm.perplexity(gib)
+
+
+def test_lm_short_text_default(lm):
+    assert lm.perplexity("ab") == DEFAULT_PPL
+    assert lm.perplexity(None) == DEFAULT_PPL
+
+
+def test_artifact_rebuild_is_identical(tmp_path):
+    """Rebuilding artifacts yields bit-identical models (frozen-weights
+    analog, /root/reference/opennsfw2/_download.py:9-10)."""
+    from quality_filter.artifacts_src.builder import build_all
+
+    out = build_all(str(tmp_path))
+    a = LangIdModel.load(out["langid"])
+    b = LangIdModel.load(f"{DEFAULT_ARTIFACT_DIR}/langid.npz")
+    assert (a.W == b.W).all() and a.labels == b.labels
+    la = CharLM.load(out["lm"])
+    lb = CharLM.load(f"{DEFAULT_ARTIFACT_DIR}/lm.npz")
+    assert (la.hi == lb.hi).all() and (la.lo == lb.lo).all()

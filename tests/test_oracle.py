@@ -1,0 +1,83 @@
+"""Oracle golden tests — exact scores/labels on frozen inputs.
+
+Pattern: /root/reference/tests/unit/test_core.py:29-58 (hardcoded expected
+probabilities, assertAlmostEqual(places=3); exact equality for
+text outputs per the byte-identical mandate).
+"""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from quality_filter.corpus import generate_pages
+from quality_filter.oracle import run_oracle
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "expected.json")
+
+
+@pytest.fixture(scope="module")
+def golden() -> list[dict]:
+    with open(GOLDEN, encoding="utf-8") as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def oracle_now() -> pd.DataFrame:
+    pages = generate_pages(40, seed=123)
+    return run_oracle(pages.drop(columns=["cls"]))
+
+
+def test_golden_row_count(golden, oracle_now):
+    assert len(golden) == len(oracle_now) == 40
+
+
+def test_golden_exact_text_and_labels(golden, oracle_now):
+    now = oracle_now.set_index("url")
+    for g in golden:
+        row = now.loc[g["url"]]
+        assert row["status"] == g["status"], g["url"]
+        assert bool(row["keep"]) == bool(g["keep"]), g["url"]
+        # byte-identical text contracts
+        assert row["extracted_text"] == g["extracted_text"], g["url"]
+        assert row["scrubbed_text"] == g["scrubbed_text"], g["url"]
+        assert list(row["reasons"]) == list(g["reasons"]), g["url"]
+
+
+def test_golden_scores_3dp(golden, oracle_now):
+    now = oracle_now.set_index("url")
+    for g in golden:
+        row = now.loc[g["url"]]
+        for col in ("lang_conf", "ppl", "quality_score", "tox_score"):
+            exp = g[col]
+            got = row[col]
+            if exp is None:
+                assert pd.isna(got), (g["url"], col)
+            else:
+                assert got == pytest.approx(exp, abs=5e-4), (g["url"], col)
+
+
+def test_pii_scrub_on_goldens(golden):
+    import re
+    for g in golden:
+        if g["status"] == "quarantine":
+            continue
+        s = g["scrubbed_text"]
+        assert not re.search(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", s)
+        assert not re.search(r"\b(\d{1,3}\.){3}\d{1,3}\b", s)
+
+
+def test_row_conservation(oracle_now):
+    # in = kept + dropped + quarantined (the invariant the set-op checks
+    # guard; SURVEY §5.2)
+    vc = oracle_now["status"].value_counts()
+    assert int(vc.sum()) == 40
+
+
+def test_oracle_deterministic(oracle_now):
+    pages = generate_pages(40, seed=123)
+    again = run_oracle(pages.drop(columns=["cls"]))
+    pd.testing.assert_frame_equal(
+        oracle_now.reset_index(drop=True), again.reset_index(drop=True)
+    )
