@@ -1,0 +1,133 @@
+"""Spark pipeline vs oracle — the central parity suite.
+
+Contract (BASELINE.md): keep/drop labels match the oracle (F1 ≥ 0.99 at
+corpus scale; exact on these seeds), extracted/scrubbed text byte-identical,
+float scores to 3 dp (pattern: assertAlmostEqual(places=3),
+/root/reference/tests/unit/test_core.py:36).
+"""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from quality_filter.corpus import generate_pages, pages_spark_schema
+from quality_filter.oracle import run_oracle
+from quality_filter.pipeline import filter_corpus, score_documents
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "expected.json")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from quality_filter.session import get_spark
+
+    s = get_spark(cpus=4, app_name="qf-tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def pages_pdf() -> pd.DataFrame:
+    return generate_pages(200, seed=321).drop(columns=["cls"])
+
+
+@pytest.fixture(scope="session")
+def spark_scored(spark, pages_pdf) -> pd.DataFrame:
+    sdf = spark.createDataFrame(pages_pdf, schema=pages_spark_schema())
+    return score_documents(sdf).toPandas().sort_values("url").reset_index(drop=True)
+
+
+@pytest.fixture(scope="session")
+def oracle_scored(pages_pdf) -> pd.DataFrame:
+    return run_oracle(pages_pdf).sort_values("url").reset_index(drop=True)
+
+
+def test_status_and_reasons_match_oracle(spark_scored, oracle_scored):
+    assert (spark_scored["status"] == oracle_scored["status"]).all()
+    assert (spark_scored["keep"] == oracle_scored["keep"]).all()
+    for got, exp in zip(spark_scored["reasons"], oracle_scored["reasons"]):
+        assert list(got) == list(exp)
+
+
+def test_text_byte_identical(spark_scored, oracle_scored):
+    for col in ("extracted_text", "scrubbed_text"):
+        a = spark_scored[col].fillna("\x00")
+        b = oracle_scored[col].fillna("\x00")
+        assert (a == b).all(), col
+
+
+def test_scores_3dp(spark_scored, oracle_scored):
+    for col in ("lang_conf", "ppl", "quality_score", "tox_score"):
+        a = spark_scored[col].astype(float).to_numpy()
+        b = oracle_scored[col].astype(float).to_numpy()
+        both = ~(np.isnan(a) | np.isnan(b))
+        assert np.isnan(a).tolist() == np.isnan(b).tolist(), col
+        assert np.abs(a[both] - b[both]).max() < 5e-4, col
+
+
+def test_spark_matches_committed_goldens(spark):
+    """The Spark path reproduces the frozen golden file directly."""
+    with open(GOLDEN, encoding="utf-8") as f:
+        golden = {g["url"]: g for g in json.load(f)}
+    pages = generate_pages(40, seed=123).drop(columns=["cls"])
+    sdf = spark.createDataFrame(pages, schema=pages_spark_schema())
+    got = score_documents(sdf).toPandas().set_index("url")
+    assert len(got) == len(golden)
+    for url, g in golden.items():
+        row = got.loc[url]
+        assert row["status"] == g["status"], url
+        assert row["extracted_text"] == g["extracted_text"] or (
+            pd.isna(row["extracted_text"]) and g["extracted_text"] is None
+        ), url
+        assert row["scrubbed_text"] == g["scrubbed_text"] or (
+            pd.isna(row["scrubbed_text"]) and g["scrubbed_text"] is None
+        ), url
+        for col in ("quality_score", "tox_score", "lang_conf", "ppl"):
+            if g[col] is not None:
+                assert row[col] == pytest.approx(g[col], abs=5e-4), (url, col)
+
+
+def test_filter_corpus_three_way_split(spark, pages_pdf, oracle_scored):
+    sdf = spark.createDataFrame(pages_pdf, schema=pages_spark_schema())
+    kept, dropped, quar = filter_corpus(sdf)
+    k = kept.toPandas()
+    d = dropped.toPandas()
+    q = quar.toPandas()
+    # row conservation: in = kept + dropped + quarantined (SURVEY §5.2)
+    assert len(k) + len(d) + len(q) == len(pages_pdf)
+    assert set(k["url"]) == set(oracle_scored[oracle_scored.keep]["url"])
+    assert set(q["url"]) == set(
+        oracle_scored[oracle_scored.status == "quarantine"]["url"]
+    )
+    # kept output is scrubbed (no email-shaped strings survive)
+    assert not k["scrubbed_text"].str.contains(
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", regex=True
+    ).any()
+
+
+def test_determinism_across_partitioning(spark, pages_pdf):
+    """Same result at 1 and 16 input partitions — the parallelism-level
+    invariance the two-cluster-size rule demands (per-row pure functions,
+    no order-dependent accumulation)."""
+    sdf = spark.createDataFrame(pages_pdf, schema=pages_spark_schema())
+    a = (
+        score_documents(sdf.repartition(1))
+        .toPandas().sort_values("url").reset_index(drop=True)
+    )
+    b = (
+        score_documents(sdf.repartition(16))
+        .toPandas().sort_values("url").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_plan_has_exactly_two_python_crossings(spark, pages_pdf):
+    """Physical-plan shape: extraction + scoring = 2 ArrowEvalPython nodes;
+    everything else stays JVM-side (no accidental UDF duplication)."""
+    sdf = spark.createDataFrame(pages_pdf, schema=pages_spark_schema())
+    plan = score_documents(sdf)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 2, plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
