@@ -1,38 +1,609 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: flagship entry, operator query registry, DuckDB oracles.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every SQL-expressible operator from SURVEY.md §2 is registered twice: once
+as a Spark DataFrame program (``queries()``) and once as ANSI SQL for the
+DuckDB oracle (``oracle_sql()``).  Column names and integer/double types
+are aligned on both sides (counts cast to BIGINT, floats rounded) so the
+driver's order-insensitive value-hash matches.
+
+Non-SQL-expressible ops (simhash via xxhash64, LSH-bucketed ANN) are
+registered without an oracle → rows-only checks.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from quality_filter.config import load_config
+from quality_filter.features import SYMBOL_PATTERN, TOKEN_SEP_PATTERN
+from quality_filter.corpus import STOPWORDS
+from quality_filter.functions import rules as R
+from quality_filter.functions import textstats as TS
+from quality_filter.operators import dedup, relational, similarity, windows
+
+CFG = load_config()
+LANGS = sorted(STOPWORDS)
+NUM_HASHES = dedup.DEFAULT_NUM_HASHES
+BAND_SIZE = dedup.DEFAULT_BAND_SIZE
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full quality-filter pipeline over the sf0.001
+    documents table (text passthrough → rules → langid → ppl → gates)."""
+    from quality_filter.pipeline import score_documents
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2025-06-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    return score_documents(pages)
+
+
+# ---------------------------------------------------------------------------
+# Spark query implementations
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = relational.broadcast_join(
+        relational.broadcast_join(orders, customer, orders.o_custkey == customer.c_custkey),
+        nation, F.col("c_nationkey") == nation.n_nationkey,
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )
+
+
+def q_top_suppliers_by_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+    )
+    joined = relational.broadcast_join(rev, sup, rev.l_suppkey == sup.s_suppkey)
+    top = windows.topk_per_group(
+        joined, "s_nationkey", F.col("revenue").desc(), "s_suppkey", 5
+    )
+    return top.select(
+        F.col("s_nationkey").cast("long").alias("s_nationkey"),
+        "s_suppkey", "revenue", F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_rollup_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return relational.anti_join_keys(
+        customer.select("c_custkey"),
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+    )
+
+
+def q_salted_user_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.round(F.sum("value"), 4).alias("total_value"))
+    joined = relational.salted_join(ev, dim, "user_id", "event_id", n_salts=8)
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.min("total_value"), 4).alias("total_value"),
+    )
+
+
+def q_decimated_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return windows.decimate(ev, "user_id", "ts", "event_id", CFG.frame_interval).select(
+        "event_id", "user_id"
+    )
+
+
+def _tumbling(spark, sf_dir, agg):
+    ev = _t(spark, sf_dir, "events")
+    out = windows.tumbling_count_agg(
+        ev, "user_id", "ts", "event_id", "value", CFG.aggregation_size, agg
+    )
+    return out.select(
+        "user_id",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.round("agg_value", 6).alias("agg_value"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "bucket_start",
+    )
+
+
+def q_tumbling_agg_mean(spark, sf_dir):
+    return _tumbling(spark, sf_dir, "MEAN")
+
+
+def q_tumbling_agg_median(spark, sf_dir):
+    return _tumbling(spark, sf_dir, "MEDIAN")
+
+
+def q_tumbling_agg_max(spark, sf_dir):
+    return _tumbling(spark, sf_dir, "MAX")
+
+
+def q_tumbling_agg_min(spark, sf_dir):
+    return _tumbling(spark, sf_dir, "MIN")
+
+
+def q_hourly_event_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = windows.tumbling_time_agg(ev, "ts", "event_type", "value", "1 hour")
+    return out.select(
+        "window_start", "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+def q_forward_fill_purchase(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    out = windows.forward_fill(ev, "user_id", "ts", "event_id", purchase_val, "filled")
+    return out.select("event_id", "user_id", F.round("filled", 6).alias("filled"))
+
+
+def q_sessionized_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = windows.sessionize(ev, "user_id", "ts", "event_id", gap_seconds=3600)
+    return s.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+
+
+def q_topk_events_per_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    top = windows.topk_per_group(ev, "user_id", F.col("value").desc(), "event_id", 3)
+    return top.select("event_id", "user_id", "value", F.col("rank").cast("long").alias("rank"))
+
+
+def q_text_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = TS.tokens_simple(t)
+    n_words = F.size(toks).cast("double")
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_calc"),
+        TS.token_count_ws(t).cast("long").alias("n_words"),
+        TS.token_count_bpe(t).cast("long").alias("n_tokens_bpe"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)).cast("double") / n_words, 6
+        ).alias("mean_word_len"),
+    )
+
+
+def q_stopword_ratio_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    feats = R.feature_columns(F.col("text"), CFG)
+    return docs.select("doc_id", F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"))
+
+
+def q_symbol_density_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    feats = R.feature_columns(F.col("text"), CFG)
+    return docs.select("doc_id", F.round(feats["symbol_ratio"], 6).alias("symbol_ratio"))
+
+
+def q_quality_gate_docs(spark, sf_dir):
+    """FAST-profile heuristic gate over the documents table — the fully
+    SQL-expressible shadow of the production pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = R.feature_columns(F.col("text"), CFG)
+    feats["ppl_norm"] = F.lit(0.0)
+    q = R.quality_score_col(feats, CFG)
+    hard = R.hard_rule_reasons(feats, CFG)
+    fail_any = None
+    for _, cond in hard:
+        fail_any = cond if fail_any is None else (fail_any | cond)
+    keep = ~fail_any & (q >= CFG.quality_threshold)
+    return docs.select(
+        "doc_id", F.round(q, 6).alias("quality_score"), keep.alias("keep_heuristic")
+    )
+
+
+def q_lang_guess_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TS.lang_guess(F.col("text")).alias("lang_guess"))
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", dedup.fingerprint_col(F.col("text")).alias("fp"))
+
+
+def q_dedup_exact_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.dedup_exact(docs, "text", "doc_id")
+    return out.select("fp", "rep_id", F.col("dup_count").cast("long").alias("dup_count"))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_signature(docs, "text", "doc_id", NUM_HASHES)
+
+
+def q_lsh_band_keys(spark, sf_dir):
+    sig = q_minhash_signatures(spark, sf_dir)
+    out = dedup.lsh_bands(sig, "doc_id", NUM_HASHES, BAND_SIZE)
+    return out.select("doc_id", F.col("band_idx").cast("long").alias("band_idx"), "band_key")
+
+
+def q_near_dup_pairs(spark, sf_dir):
+    bands = q_lsh_band_keys(spark, sf_dir)
+    return dedup.near_dup_pairs(bands, "doc_id").select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+
+
+def q_ngram_jaccard_dups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", "source", n=3, threshold=0.05
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.knn_bruteforce(emb, "embedding", "vec_id", list(qvec), k=10)
+
+
+# ---- rows-only (no SQL oracle) --------------------------------------------
+
+def q_simhash_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash64(docs, "text", "doc_id")
+
+
+def q_knn_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    planes = similarity.make_planes(len(qvec), n_planes=4, seed=1234)
+    return similarity.knn_lsh(emb, "embedding", "vec_id", qvec, planes, k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_suppliers_by_revenue": q_top_suppliers_by_revenue,
+        "rollup_orders": q_rollup_orders,
+        "customers_without_orders": q_customers_without_orders,
+        "salted_user_stats": q_salted_user_stats,
+        "decimated_events": q_decimated_events,
+        "tumbling_agg_mean": q_tumbling_agg_mean,
+        "tumbling_agg_median": q_tumbling_agg_median,
+        "tumbling_agg_max": q_tumbling_agg_max,
+        "tumbling_agg_min": q_tumbling_agg_min,
+        "hourly_event_stats": q_hourly_event_stats,
+        "forward_fill_purchase": q_forward_fill_purchase,
+        "sessionized_counts": q_sessionized_counts,
+        "topk_events_per_user": q_topk_events_per_user,
+        "text_stats": q_text_stats,
+        "stopword_ratio_docs": q_stopword_ratio_docs,
+        "symbol_density_docs": q_symbol_density_docs,
+        "quality_gate_docs": q_quality_gate_docs,
+        "lang_guess_docs": q_lang_guess_docs,
+        "doc_fingerprints": q_doc_fingerprints,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_band_keys": q_lsh_band_keys,
+        "near_dup_pairs": q_near_dup_pairs,
+        "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "knn_bruteforce": q_knn_bruteforce,
+        "simhash_docs": q_simhash_docs,
+        "knn_lsh": q_knn_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in words) + "]"
+
+
+_TOKS = f"regexp_split_to_array(trim(text), '{TOKEN_SEP_PATTERN}')"
+_SIMPLE_TOKS = "regexp_split_to_array(trim(text), '[ ]+')"
+_EV_RN = "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+
+
+def _features_cte() -> str:
+    """Shared feature CTE mirroring quality_filter.features.text_features."""
+    stop = _sql_list(CFG.stopwords)
+    return f"""
+feat AS (
+  SELECT doc_id, text,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CASE WHEN trim(text)='' THEN 0.0 ELSE CAST(len({_TOKS}) AS DOUBLE) END AS n_words,
+    CAST(len(list_filter({_TOKS}, x -> list_contains({stop}, lower(x)))) AS DOUBLE) AS stop_n,
+    CAST(len(regexp_extract_all(text, '{SYMBOL_PATTERN}')) AS DOUBLE) AS sym_n,
+    CAST(len(list_distinct(list_transform({_TOKS}, x -> lower(x)))) AS DOUBLE) AS distinct_n,
+    CAST(list_sum(list_transform({_TOKS}, x -> length(x))) AS DOUBLE) AS tok_len_sum
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id,
+    n_chars, n_words,
+    coalesce(stop_n / nullif(n_words, 0), 0.0) AS stopword_ratio,
+    coalesce(sym_n / nullif(n_chars, 0), 0.0) AS symbol_ratio,
+    coalesce(distinct_n / nullif(n_words, 0), 0.0) AS distinct_ratio,
+    coalesce(tok_len_sum / nullif(n_words, 0), 0.0) AS mean_word_len,
+    least(n_chars, 2000.0) / 2000.0 AS length_norm
+  FROM feat
+)"""
+
+
+def _minhash_sig_cte() -> str:
+    ng = (
+        f"CASE WHEN len({_SIMPLE_TOKS}) >= 3 THEN "
+        f"list_transform(generate_series(1, len({_SIMPLE_TOKS}) - 2), "
+        f"i -> {_SIMPLE_TOKS}[i] || ' ' || {_SIMPLE_TOKS}[i+1] || ' ' || {_SIMPLE_TOKS}[i+2]) "
+        f"ELSE [] END"
+    )
+    mhs = ",\n    ".join(
+        f"list_min(list_transform(ng, x -> md5('{i}|' || x))) AS mh{i}"
+        for i in range(NUM_HASHES)
+    )
+    return f"""
+shingled AS (SELECT doc_id, {ng} AS ng FROM documents),
+sig AS (
+  SELECT doc_id,
+    {mhs}
+  FROM shingled
+)"""
+
+
+def _bands_sql() -> str:
+    n_bands = NUM_HASHES // BAND_SIZE
+    parts = []
+    for b in range(n_bands):
+        key = " || '|' || ".join(
+            f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE)
+        )
+        parts.append(
+            f"SELECT doc_id, CAST({b} AS BIGINT) AS band_idx, {key} AS band_key FROM sig"
+        )
+    return " UNION ALL ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    w = CFG.quality_weights
+    qz = (
+        f"({CFG.quality_bias} + {w['stopword_ratio']}*stopword_ratio "
+        f"+ ({w['symbol_ratio']})*symbol_ratio + {w['distinct_ratio']}*distinct_ratio "
+        f"+ {w['length_norm']}*length_norm + 0.0)"
+    )
+    hard_fail = (
+        f"(n_chars < {CFG.min_chars} OR n_chars > {CFG.max_chars} "
+        f"OR n_words < {CFG.min_words} OR stopword_ratio < {CFG.min_stopword_ratio} "
+        f"OR symbol_ratio > {CFG.max_symbol_ratio} OR distinct_ratio < {CFG.min_distinct_ratio} "
+        f"OR NOT (mean_word_len BETWEEN {CFG.min_mean_word_len} AND {CFG.max_mean_word_len}))"
+    )
+
+    lang_hits = ",\n    ".join(
+        f"CAST(len(list_filter({_SIMPLE_TOKS}, x -> list_contains({_sql_list(STOPWORDS[lang])}, lower(x)))) AS BIGINT) AS h_{lang}"
+        for lang in LANGS
+    )
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in LANGS) + ")"
+    lang_case = "CASE " + " ".join(
+        f"WHEN h_{lang} = best AND best > 0 THEN '{lang}'" for lang in LANGS
+    ) + " ELSE 'und' END"
+
+    return {
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 4) AS sum_qty,
+  round(sum(l_extendedprice), 4) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+  round(avg(l_quantity), 6) AS avg_qty,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+        "revenue_by_nation": """
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+  round(sum(o_totalprice), 4) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name""",
+        "top_suppliers_by_revenue": """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, s_suppkey, revenue,
+  CAST(row_number() OVER (PARTITION BY s_nationkey ORDER BY revenue DESC, s_suppkey) AS BIGINT) AS rank
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+QUALIFY rank <= 5""",
+        "rollup_orders": """
+SELECT o_orderstatus, o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  round(sum(o_totalprice), 4) AS sum_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+        "customers_without_orders": """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+        "salted_user_stats": """
+WITH dim AS (
+  SELECT user_id, round(sum(value), 4) AS total_value FROM events GROUP BY user_id
+)
+SELECT e.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_events,
+  round(min(d.total_value), 4) AS total_value
+FROM events e JOIN dim d USING (user_id)
+GROUP BY e.user_id""",
+        "decimated_events": f"""
+SELECT event_id, user_id FROM (
+  SELECT event_id, user_id, {_EV_RN} AS rn FROM events
+) WHERE rn = 1 OR (rn + 1) % {CFG.frame_interval} = 0""",
+        "tumbling_agg_mean": _tumbling_sql("round(avg(value), 6)"),
+        "tumbling_agg_median": _tumbling_sql("round(median(value), 6)"),
+        "tumbling_agg_max": _tumbling_sql("round(max(value), 6)"),
+        "tumbling_agg_min": _tumbling_sql("round(min(value), 6)"),
+        "hourly_event_stats": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+  CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2""",
+        "forward_fill_purchase": """
+SELECT event_id, user_id,
+  round(coalesce(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 6) AS filled
+FROM events""",
+        "sessionized_counts": """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR date_diff('second', lag(ts) OVER w, ts) > 3600 THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_id,
+    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+FROM sessions GROUP BY user_id, session_id""",
+        "topk_events_per_user": """
+SELECT event_id, user_id, value,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS rank
+FROM events QUALIFY rank <= 3""",
+        "text_stats": f"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_calc,
+  CAST(len({_SIMPLE_TOKS}) AS BIGINT) AS n_words,
+  CAST(len(regexp_extract_all(text, '{TS.BPE_TOKEN_PATTERN}')) AS BIGINT) AS n_tokens_bpe,
+  round(CAST(list_sum(list_transform({_SIMPLE_TOKS}, x -> length(x))) AS DOUBLE)
+        / CAST(len({_SIMPLE_TOKS}) AS DOUBLE), 6) AS mean_word_len
+FROM documents""",
+        "stopword_ratio_docs": f"""
+WITH {_features_cte()}
+SELECT doc_id, round(stopword_ratio, 6) AS stopword_ratio FROM ratios""",
+        "symbol_density_docs": f"""
+WITH {_features_cte()}
+SELECT doc_id, round(symbol_ratio, 6) AS symbol_ratio FROM ratios""",
+        "quality_gate_docs": f"""
+WITH {_features_cte()}
+SELECT doc_id,
+  round(1.0 / (1.0 + exp(-{qz})), 6) AS quality_score,
+  (NOT {hard_fail}) AND (1.0 / (1.0 + exp(-{qz})) >= {CFG.quality_threshold}) AS keep_heuristic
+FROM ratios""",
+        "lang_guess_docs": f"""
+WITH hits AS (
+  SELECT doc_id,
+    {lang_hits}
+  FROM documents
+),
+best_t AS (SELECT *, {best} AS best FROM hits)
+SELECT doc_id, {lang_case} AS lang_guess FROM best_t""",
+        "doc_fingerprints": """
+SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents""",
+        "dedup_exact_docs": """
+SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS rep_id,
+  CAST(count(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY 1""",
+        "minhash_signatures": f"""
+WITH {_minhash_sig_cte()}
+SELECT * FROM sig""",
+        "lsh_band_keys": f"""
+WITH {_minhash_sig_cte()}
+{_bands_sql()}""",
+        "near_dup_pairs": f"""
+WITH {_minhash_sig_cte()},
+bands AS ({_bands_sql()})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id""",
+        "ngram_jaccard_dups": f"""
+WITH toks AS (SELECT doc_id, source, {_SIMPLE_TOKS} AS t FROM documents),
+ng AS (
+  SELECT doc_id, source,
+    CASE WHEN len(t) >= 3 THEN
+      list_distinct(list_transform(generate_series(1, len(t) - 2),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+    ELSE [] END AS l
+  FROM toks
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  round(CAST(len(list_intersect(a.l, b.l)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.l, b.l))) AS DOUBLE), 6) AS jaccard
+FROM ng a JOIN ng b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_distinct(list_concat(a.l, b.l))) > 0
+  AND CAST(len(list_intersect(a.l, b.l)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.l, b.l))) AS DOUBLE) >= 0.05""",
+        "knn_bruteforce": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+  round(list_dot_product(embedding::DOUBLE[], qe)
+        / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           * sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+FROM embeddings, q
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
+    }
+
+
+def _tumbling_sql(agg_expr: str) -> str:
+    return f"""
+WITH numbered AS (
+  SELECT user_id, ts, value, {_EV_RN} AS rn FROM events
+),
+bucketed AS (
+  SELECT user_id, ts, value, CAST((rn - 1) // {CFG.aggregation_size} AS BIGINT) AS bucket
+  FROM numbered
+)
+SELECT user_id, bucket, {agg_expr} AS agg_value,
+  CAST(count(*) AS BIGINT) AS n_rows, min(ts) AS bucket_start
+FROM bucketed GROUP BY user_id, bucket"""

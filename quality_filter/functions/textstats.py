@@ -1,0 +1,52 @@
+"""Text-analysis functions over the ``documents`` table — all native
+Column expressions so each one carries a DuckDB oracle (SURVEY §2.9).
+
+token counting (whitespace + BPE-ish regex), language guess (stopword-hit
+argmax — the SQL-expressible shadow of the real langid model), document
+fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from quality_filter.corpus import STOPWORDS
+
+# BPE-ish token pattern: letter runs | single digits | single punctuation
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def tokens_simple(text: Column) -> Column:
+    """Split on single-space runs (documents-table text is pre-normalized)."""
+    return F.split(F.trim(text), "[ ]+")
+
+
+def token_count_ws(text: Column) -> Column:
+    return F.size(tokens_simple(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    lit = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens_simple(text), lambda t: F.array_contains(lit, F.lower(t))))
+
+
+def lang_guess(text: Column) -> Column:
+    """Heuristic language guess: argmax of per-language stopword hits,
+    ties broken by language-code order, zero hits → 'und'.  (The cheap
+    SQL shadow of the NB langid model — used for oracle-checkable tests
+    and as a FAST-profile prefilter.)"""
+    langs = sorted(STOPWORDS)
+    hits = {lang: stopword_hits(text, lang) for lang in langs}
+    best = F.greatest(*[hits[lang] for lang in langs])
+    out = F.lit("und")
+    # reverse order so earlier languages win ties via later when() wrapping
+    expr = out
+    for lang in reversed(langs):
+        expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr

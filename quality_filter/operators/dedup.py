@@ -1,0 +1,162 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup (hash-groupBy), MinHash signatures + LSH banding for near-dup,
+SimHash, and n-gram Jaccard.  The MinHash uses md5 hex strings as the hash
+universe so the DuckDB oracle computes the IDENTICAL signature (both
+engines emit identical md5 hex for identical input strings; lexicographic
+MIN over hex strings is engine-independent).  At 100 TB scale the
+LSH band join is a shuffle on band keys — bounded by band cardinality,
+not corpus size squared.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BAND_SIZE = 2
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Exact-dup fingerprint: md5 of lower(trim(text))."""
+    return F.md5(F.lower(F.trim(text)))
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One representative row (min id) per distinct normalized text."""
+    return (
+        df.withColumn("fp", fingerprint_col(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(text), "[ ]+")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Positional word n-gram shingles (space-joined); [] if < n tokens."""
+    toks = _tokens(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str, id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES, shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature over its word-n-gram shingle set.
+
+    minhash_i(doc) = MIN over shingles of md5(i || '|' || shingle) — a
+    string minimum over hex digests, identical in any engine with md5
+    (the DuckDB oracle computes the same signature bit-for-bit).
+    Output: id, mh0..mh{k-1} columns (NULL when the doc has no shingles).
+    """
+    sh = shingles(F.col(text_col), shingle_n)
+
+    def _hash_fn(i: int):
+        # NB: a plain `lambda t, i=i:` would have arity 2 and PySpark would
+        # bind the second parameter to the element INDEX column — the
+        # closure factory keeps the lambda unary.
+        prefix = f"{i}|"
+        return lambda t: F.md5(F.concat(F.lit(prefix), t))
+
+    cols = {
+        f"mh{i}": F.array_min(F.transform(sh, _hash_fn(i)))
+        for i in range(num_hashes)
+    }
+    return df.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])
+
+
+def lsh_bands(
+    sig: DataFrame, id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES, band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """(id, band_idx, band_key): band_key concatenates band_size minhashes.
+    Docs sharing a band_key are near-dup candidates (standard LSH)."""
+    n_bands = num_hashes // band_size
+    parts = []
+    for b in range(n_bands):
+        key = F.concat_ws(
+            "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        )
+        parts.append(
+            sig.select(
+                F.col(id_col), F.lit(b).alias("band_idx"), key.alias("band_key")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def near_dup_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """Candidate pairs from band collisions (id_a < id_b), deduplicated.
+    The join is per-band-key — a co-located shuffle join, never a cross
+    join; band keys with huge populations are the skew hot-spots a salt
+    or AQE skew split handles at scale."""
+    a = bands.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_key"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_key"
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash over tokens, fully native: per-token xxhash64, then
+    per-bit majority vote via bitwise ops + sums.  (No DuckDB oracle —
+    xxhash64 is Spark-specific; registered as a rows-only check.)"""
+    toks = F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("tok")
+    exploded = df.select(F.col(id_col), toks)
+    h = F.xxhash64("tok")
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    votes = exploded.groupBy(id_col).agg(*bit_cols)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63)))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, group_col: str,
+    n: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs within a group
+    (blocking column keeps the join from going quadratic corpus-wide)."""
+    ngrams = F.array_distinct(shingles(F.col(text_col), n))
+    g = df.select(F.col(id_col), F.col(group_col), ngrams.alias("ng"))
+    a = g.select(F.col(id_col).alias("id_a"), F.col(group_col), F.col("ng").alias("ng_a"))
+    b = g.select(F.col(id_col).alias("id_b"), F.col(group_col), F.col("ng").alias("ng_b"))
+    inter = F.size(F.array_intersect("ng_a", "ng_b")).cast("double")
+    union = F.size(F.array_union("ng_a", "ng_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        a.join(b, group_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1,0 +1,111 @@
+"""Ordered-stream operators — the video-path analogs (SURVEY §2.5).
+
+The reference's predict_video_frames is a hand-rolled single-threaded
+micro-batch engine: decimate frames, buffer aggregation_size scores,
+aggregate (MEAN/MEDIAN/MAX/MIN), forward-fill onto every frame
+(/root/reference/opennsfw2/_inference.py:155-243).  Here each piece is a
+declarative window/group expression — Catalyst plans them, no Python.
+
+All functions take (DataFrame, key/order columns) and are oracle-checkable
+ANSI SQL (see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# dispatch table = the Aggregation enum (/root/reference/opennsfw2/_inference.py:119-139);
+# all four are Spark built-ins.
+AGG_FNS = {
+    "MEAN": F.avg,
+    "MEDIAN": F.median,
+    "MAX": F.max,
+    "MIN": F.min,
+}
+
+
+def _rn(part: str, ts: str, tiebreak: str) -> Column:
+    return F.row_number().over(
+        W.partitionBy(part).orderBy(F.col(ts).asc(), F.col(tiebreak).asc())
+    )
+
+
+def decimate(df: DataFrame, part: str, ts: str, tiebreak: str, interval: int) -> DataFrame:
+    """Keep row 1 and every interval-th row per partition — the frame
+    decimation gate `frame_count == 1 or (frame_count + 1) % interval == 0`
+    (/root/reference/opennsfw2/_inference.py:205) with frame_count = rn."""
+    rn = _rn(part, ts, tiebreak)
+    return (
+        df.withColumn("rn", rn)
+        .filter((F.col("rn") == 1) | (((F.col("rn") + 1) % interval) == 0))
+        .drop("rn")
+    )
+
+
+def tumbling_count_agg(
+    df: DataFrame, part: str, ts: str, tiebreak: str, value: str,
+    size: int, aggregation: str = "MEAN",
+) -> DataFrame:
+    """Tumbling count-window aggregate: buffer `size` rows per partition,
+    aggregate their values, emit one row per bucket — the
+    aggregation_size buffer + reset (/root/reference/opennsfw2/_inference.py:210-216),
+    stateless via bucket = floor((rn-1)/size)."""
+    agg_fn = AGG_FNS[aggregation]
+    rn = _rn(part, ts, tiebreak)
+    return (
+        df.withColumn("rn", rn)
+        .withColumn("bucket", F.floor((F.col("rn") - 1) / size))
+        .groupBy(part, "bucket")
+        .agg(
+            agg_fn(value).alias("agg_value"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(ts).alias("bucket_start"),
+        )
+    )
+
+
+def tumbling_time_agg(df: DataFrame, ts: str, key: str, value: str, duration: str = "1 hour") -> DataFrame:
+    """Event-time tumbling window (streaming-compatible groupBy(window))."""
+    return (
+        df.groupBy(F.window(F.col(ts), duration).alias("w"), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), key, "n_events", "sum_value")
+    )
+
+
+def forward_fill(df: DataFrame, part: str, ts: str, tiebreak: str, value: Column, out: str = "filled") -> DataFrame:
+    """Every row inherits the most recent non-null value, initial 0.0 —
+    `last(ignorenulls) over rowsBetween(unboundedPreceding, 0)` +
+    coalesce(0.0); the sparse-score forward fill
+    (/root/reference/opennsfw2/_inference.py:178,218)."""
+    w = (
+        W.partitionBy(part)
+        .orderBy(F.col(ts).asc(), F.col(tiebreak).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return df.withColumn(out, F.coalesce(F.last(value, ignorenulls=True).over(w), F.lit(0.0)))
+
+
+def sessionize(df: DataFrame, part: str, ts: str, tiebreak: str, gap_seconds: int) -> DataFrame:
+    """Gap-based session ids: a new session starts when the time since the
+    previous event exceeds the gap.  lag + cumulative sum of boundaries."""
+    w = W.partitionBy(part).orderBy(F.col(ts).asc(), F.col(tiebreak).asc())
+    prev_ts = F.lag(ts).over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp(F.col(ts)) - F.unix_timestamp(prev_ts) > gap_seconds),
+        1,
+    ).otherwise(0)
+    return df.withColumn("session_id", F.sum(new_sess).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ))
+
+
+def topk_per_group(df: DataFrame, part: str, order: Column, tiebreak: str, k: int) -> DataFrame:
+    """Top-k rows per group via row_number (SURVEY §2.10)."""
+    w = W.partitionBy(part).orderBy(order, F.col(tiebreak).asc())
+    return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
