@@ -24,8 +24,17 @@ sys.path.insert(0, REPO_ROOT)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_PAGES = int(os.environ.get("QF_BENCH_PAGES", "40000"))
-PAGES_CACHE = f"/tmp/qf_bench_pages_{N_PAGES}"
+N_PAGES = int(os.environ.get("QF_BENCH_PAGES", "100000"))
+# Spark-side replication factor: the pandas generator is the slow part,
+# so generate N_PAGES base rows once and fan them out row-parallel with
+# rewritten urls.  Total corpus = N_PAGES * REPLICATE.
+REPLICATE = int(os.environ.get("QF_BENCH_REPLICATE", "10"))
+# fixed partition count independent of this run's core count, so every
+# parallelism level sees the same input layout (≥2 waves at 32 cores)
+PAGES_PARTITIONS = 64
+TIMED_REPS = int(os.environ.get("QF_BENCH_TIMED_REPS", "2"))
+PAGES_CACHE = f"/tmp/qf_bench_pages_{N_PAGES}x{REPLICATE}_p{PAGES_PARTITIONS}"
+TOTAL_PAGES = N_PAGES * REPLICATE
 
 # operator queries timed from the registry (representative of each family)
 BENCH_QUERIES = [
@@ -48,14 +57,29 @@ def ensure_pages(spark) -> str:
     if not os.path.exists(marker):
         from quality_filter.corpus import generate_pages, pages_spark_schema
 
+        from pyspark.sql import functions as F
+
         pdf = generate_pages(N_PAGES, seed=2026).drop(columns=["cls"])
         sdf = spark.createDataFrame(pdf, schema=pages_spark_schema())
-        sdf.repartition(CPUS * 2).write.mode("overwrite").parquet(PAGES_CACHE)
+        if REPLICATE > 1:
+            reps = F.explode(F.sequence(F.lit(0), F.lit(REPLICATE - 1))).alias("_rep")
+            sdf = (
+                sdf.select("*", reps)
+                .withColumn("url", F.concat("url", F.lit("#r"), F.col("_rep")))
+                .drop("_rep")
+            )
+        sdf.repartition(PAGES_PARTITIONS).write.mode("overwrite").parquet(PAGES_CACHE)
     return PAGES_CACHE
 
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 def main() -> None:
@@ -69,12 +93,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # warmup: one full untimed pass — spawns every python worker, loads
+    # model artifacts per worker, JITs codegen (the deploy-time pre-warm
+    # lesson, /root/reference/app/main.py:14-20).  The timed run below is
+    # steady-state throughput, which is what a long-running corpus job
+    # actually sustains.
+    pages = spark.read.parquet(pages_path)
+    force(tiered_scored(pages))
+
     # headline: tiered pipeline end-to-end over the pages corpus —
     # one scan, one model pass, all three outputs (single job)
-    pages = spark.read.parquet(pages_path)
-    t0 = time.perf_counter()
-    force(tiered_scored(pages))
-    pipeline_sec = time.perf_counter() - t0
+    pipeline_sec = min(_timed(lambda: force(tiered_scored(pages))) for _ in range(TIMED_REPS))
     timings["pipeline_filter_corpus"] = round(pipeline_sec, 3)
 
     qs = E.queries()
@@ -91,8 +120,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "docs_per_sec": round(N_PAGES / pipeline_sec, 1),
-        "pages_rows": N_PAGES,
+        "docs_per_sec": round(TOTAL_PAGES / pipeline_sec, 1),
+        "pages_rows": TOTAL_PAGES,
         "cpus": CPUS,
     }
     spark.stop()

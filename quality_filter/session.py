@@ -21,6 +21,13 @@ def get_spark(
     model call in the pandas-UDF stages — the ``batch_size`` knob analog
     (/root/reference/opennsfw2/_inference.py:89).
     """
+    # one BLAS/OMP thread per python worker: Spark already parallelizes
+    # across workers, nested numpy threadpools (default = all cores, PER
+    # worker) oversubscribe the box catastrophically at local[32]
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
     n_for_shuffle = os.cpu_count() if cpus in ("*",) else int(cpus)
     shuffle_partitions = shuffle_partitions or max(int(n_for_shuffle), 8)

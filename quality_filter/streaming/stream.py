@@ -1,0 +1,78 @@
+"""Structured Streaming variant — same UDFs, same plan, unbounded input.
+
+The reference's video path is a hand-rolled streaming micro-batch loop
+(/root/reference/opennsfw2/_inference.py:155-243); Structured Streaming
+gives the same shape declaratively: readStream → the identical scoring
+transformations (the dual-surface lesson of preprocess_image_tensor,
+/root/reference/opennsfw2/_image.py:71-100) → watermarked tumbling-window
+aggregates.  The batch scored-plan builder is reused verbatim because it
+contains no batch-only operators (no global sorts/windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quality_filter.config import DEFAULT_ARTIFACT_DIR, RuleConfig
+from quality_filter.corpus import pages_spark_schema
+from quality_filter.pipeline import tiered_scored
+
+
+def read_pages_stream(spark: SparkSession, path: str, max_files: int = 10) -> DataFrame:
+    """File-source stream over a pages parquet directory."""
+    return (
+        spark.readStream.schema(pages_spark_schema())
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def score_stream(
+    sdf: DataFrame,
+    cfg: RuleConfig | None = None,
+    artifact_dir: str = DEFAULT_ARTIFACT_DIR,
+) -> DataFrame:
+    """The batch plan applied to a streaming DataFrame — per-row scoring
+    is stateless, so it is trigger-compatible unchanged."""
+    return tiered_scored(sdf, cfg, artifact_dir)
+
+
+def windowed_keep_rate(
+    scored_stream: DataFrame,
+    watermark: str = "1 hour",
+    window: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window keep/drop rates — the streaming analog
+    of the buffer-and-aggregate video loop; the watermark is the state
+    eviction bound the reference's buffer reset provides implicitly."""
+    return (
+        scored_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("status") == "keep", 1).otherwise(0)).alias("n_keep"),
+            F.avg("quality_score").alias("avg_quality"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_docs", "n_keep", "avg_quality",
+        )
+    )
+
+
+def run_stream_to_parquet(
+    scored_stream: DataFrame, out_dir: str, checkpoint_dir: str, available_now: bool = True
+):
+    """Sink helper: exactly-once parquet append with a streaming checkpoint
+    (offset log + commit log — Spark's own resume mechanism, complementing
+    the batch manifest in io/checkpoint.py)."""
+    writer = (
+        scored_stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

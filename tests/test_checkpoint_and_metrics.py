@@ -1,0 +1,121 @@
+"""Checkpoint/resume, lineage, salted rollup and streaming tests.
+
+Resume contract (BASELINE.md): a killed run replays only incomplete
+splits and the final output is identical to an uninterrupted run.
+"""
+
+import json
+import os
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from quality_filter.corpus import generate_pages, pages_spark_schema
+from quality_filter.io.checkpoint import Manifest, list_splits, partition_lineage, run_with_resume
+from quality_filter.io.pages import write_pages_partitioned
+from quality_filter.metrics import corpus_summary, salted_host_rollup
+from quality_filter.pipeline import tiered_scored
+
+from tests.test_spark_pipeline import spark  # session fixture  # noqa: F401
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pages_part"))
+    pdf = generate_pages(300, seed=88, days=3).drop(columns=["cls"])
+    sdf = spark.createDataFrame(pdf, schema=pages_spark_schema())
+    write_pages_partitioned(sdf, d)
+    return d
+
+
+def test_partitioned_layout_and_split_listing(spark, pages_dir):
+    subdirs = sorted(p for p in os.listdir(pages_dir) if p.startswith("warc_dt="))
+    assert len(subdirs) == 3
+    assert list_splits(spark, pages_dir) == [s.split("=")[1] for s in subdirs]
+
+
+def test_resume_processes_only_pending(spark, pages_dir, tmp_path):
+    out_a = str(tmp_path / "out_a")
+    man_a = str(tmp_path / "man_a.jsonl")
+    # uninterrupted run
+    full = run_with_resume(spark, pages_dir, out_a, man_a)
+    assert full["splits_skipped"] == 0 and len(full["splits_processed"]) == 3
+
+    # "killed" run: first split already committed, two pending
+    out_b = str(tmp_path / "out_b")
+    man_b = str(tmp_path / "man_b.jsonl")
+    splits = list_splits(spark, pages_dir)
+    run_with_resume(spark, pages_dir, out_b, man_b)  # prime: full run into out_b
+    # rewrite the manifest as if the run died right after split 0 committed
+    recs = Manifest(man_b).records()
+    os.remove(man_b)
+    m = Manifest(man_b)
+    m.mark_done([r for r in recs if r["split"] == splits[0]][0])
+    resumed = run_with_resume(spark, pages_dir, out_b, man_b)
+    assert resumed["splits_skipped"] == 1
+    assert resumed["splits_processed"] == splits[1:]
+
+    # identical final output
+    a = spark.read.parquet(out_a).drop("warc_dt").toPandas().sort_values("url").reset_index(drop=True)
+    b = spark.read.parquet(out_b).drop("warc_dt").toPandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # manifest carries lineage metrics
+    for rec in Manifest(man_a).records():
+        assert rec["rows_out"] == sum(rec["by_status"].values())
+        assert rec["wall_sec"] > 0 and rec["engine_version"]
+
+
+def test_partition_lineage_conserves_rows(spark, pages_dir):
+    scored = tiered_scored(spark.read.parquet(pages_dir).drop("warc_dt"))
+    lin = partition_lineage(scored).toPandas()
+    assert lin["n_rows"].sum() == 300
+
+
+def test_salted_host_rollup_matches_plain(spark, pages_dir):
+    scored = tiered_scored(spark.read.parquet(pages_dir).drop("warc_dt"))
+    salted = salted_host_rollup(scored, n_salts=8).toPandas().sort_values("url_host").reset_index(drop=True)
+    plain = (
+        scored.withColumn("url_host", F.parse_url("url", F.lit("HOST")))
+        .groupBy("url_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("status") == "keep", 1).otherwise(0)).alias("n_keep"),
+        )
+        .toPandas().sort_values("url_host").reset_index(drop=True)
+    )
+    assert (salted["n_docs"].values == plain["n_docs"].values).all()
+    assert (salted["n_keep"].values == plain["n_keep"].values).all()
+    assert (salted["keep_rate"] <= 1.0).all()
+
+
+def test_corpus_summary_rollup(spark, pages_dir):
+    scored = tiered_scored(spark.read.parquet(pages_dir).drop("warc_dt"))
+    summ = corpus_summary(scored).toPandas()
+    total = summ[summ["status"].isna() & summ["lang_pred"].isna()]["n_docs"].iloc[0]
+    assert total == 300
+
+
+def test_streaming_scores_match_batch(spark, pages_dir, tmp_path):
+    from quality_filter.streaming.stream import (
+        read_pages_stream, run_stream_to_parquet, score_stream,
+    )
+
+    flat = str(tmp_path / "flat")
+    spark.read.parquet(pages_dir).drop("warc_dt").write.parquet(flat)
+    sdf = read_pages_stream(spark, flat, max_files=2)
+    scored = score_stream(sdf)
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "stream_ckpt")
+    q = run_stream_to_parquet(scored, out, ckpt, available_now=True)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out).toPandas().sort_values("url").reset_index(drop=True)
+    want = (
+        tiered_scored(spark.read.parquet(flat))
+        .toPandas().sort_values("url").reset_index(drop=True)
+    )
+    assert (got["status"].values == want["status"].values).all()
+    assert len(got) == 300
