@@ -300,6 +300,102 @@ def q_knn_bruteforce(spark, sf_dir):
     return similarity.knn_bruteforce(emb, "embedding", "vec_id", list(qvec), k=10)
 
 
+def q_purchase_last_view_asof(spark, sf_dir):
+    """As-of join: each purchase picks up the latest strictly-earlier view
+    value for the same user (union + forward-fill composition; the DuckDB
+    oracle uses its native ASOF JOIN — different algorithms, same rows)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    out = windows.asof_last_value(
+        purchases, views, "user_id", "ts", "event_id", "value", "last_view_value"
+    )
+    return out.select(
+        F.col("event_id"), "user_id", F.round("last_view_value", 6).alias("last_view_value")
+    )
+
+
+def q_orders_grouping_sets(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 4) AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_type_pivot(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    cols = [F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in EVENT_TYPES]
+    return out.select("user_id", *cols)
+
+
+def q_doc_length_quantiles(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        *[
+            F.round(F.percentile("n_chars", q), 6).alias(f"q{int(q * 100)}")
+            for q in (0.25, 0.5, 0.75)
+        ],
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+
+
+def q_running_value_sum(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)), 6).alias("run_sum"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+def q_active_positive_custkeys(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    with_orders = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    positive = customer.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    return positive.intersect(with_orders)
+
+
+def q_embedding_near_dup_pairs(spark, sf_dir):
+    """Exact cosine near-dup pairs (small-side self-join; the LSH-bucketed
+    path in operators/similarity.py is the corpus-scale variant)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = similarity.cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.46)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def q_pii_scrub_docs(spark, sf_dir):
+    """Regex-parity probe: augment each doc with synthetic PII, run the
+    production scrub chain, compare against DuckDB's RE2 on identical
+    input (validates Java-regex vs RE2 semantics of the frozen patterns)."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 192.168.1."), (F.col("doc_id") % 250).cast("string"),
+        F.lit(" tel 555-123-4567."),
+    )
+    return docs.select("doc_id", R.scrub_pii_col(aug, CFG).alias("scrubbed"))
+
+
 # ---- rows-only (no SQL oracle) --------------------------------------------
 
 def q_simhash_docs(spark, sf_dir):
@@ -343,6 +439,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pairs": q_near_dup_pairs,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "knn_bruteforce": q_knn_bruteforce,
+        "purchase_last_view_asof": q_purchase_last_view_asof,
+        "orders_grouping_sets": q_orders_grouping_sets,
+        "event_type_pivot": q_event_type_pivot,
+        "doc_length_quantiles": q_doc_length_quantiles,
+        "running_value_sum": q_running_value_sum,
+        "active_positive_custkeys": q_active_positive_custkeys,
+        "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+        "pii_scrub_docs": q_pii_scrub_docs,
         "simhash_docs": q_simhash_docs,
         "knn_lsh": q_knn_lsh,
     }
@@ -584,6 +688,50 @@ FROM ng a JOIN ng b ON a.source = b.source AND a.doc_id < b.doc_id
 WHERE len(list_distinct(list_concat(a.l, b.l))) > 0
   AND CAST(len(list_intersect(a.l, b.l)) AS DOUBLE)
       / CAST(len(list_distinct(list_concat(a.l, b.l))) AS DOUBLE) >= 0.05""",
+        "purchase_last_view_asof": """
+SELECT p.event_id AS event_id, p.user_id AS user_id,
+  round(coalesce(v.value, 0.0), 6) AS last_view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts < p.ts""",
+        "orders_grouping_sets": """
+SELECT o_orderstatus, o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  round(sum(o_totalprice), 4) AS sum_price
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+        "event_type_pivot": "SELECT user_id, "
+        + ", ".join(
+            f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+            for t in EVENT_TYPES
+        )
+        + " FROM events GROUP BY user_id",
+        "doc_length_quantiles": """
+SELECT lang,
+  round(quantile_cont(n_chars, 0.25), 6) AS q25,
+  round(quantile_cont(n_chars, 0.50), 6) AS q50,
+  round(quantile_cont(n_chars, 0.75), 6) AS q75,
+  CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang""",
+        "running_value_sum": """
+SELECT event_id, user_id,
+  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS run_sum,
+  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+  lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+FROM events""",
+        "active_positive_custkeys": """
+SELECT c_custkey FROM customer WHERE c_acctbal > 0
+INTERSECT
+SELECT DISTINCT o_custkey AS c_custkey FROM orders""",
+        "embedding_near_dup_pairs": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.46""",
+        "pii_scrub_docs": _pii_scrub_docs_sql(),
         "knn_bruteforce": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
@@ -593,6 +741,18 @@ SELECT vec_id,
 FROM embeddings, q
 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
     }
+
+
+def _pii_scrub_docs_sql() -> str:
+    aug = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 192.168.1.' "
+        "|| CAST(doc_id % 250 AS VARCHAR) || ' tel 555-123-4567.'"
+    )
+    expr = aug
+    for rule in CFG.pii_rules:  # frozen order: email → phone → ip
+        pat = rule.pattern.replace("'", "''")
+        expr = "regexp_replace(" + expr + ", '" + pat + "', '" + rule.replacement + "', 'g')"
+    return "SELECT doc_id, " + expr + " AS scrubbed FROM documents"
 
 
 def _tumbling_sql(agg_expr: str) -> str:

@@ -109,3 +109,35 @@ def topk_per_group(df: DataFrame, part: str, order: Column, tiebreak: str, k: in
     """Top-k rows per group via row_number (SURVEY §2.10)."""
     w = W.partitionBy(part).orderBy(order, F.col(tiebreak).asc())
     return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def asof_last_value(
+    left: DataFrame, right: DataFrame, key: str, ts: str, tiebreak: str,
+    value: str, out: str = "asof_value",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right-row ``value`` with
+    strictly earlier ``ts`` on the same key (no native asof in Spark —
+    composed as union + ordered forward-fill, one shuffle on the key;
+    at scale this beats a range join because state is a single value).
+
+    Strictness: at equal ts, left rows sort BEFORE right rows, so a
+    same-timestamp right row is not visible to the left row."""
+    l_tag = left.select(
+        F.col(key), F.col(ts), F.col(tiebreak),
+        F.lit(None).cast("double").alias("_rv"), F.lit(1).alias("_is_left"),
+    )
+    r_tag = right.select(
+        F.col(key), F.col(ts), F.col(tiebreak),
+        F.col(value).cast("double").alias("_rv"), F.lit(0).alias("_is_left"),
+    )
+    merged = l_tag.unionByName(r_tag)
+    w = (
+        W.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_is_left").desc(), F.col(tiebreak).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = merged.withColumn(out, F.last("_rv", ignorenulls=True).over(w))
+    return (
+        filled.filter(F.col("_is_left") == 1)
+        .select(key, ts, tiebreak, F.coalesce(out, F.lit(0.0)).alias(out))
+    )
