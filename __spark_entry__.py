@@ -410,6 +410,13 @@ def q_knn_lsh(spark, sf_dir):
     return similarity.knn_lsh(emb, "embedding", "vec_id", qvec, planes, k=10)
 
 
+def q_knn_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    cents = similarity.train_ivf_centroids(emb, "embedding", n_clusters=8, seed=7)
+    return similarity.knn_ivf(emb, "embedding", "vec_id", qvec, cents, n_probe=2, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -449,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_docs": q_pii_scrub_docs,
         "simhash_docs": q_simhash_docs,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
     }
 
 

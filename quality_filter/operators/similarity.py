@@ -94,3 +94,71 @@ def make_planes(dim: int, n_planes: int, seed: int = 1234) -> list[list[float]]:
 
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    df: DataFrame, vec_col: str, n_clusters: int = 8,
+    iters: int = 10, seed: int = 7, sample_rows: int = 4096,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means on a bounded driver-side sample.
+
+    The centroid table is a MODEL ARTIFACT, not a query-time computation:
+    at corpus scale it is trained once on a sample (this routine), shipped
+    like langid.npz, and the assignment below is the distributed part.
+    Sample bounded by ``sample_rows`` so driver memory is constant.
+    """
+    import numpy as np
+
+    rows = df.select(vec_col).limit(sample_rows).collect()
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=n_clusters, replace=False)]
+    for _ in range(iters):
+        assign = (X @ cent.T).argmax(axis=1)  # cosine on normalized rows
+        for c in range(n_clusters):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent.tolist()
+
+
+def ivf_assign(df: DataFrame, vec_col: str, id_col: str, centroids: list[list[float]]) -> DataFrame:
+    """(id, cluster): nearest-centroid assignment, all native expressions.
+    At scale the output is written bucketed/partitioned by cluster so a
+    query probes one bucket (the inverted file)."""
+    sims = [
+        dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+        / (norm(F.col(vec_col)) + F.lit(1e-12))
+        for c in centroids
+    ]
+    best = F.greatest(*sims)
+    cluster = F.lit(-1)
+    for i in reversed(range(len(sims))):
+        cluster = F.when(sims[i] == best, F.lit(i)).otherwise(cluster)
+    return df.select(F.col(id_col), cluster.cast("int").alias("cluster"))
+
+
+def knn_ivf(
+    df: DataFrame, vec_col: str, id_col: str, query_vec: list[float],
+    centroids: list[list[float]], n_probe: int = 2, k: int = 10,
+) -> DataFrame:
+    """ANN via IVF: exact scan restricted to the ``n_probe`` clusters
+    nearest to the query.  Recall grows with n_probe; n_probe = n_clusters
+    degrades gracefully to the exact scan."""
+    import numpy as np
+
+    q = np.array(query_vec, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    cent = np.array(centroids, dtype=np.float64)
+    order = (cent @ q).argsort()[::-1][:n_probe].tolist()
+    assigned = ivf_assign(df, vec_col, id_col, centroids)
+    candidates = df.join(
+        assigned.filter(F.col("cluster").isin(order)).select(id_col), id_col
+    )
+    return knn_bruteforce(candidates, vec_col, id_col, query_vec, k)

@@ -1,0 +1,91 @@
+"""Similarity-search variants + SQL UDF registration surface."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from quality_filter.operators import similarity
+
+from tests.test_spark_pipeline import spark  # session fixture  # noqa: F401
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return list(emb.filter(F.col("vec_id") == 0).head()[0 if "embedding" == emb.columns[0] else emb.columns.index("embedding")])
+
+
+def test_bruteforce_topk_exact(spark, emb):
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    top = similarity.knn_bruteforce(emb, "embedding", "vec_id", qvec, k=10).collect()
+    assert len(top) == 10
+    assert top[0]["vec_id"] == 0 and top[0]["cos_sim"] == pytest.approx(1.0)
+    sims = [r["cos_sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_ann_subset_of_corpus(spark, emb):
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    planes = similarity.make_planes(len(qvec), n_planes=4, seed=1234)
+    ann = similarity.knn_lsh(emb, "embedding", "vec_id", qvec, planes, k=10).collect()
+    assert 0 < len(ann) <= 10
+    # the query's own bucket contains the query itself → rank-1 exact hit
+    assert ann[0]["vec_id"] == 0
+
+
+def test_ivf_recall_and_determinism(spark, emb):
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    cents = similarity.train_ivf_centroids(emb, "embedding", n_clusters=8, seed=7)
+    cents2 = similarity.train_ivf_centroids(emb, "embedding", n_clusters=8, seed=7)
+    assert cents == cents2  # deterministic artifact
+
+    exact = {r["vec_id"] for r in similarity.knn_bruteforce(emb, "embedding", "vec_id", qvec, k=10).collect()}
+    # full probe degrades to exact
+    full = {r["vec_id"] for r in similarity.knn_ivf(emb, "embedding", "vec_id", qvec, cents, n_probe=8, k=10).collect()}
+    assert full == exact
+    # partial probe: valid subset with the query found
+    part = similarity.knn_ivf(emb, "embedding", "vec_id", qvec, cents, n_probe=2, k=10).collect()
+    assert part[0]["vec_id"] == 0
+    assert len({r["vec_id"] for r in part} & exact) >= 3  # reasonable recall
+
+    assign = similarity.ivf_assign(emb, "embedding", "vec_id", cents).toPandas()
+    assert assign["cluster"].between(0, 7).all()
+    assert len(assign) == 500
+
+
+def test_sql_udf_registration(spark):
+    from quality_filter.functions.registry import register_udfs
+
+    register_udfs(spark)
+    row = spark.sql("""
+        SELECT qf_extract_text(CAST('<p>hi <b>there</b></p>' AS BINARY)) AS t,
+               qf_score('the and of to in is was for on with') AS s,
+               qf_scrub_pii('mail me: a.b@c.org or 10.0.0.1') AS p
+    """).head()
+    assert row["t"] == "hi there"
+    assert row["s"]["lang_pred"] == "en"
+    assert row["p"] == "mail me: <EMAIL> or <IP>"
+
+
+def test_fast_profile_spark_matches_oracle(spark):
+    """FAST profile (LM skipped) — the SIMPLE-preprocessing variant analog
+    pinned separately, /root/reference/tests/unit/test_core.py:40-62."""
+    import dataclasses
+
+    from quality_filter.config import load_config
+    from quality_filter.corpus import generate_pages, pages_spark_schema
+    from quality_filter.oracle import run_oracle
+    from quality_filter.pipeline import score_documents
+
+    cfg = dataclasses.replace(load_config(), profile="FAST")
+    pages = generate_pages(120, seed=777).drop(columns=["cls"])
+    sdf = spark.createDataFrame(pages, schema=pages_spark_schema())
+    got = score_documents(sdf, cfg=cfg).toPandas().sort_values("url")
+    want = run_oracle(pages, cfg=cfg).sort_values("url")
+    assert (got["status"].values == want["status"].values).all()
+    assert (got["ppl"].dropna() == 0).all()
