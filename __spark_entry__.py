@@ -294,6 +294,54 @@ def q_ngram_jaccard_dups(spark, sf_dir):
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
 
 
+def q_minhash_jaccard_estimate(spark, sf_dir):
+    """Estimated Jaccard for LSH candidate pairs = fraction of equal
+    minhash components — the standard MinHash estimator, engine-identical
+    because the signatures are md5-based."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = dedup.lsh_bands(sig, "doc_id", NUM_HASHES, BAND_SIZE)
+    pairs = dedup.near_dup_pairs(bands, "doc_id")
+    a = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_HASHES)])
+    b = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_HASHES)])
+    eq = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(NUM_HASHES)
+    )
+    return (
+        pairs.withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+        .join(a.withColumnRenamed("id_a", "doc_a"), "doc_a")
+        .join(b.withColumnRenamed("id_b", "doc_b"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(eq.cast("double") / NUM_HASHES, 6).alias("jaccard_est"),
+        )
+    )
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """Scale path for embedding near-dup: candidates restricted to shared
+    hyperplane-LSH buckets (bucket-equi-join instead of a cross join);
+    rows-only check — recall < 1 by construction."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    planes = similarity.make_planes(dim, n_planes=3, seed=99)
+    buckets = similarity.hyperplane_lsh_buckets(emb, "embedding", "vec_id", planes)
+    a = emb.join(buckets, "vec_id").select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket"
+    )
+    b = emb.join(buckets, "vec_id").select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket"
+    )
+    cos = similarity.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.4)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+        .distinct()
+    )
+
+
 def q_knn_bruteforce(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
@@ -445,6 +493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_band_keys": q_lsh_band_keys,
         "near_dup_pairs": q_near_dup_pairs,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
         "purchase_last_view_asof": q_purchase_last_view_asof,
         "orders_grouping_sets": q_orders_grouping_sets,
@@ -696,6 +746,19 @@ FROM ng a JOIN ng b ON a.source = b.source AND a.doc_id < b.doc_id
 WHERE len(list_distinct(list_concat(a.l, b.l))) > 0
   AND CAST(len(list_intersect(a.l, b.l)) AS DOUBLE)
       / CAST(len(list_distinct(list_concat(a.l, b.l))) AS DOUBLE) >= 0.05""",
+        "minhash_jaccard_estimate": f"""
+WITH {_minhash_sig_cte()},
+bands AS ({_bands_sql()}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+  round(({' + '.join(f'CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END' for i in range(NUM_HASHES))})::DOUBLE / {NUM_HASHES}, 6) AS jaccard_est
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b""",
         "purchase_last_view_asof": """
 SELECT p.event_id AS event_id, p.user_id AS user_id,
   round(coalesce(v.value, 0.0), 6) AS last_view_value

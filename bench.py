@@ -106,6 +106,13 @@ def main() -> None:
     pipeline_sec = min(_timed(lambda: force(tiered_scored(pages))) for _ in range(TIMED_REPS))
     timings["pipeline_filter_corpus"] = round(pipeline_sec, 3)
 
+    # full (untiered) scoring for comparison — quantifies the tier win
+    from quality_filter.pipeline import score_documents
+
+    timings["pipeline_full_score"] = round(
+        _timed(lambda: force(score_documents(pages))), 3
+    )
+
     qs = E.queries()
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
