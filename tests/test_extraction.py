@@ -43,3 +43,28 @@ def test_valid_bytes_roundtrip():
 def test_deterministic():
     html = "<html><body><p>same input same output</p></body></html>"
     assert extract_text(html) == extract_text(html)
+
+
+def test_stray_angle_brackets():
+    # html.parser's non-markup '<' rule, mimicked exactly
+    assert extract_text("a <<>> b") == "a < < >> b"
+    assert extract_text("x < y > z") == "x < y > z"
+    assert extract_text("<p>5 &lt; 6 &amp; 7 &gt; 3</p>") == "5 < 6 & 7 > 3"
+
+
+def test_fast_matches_reference_on_corpus():
+    """Differential: the regex spec == the html.parser twin on every
+    well-formed corpus document (two seeds, ~3.4k docs)."""
+    from quality_filter.corpus import generate_pages
+    from quality_filter.text.extraction import extract_text_reference
+
+    for seed in (123, 4242):
+        pages = generate_pages(2000, seed=seed)
+        for h in pages["html"]:
+            if h is None:
+                continue
+            try:
+                txt = h.decode("utf-8")
+            except UnicodeDecodeError:
+                continue
+            assert extract_text(txt) == extract_text_reference(txt)
