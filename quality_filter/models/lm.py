@@ -46,7 +46,46 @@ class CharLM:
         return float(np.exp(-logp.mean()))
 
     def perplexity_batch(self, texts: list[str | None]) -> np.ndarray:
-        return np.array([self.perplexity(t) for t in texts], dtype=np.float64)
+        """Batch perplexity with ONE vectorized hash pass.
+
+        All texts' codepoints are concatenated; 5-gram/4-gram hashes and
+        log-probs are computed over the big array once, and per-text
+        means come from reduceat over each text's valid (non-boundary-
+        crossing) position range.  Equivalent to per-text perplexity()
+        up to float summation order (pairwise vs sequential — differs
+        in the last ulp, inside every tolerance used here)."""
+        n = len(texts)
+        out = np.full(n, DEFAULT_PPL, dtype=np.float64)
+        arrs, owners = [], []
+        for i, t in enumerate(texts):
+            if t and len(t) >= ORDER:
+                codes = char_codes(t.lower())
+                if len(codes) >= ORDER:
+                    arrs.append(codes)
+                    owners.append(i)
+        if not arrs:
+            return out
+        big = np.concatenate(arrs)
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        starts = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+
+        h5 = ngram_hashes(big, ORDER, DIM)
+        h4 = ngram_hashes(big, ORDER - 1, DIM)[: len(h5)]
+        logp = np.log(self.hi[h5] + ADD_K) - np.log(self.lo[h4] + ADD_K * VOCAB)
+
+        # valid 5-gram positions for text j: [starts[j], starts[j]+lens[j]-ORDER]
+        ends = starts + lens - (ORDER - 1)
+        bounds = np.empty(2 * len(arrs), dtype=np.int64)
+        bounds[0::2] = starts
+        bounds[1::2] = ends
+        # reduceat needs indices < len(logp); the final end == len(logp)
+        # is implicit (reduceat sums to the end of the array)
+        sums = np.add.reduceat(logp, bounds[:-1] if bounds[-1] >= len(logp) else bounds)
+        seg_sums = sums[0::2]
+        counts = (ends - starts).astype(np.float64)
+        out[np.array(owners)] = np.exp(-seg_sums / counts)
+        return out
 
 
 def train(sentences: list[str]) -> CharLM:
