@@ -46,7 +46,13 @@ class CharLM:
         return float(np.exp(-logp.mean()))
 
     def perplexity_batch(self, texts: list[str | None]) -> np.ndarray:
-        """Batch perplexity with ONE vectorized hash pass.
+        codes = [char_codes(t.lower()) if t else None for t in texts]
+        return self.perplexity_batch_codes(codes)
+
+    def perplexity_batch_codes(self, codes_list: list["np.ndarray | None"]) -> np.ndarray:
+        """Batch perplexity with ONE vectorized hash pass, from
+        pre-lowercased codepoint arrays (shared with the langid gather —
+        one char_codes pass per text for both models).
 
         All texts' codepoints are concatenated; 5-gram/4-gram hashes and
         log-probs are computed over the big array once, and per-text
@@ -54,15 +60,13 @@ class CharLM:
         crossing) position range.  Equivalent to per-text perplexity()
         up to float summation order (pairwise vs sequential — differs
         in the last ulp, inside every tolerance used here)."""
-        n = len(texts)
+        n = len(codes_list)
         out = np.full(n, DEFAULT_PPL, dtype=np.float64)
         arrs, owners = [], []
-        for i, t in enumerate(texts):
-            if t and len(t) >= ORDER:
-                codes = char_codes(t.lower())
-                if len(codes) >= ORDER:
-                    arrs.append(codes)
-                    owners.append(i)
+        for i, codes in enumerate(codes_list):
+            if codes is not None and len(codes) >= ORDER:
+                arrs.append(codes)
+                owners.append(i)
         if not arrs:
             return out
         big = np.concatenate(arrs)

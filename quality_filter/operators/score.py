@@ -67,12 +67,16 @@ def make_score_udf(artifact_dir: str, profile: str = "FULL"):
 
     @F.pandas_udf(SCORE_SCHEMA)
     def score_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        from quality_filter.models.hashing import char_codes
+
         lid, lm = _get_models(artifact_dir)
         for texts in batches:
             tl = [t if isinstance(t, str) else None for t in texts]
-            labels, confs = lid.predict_batch(tl)
+            # one lowercase+decode pass per text, shared by both models
+            codes = [char_codes(t.lower()) if t else None for t in tl]
+            labels, confs = lid.predict_batch_codes(codes)
             if profile == "FULL":
-                ppl = lm.perplexity_batch(tl)
+                ppl = lm.perplexity_batch_codes(codes)
             else:  # FAST profile skips the LM (the SIMPLE-preprocessing
                 # analog, /root/reference/opennsfw2/_image.py:55-59)
                 ppl = [0.0] * len(tl)

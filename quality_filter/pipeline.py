@@ -58,7 +58,10 @@ def _scored_plan(
     t = F.col("extracted_text")
     quarantined = t.isNull() | (t == "")
 
-    feats = R.feature_columns(t, cfg)
+    # stage the lowered token array once; every token-consuming feature
+    # references the materialized column instead of recomputing the split
+    ext = ext.withColumn("_toks", R.tokens_lower_col(t))
+    feats = R.feature_columns(t, cfg, toks_lower=F.col("_toks"))
     staged = ext.withColumns(
         {"_quarantined": quarantined, **{f"_f_{k}": v for k, v in feats.items()}}
     )
