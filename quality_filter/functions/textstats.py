@@ -31,9 +31,10 @@ def token_count_bpe(text: Column) -> Column:
 
 
 def stopword_hits(text: Column, lang: str) -> Column:
-    words = STOPWORDS[lang]
-    lit = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(tokens_simple(text), lambda t: F.array_contains(lit, F.lower(t))))
+    # isin over a literal list becomes an InSet hash probe (O(1) per
+    # token); array_contains against an array literal is an O(n) scan
+    words = list(STOPWORDS[lang])
+    return F.size(F.filter(tokens_simple(text), lambda t: F.lower(t).isin(*words)))
 
 
 def lang_guess(text: Column) -> Column:

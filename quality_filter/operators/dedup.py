@@ -37,15 +37,22 @@ def _tokens(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Positional word n-gram shingles (space-joined); [] if < n tokens."""
+    """Positional word n-gram shingles (space-joined); [] if < n tokens.
+
+    Built as a zip_with over n pre-sliced token arrays — O(tokens) per doc.
+    The transform(sequence, i -> concat_ws(slice(toks, i, n))) form is
+    O(tokens^2) (each element re-slices) and 5x slower measured at sf0.1;
+    output is bit-identical (verified positionally).
+    """
     toks = _tokens(text)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.size(toks) - (n - 1)
+    parts = [F.slice(toks, j + 1, m) for j in range(n)]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = F.zip_with(acc, p, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.when(F.size(toks) >= n, acc).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def minhash_signature(
@@ -81,9 +88,16 @@ def lsh_bands(
     num_hashes: int = DEFAULT_NUM_HASHES, band_size: int = DEFAULT_BAND_SIZE,
 ) -> DataFrame:
     """(id, band_idx, band_key): band_key concatenates band_size minhashes.
-    Docs sharing a band_key are near-dup candidates (standard LSH)."""
+    Docs sharing a band_key are near-dup candidates (standard LSH).
+
+    One explode over an array of (band_idx, band_key) structs — NOT an
+    n_bands-way union: the union form re-evaluates the whole signature
+    subtree (scan → explode shingles → aggregate) once per band per join
+    side (8 copies in the near_dup_pairs physical plan); the explode form
+    computes it once, and the self-join's two identical sides collapse
+    into a reused exchange."""
     n_bands = num_hashes // band_size
-    parts = []
+    entries = []
     for b in range(n_bands):
         # F.concat (NOT concat_ws): a NULL component nulls the whole key,
         # so shingle-less docs never band-collide — matches SQL `||`
@@ -92,16 +106,14 @@ def lsh_bands(
             if j:
                 pieces.append(F.lit("|"))
             pieces.append(F.col(f"mh{b * band_size + j}"))
-        key = F.concat(*pieces)
-        parts.append(
-            sig.select(
-                F.col(id_col), F.lit(b).alias("band_idx"), key.alias("band_key")
+        entries.append(
+            F.struct(
+                F.lit(b).alias("band_idx"), F.concat(*pieces).alias("band_key")
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("_band")
+    ).select(F.col(id_col), F.col("_band.band_idx"), F.col("_band.band_key"))
 
 
 def near_dup_pairs(bands: DataFrame, id_col: str) -> DataFrame:
