@@ -26,6 +26,13 @@ class CharLM:
     hi: np.ndarray   # counts of 5-grams, float64 (DIM,)
     lo: np.ndarray   # counts of 4-gram contexts, float64 (DIM,)
 
+    def __post_init__(self) -> None:
+        # precomputed log tables: scoring is then pure gathers + subtract,
+        # no per-position np.log at inference (bit-identical — the same
+        # np.log of the same element, just evaluated once per worker)
+        object.__setattr__(self, "_log_hi", np.log(self.hi + ADD_K))
+        object.__setattr__(self, "_log_lo", np.log(self.lo + ADD_K * VOCAB))
+
     def save(self, path: str) -> None:
         np.savez_compressed(path, hi=self.hi, lo=self.lo)
 
@@ -42,7 +49,7 @@ class CharLM:
             return DEFAULT_PPL
         h5 = ngram_hashes(codes, ORDER, DIM)
         h4 = ngram_hashes(codes, ORDER - 1, DIM)[: len(h5)]  # contexts of each 5-gram
-        logp = np.log(self.hi[h5] + ADD_K) - np.log(self.lo[h4] + ADD_K * VOCAB)
+        logp = self._log_hi[h5] - self._log_lo[h4]
         return float(np.exp(-logp.mean()))
 
     def perplexity_batch(self, texts: list[str | None]) -> np.ndarray:
@@ -76,7 +83,7 @@ class CharLM:
 
         h5 = ngram_hashes(big, ORDER, DIM)
         h4 = ngram_hashes(big, ORDER - 1, DIM)[: len(h5)]
-        logp = np.log(self.hi[h5] + ADD_K) - np.log(self.lo[h4] + ADD_K * VOCAB)
+        logp = self._log_hi[h5] - self._log_lo[h4]
 
         # valid 5-gram positions for text j: [starts[j], starts[j]+lens[j]-ORDER]
         ends = starts + lens - (ORDER - 1)
