@@ -135,9 +135,24 @@ class RuleConfig:
 
 
 def load_config(artifact_dir: str | None = None) -> RuleConfig:
-    """Load rules.json from the artifact dir; defaults if absent."""
+    """Load rules.json from the artifact dir; falls back to the
+    spark-submit --files staging dir (SparkFiles), then to defaults.
+
+    The SparkFiles fallback mirrors operators/score.py's artifact
+    resolution: on a cluster the artifact dir baked into the code does
+    not exist — rules.json arrives via ``--files`` and is localized next
+    to the job (driver and executors both)."""
     artifact_dir = artifact_dir or DEFAULT_ARTIFACT_DIR
     path = os.path.join(artifact_dir, "rules.json")
+    if not os.path.exists(path):
+        try:
+            from pyspark import SparkFiles
+
+            cand = os.path.join(SparkFiles.getRootDirectory(), "rules.json")
+            if os.path.exists(cand):
+                path = cand
+        except Exception:
+            pass
     if os.path.exists(path):
         with open(path, encoding="utf-8") as f:
             return RuleConfig.from_json(f.read())
