@@ -79,3 +79,32 @@ def test_artifact_rebuild_is_identical(tmp_path):
     la = CharLM.load(out["lm"])
     lb = CharLM.load(f"{DEFAULT_ARTIFACT_DIR}/lm.npz")
     assert (la.hi == lb.hi).all() and (la.lo == lb.lo).all()
+
+
+def test_langid_batch_matches_single(lid):
+    """Batch composition must not change any row's result (the oracle
+    calls predict_batch([t]) per doc; Spark batches arbitrarily)."""
+    import numpy as np
+
+    cases = [
+        None, "", "a", "ab", "  ", "a b",
+        "hello world this is clearly english text with the and of",
+        "中文文本测试一下", "z" * 2, "q" * 3,
+    ]
+    labels, confs = lid.predict_batch(cases)
+    for i, t in enumerate(cases):
+        l1, c1 = lid.predict_batch([t])
+        assert l1[0] == labels[i], (i, t)
+        assert abs(float(c1[0]) - float(confs[i])) < 1e-12, (i, t)
+    # empty batch
+    l0, c0 = lid.predict_batch([])
+    assert len(l0) == 0 and len(c0) == 0
+
+
+def test_lm_batch_matches_single(lm):
+    import numpy as np
+
+    cases = [None, "", "abcd", "abcde", "hello there world", "日本語のテキスト"]
+    batch = lm.perplexity_batch(cases)
+    single = np.array([lm.perplexity(t) for t in cases])
+    assert np.allclose(batch, single, rtol=1e-12)

@@ -131,3 +131,32 @@ def test_plan_has_exactly_two_python_crossings(spark, pages_pdf):
     plan = score_documents(sdf)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 2, plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_pii_guard_edge_cases(spark):
+    """The guarded scrub must equal the oracle scrub on texts that probe
+    the guards: '@' without an email, digits without a phone/IP, PII at
+    string edges, and guard chars introduced only by position."""
+    from quality_filter.config import load_config, DEFAULT_ARTIFACT_DIR
+    from quality_filter.features import scrub_pii
+    from quality_filter.functions.rules import scrub_pii_col
+    from pyspark.sql import functions as F
+
+    cfg = load_config(DEFAULT_ARTIFACT_DIR)
+    texts = [
+        "mail me at a@b.co thanks",          # minimal email
+        "not-an-email @ just an at sign",    # '@' but no email match
+        "call 555-123-4567 now",             # phone
+        "version 1.2.3 of the lib",          # digits, no phone/IP
+        "server at 10.0.0.1 port 80",        # IP
+        "a@b.co and 555-123-4567 and 10.0.0.1",  # all three chained
+        "no pii here at all",                # no guard chars
+        "1", "@", "",                        # degenerate
+    ]
+    sdf = spark.createDataFrame([(t,) for t in texts], ["t"])
+    got = [
+        r["s"]
+        for r in sdf.select(scrub_pii_col(F.col("t"), cfg).alias("s")).collect()
+    ]
+    want = [scrub_pii(t, cfg.pii_rules) for t in texts]
+    assert got == want
