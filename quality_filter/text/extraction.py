@@ -58,9 +58,22 @@ import html as _htmllib
 import re as _re
 
 _COMMENT_RE = _re.compile(r"<!--.*?-->", _re.S)
-_SKIP_BLOCK_RE = _re.compile(
-    r"<(" + "|".join(sorted(_SKIP_TAGS)) + r")\b[^>]*>.*?</\1\s*>",
+# script/style are RAWTEXT elements: the parser switches to cdata mode
+# and the FIRST matching close tag ends the block regardless of any
+# '<script>' text inside — a lazy body is exactly that semantics.
+_RAWTEXT_TAGS = frozenset(["script", "style"])
+_RAWTEXT_RE = _re.compile(
+    r"<(" + "|".join(sorted(_RAWTEXT_TAGS)) + r")\b[^>]*>.*?</\1\s*>",
     _re.S | _re.I,
+)
+# all other skip tags nest by depth: innermost-first match (the guarded
+# body may not contain a same-tag open OR close), so nested same-tag
+# blocks (<nav>..<nav>..</nav>..</nav>) resolve inner-to-outer across
+# the fixed-point loop — matching html.parser's depth counting.  (A lazy
+# .*? body stops at the FIRST close tag and strands the outer tail.)
+_SKIP_BLOCK_RE = _re.compile(
+    r"<(" + "|".join(sorted(_SKIP_TAGS - _RAWTEXT_TAGS)) + r")\b[^>]*>(?:(?!</?\1\b)[\s\S])*</\1\s*>",
+    _re.I,
 )
 # html.parser's tag-start rule: '<' opens markup only before letter / '/' / '!' / '?'
 _TAG_RE = _re.compile(r"</?[A-Za-z][^>]*>|<![^>]*>|<\?[^>]*>")
@@ -93,6 +106,7 @@ def extract_text(html: str) -> str:
     prev = None
     while prev != s:
         prev = s
+        s = _RAWTEXT_RE.sub(" ", s)
         s = _SKIP_BLOCK_RE.sub(" ", s)
     s = _STRAY_LT_RE.sub(" < ", s)
     s = _TAG_RE.sub(" ", s)

@@ -55,6 +55,8 @@ def well_formed(draw, depth=0):
         elif kind == 4:
             t = draw(skip_tag)
             inner = draw(content)
+            if draw(st.booleans()):  # nested same-tag skip block
+                inner = f"{inner}<{t}>{draw(content)}</{t}>{draw(content)}"
             parts.append(f"<{t}>{inner}</{t}>")
         else:
             parts.append(f"<!-- {draw(content)} -->")
