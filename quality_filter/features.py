@@ -20,6 +20,17 @@ from typing import Iterable
 TOKEN_SEP_CHARS = " \t\n\r\x0b\f\u00a0"
 TOKEN_SEP_PATTERN = "[" + TOKEN_SEP_CHARS + "]+"
 
+# the EXACT set of chars Python's str.strip() removes (str.isspace() is
+# True), frozen as a literal so the Spark side can trim identically.
+# Spark's trim() strips ASCII spaces only, which leaves phantom empty
+# edge tokens after split() and diverges from tokenize() below on text
+# with leading/trailing tabs/newlines/nbsp — reachable via the
+# pre-populated `text` passthrough column, which extraction does NOT
+# whitespace-normalize.
+PY_WHITESPACE_CHARS = '\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0\u1680\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a\u2028\u2029\u202f\u205f\u3000'
+PY_STRIP_PATTERN = "^[" + PY_WHITESPACE_CHARS + "]+|[" + PY_WHITESPACE_CHARS + "]+$"
+
+
 # symbol characters counted by the symbol-density rule
 SYMBOL_PATTERN = r"[#%&*+<=>@^_|~$\\]"
 

@@ -19,11 +19,20 @@ from quality_filter.features import (
     LENGTH_NORM_CAP,
     PPL_NORM_CAP,
     PPL_NORM_SCALE,
+    PY_STRIP_PATTERN,
     SYMBOL_PATTERN,
-    TOKEN_SEP_CHARS,
     TOKEN_SEP_PATTERN,
     tox_pattern,
 )
+
+
+def strip_col(text: Column) -> Column:
+    """Exact analog of Python's str.strip(): removes the frozen
+    PY_WHITESPACE_CHARS class from both ends.  Spark's trim() strips
+    ASCII spaces only — using it leaves phantom empty edge tokens after
+    split() on text with leading/trailing tabs/newlines/nbsp, diverging
+    from the oracle's tokenize() (features.py)."""
+    return F.regexp_replace(text, PY_STRIP_PATTERN, F.lit(""))
 
 
 def sigmoid(z: Column) -> Column:
@@ -32,7 +41,7 @@ def sigmoid(z: Column) -> Column:
 
 def tokens_col(text: Column) -> Column:
     """Token array per the frozen spec (explicit separator class)."""
-    trimmed = F.trim(text)
+    trimmed = strip_col(text)
     return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
         F.split(trimmed, TOKEN_SEP_PATTERN)
     )
@@ -49,7 +58,7 @@ def tokens_lower_col(text: Column) -> Column:
     expression inline makes each consumer recompute the split (measured
     ~1.4x on the whole feature block at 1M rows).
     """
-    trimmed = F.trim(text)
+    trimmed = strip_col(text)
     return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
         F.split(F.lower(trimmed), TOKEN_SEP_PATTERN)
     )
@@ -78,7 +87,7 @@ def feature_columns(
     """
     if toks_lower is None:
         toks_lower = tokens_lower_col(text)
-    trimmed = F.trim(text)
+    trimmed = strip_col(text)
     n_chars = F.length(text).cast("double")
     n_words = F.size(toks_lower).cast("double")
     sw = list(cfg.stopwords)

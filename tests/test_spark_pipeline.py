@@ -160,3 +160,33 @@ def test_pii_guard_edge_cases(spark):
     ]
     want = [scrub_pii(t, cfg.pii_rules) for t in texts]
     assert got == want
+
+
+def test_feature_parity_on_edge_whitespace(spark):
+    """JVM feature expressions must equal the Python twin on inputs that
+    probe the trim/tokenize boundary: unicode whitespace at the edges
+    (Python str.strip() semantics, NOT Spark trim()'s ASCII-space-only),
+    case-mapping oddities, and separator chars inside tokens."""
+    from quality_filter.config import load_config, DEFAULT_ARTIFACT_DIR
+    from quality_filter.features import text_features
+    from quality_filter.functions import rules as R
+    from pyspark.sql import functions as F
+
+    cfg = load_config(DEFAULT_ARTIFACT_DIR)
+    cases = [
+        "", " ", "\t\n", "\xa0", "\x0b\x0c odd \x0b",
+        " \t mixed edge\xa0\n", "\x1c\x1dinfo seps\x1e\x1f",
+        "inner\x1cseP toks", " line sep ",
+        "　ideographic　", "İstanbul DİYARBAKIR",
+        "STRASSE straße ß", "ΣΟΦΟΣ σοφος τέλοσ Σ", "ﬁle ﬂow",
+        "ＦＵＬＬＷＩＤＴＨ ｔｅｘｔ", "the and of in to",
+        "mixed  double  spaces", "#%&*+ @@@ $$$",
+    ]
+    sdf = spark.createDataFrame([(t,) for t in cases], ["t"])
+    toks = R.tokens_lower_col(F.col("t"))
+    feats = R.feature_columns(F.col("t"), cfg, toks_lower=toks)
+    got = sdf.select(*[v.alias(k) for k, v in feats.items()]).collect()
+    for t, row in zip(cases, got):
+        want = text_features(t, cfg.stopwords)
+        for k in want:
+            assert abs(float(row[k]) - float(want[k])) < 1e-9, (t, k)
