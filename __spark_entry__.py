@@ -820,8 +820,13 @@ def _pii_scrub_docs_sql() -> str:
         "|| CAST(doc_id % 250 AS VARCHAR) || ' tel 555-123-4567.'"
     )
     expr = aug
+    from quality_filter.features import py_pattern
+
     for rule in CFG.pii_rules:  # frozen order: email → phone → ip
-        pat = rule.pattern.replace("'", "''")
+        # strip the Java-only (?U) prefix: RE2 would read it as
+        # "swap greediness", silently changing the match; this oracle's
+        # synthetic PII is ASCII so RE2's ASCII \d/\b suffice
+        pat = py_pattern(rule.pattern).replace("'", "''")
         expr = "regexp_replace(" + expr + ", '" + pat + "', '" + rule.replacement + "', 'g')"
     return "SELECT doc_id, " + expr + " AS scrubbed FROM documents"
 

@@ -95,8 +95,12 @@ class RuleConfig:
     # --- PII scrub chain (frozen order: email → phone → ip) -------------
     pii_rules: tuple[PiiRule, ...] = (
         PiiRule("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-        PiiRule("phone", r"(\+\d{1,2}[ -])?\(?\d{3}\)?[ -.]\d{3}[ -.]\d{4}", "<PHONE>"),
-        PiiRule("ip", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+        # (?U) = Java UNICODE_CHARACTER_CLASS (no-op in Python re): \d and
+        # \b then mean Unicode digits / word chars in BOTH engines — without
+        # it, Java's ASCII-only \d misses Arabic-Indic and fullwidth phone
+        # numbers that the Python oracle scrubs (engine-parity mandate)
+        PiiRule("phone", r"(?U)(\+\d{1,2}[ -])?\(?\d{3}\)?[ -.]\d{3}[ -.]\d{4}", "<PHONE>"),
+        PiiRule("ip", r"(?U)\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
     )
 
     # --- ordered-stream (video-path analog) parameters ------------------

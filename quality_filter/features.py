@@ -95,9 +95,24 @@ def quality_score(feats: dict[str, float], weights: dict[str, float], bias: floa
     return sigmoid(z)
 
 
+def py_pattern(pattern: str) -> str:
+    """Strip the Java-only (?U) prefix for use with Python ``re``.
+
+    Canonical patterns carry a leading ``(?U)`` so Java regex uses
+    Unicode \\d and \\b (UNICODE_CHARACTER_CLASS).  Python's re rejects
+    the flag — and doesn't need it: str patterns are Unicode-classed by
+    default, which is exactly what (?U) turns on for Java.  One stored
+    pattern, two engine spellings, same language matched."""
+    return pattern[4:] if pattern.startswith("(?U)") else pattern
+
+
 def tox_pattern(lexicon: Iterable[str]) -> str:
-    """Word-bounded alternation over the lexicon; applied to lower(text)."""
-    return r"\b(" + "|".join(sorted(lexicon)) + r")\b"
+    """Word-bounded alternation over the lexicon; applied to lower(text).
+
+    (?U) makes Java's \\b use Unicode word chars like Python's — without
+    it Java sees a word boundary between a lexicon word and an adjacent
+    accented letter (e.g. 'frakkü') where Python does not."""
+    return r"(?U)\b(" + "|".join(sorted(lexicon)) + r")\b"
 
 
 def tox_score(text: str, lexicon: Iterable[str], n_words: float, a: float, b: float) -> float:
@@ -105,7 +120,7 @@ def tox_score(text: str, lexicon: Iterable[str], n_words: float, a: float, b: fl
     threshold gate pattern (/root/reference/opennsfw2/_inference.py:224)."""
     if not n_words:
         return sigmoid(b)
-    matches = len(re.findall(tox_pattern(lexicon), text.lower()))
+    matches = len(re.findall(py_pattern(tox_pattern(lexicon)), text.lower()))
     return sigmoid(a * (matches / n_words) + b)
 
 
@@ -113,5 +128,5 @@ def scrub_pii(text: str, pii_rules) -> str:
     """Chained substitution in frozen rule order (email → phone → ip)."""
     out = text
     for rule in pii_rules:
-        out = re.sub(rule.pattern, rule.replacement, out)
+        out = re.sub(py_pattern(rule.pattern), rule.replacement, out)
     return out

@@ -142,7 +142,10 @@ def _pii_guard(pattern: str, text: Column) -> Column | None:
     if "@" in pattern:
         return text.contains("@")
     if "\\d" in pattern or "[0-9]" in pattern:
-        return F.regexp_like(text, F.lit("[0-9]"))
+        # \\p{Nd} = all Unicode decimal digits (what (?U)\\d matches) —
+        # an ASCII-only [0-9] guard would skip texts whose only digits
+        # are e.g. Arabic-Indic, breaking the necessary-condition proof
+        return F.regexp_like(text, F.lit("\\p{Nd}"))
     return None
 
 

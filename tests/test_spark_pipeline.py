@@ -152,6 +152,10 @@ def test_pii_guard_edge_cases(spark):
         "a@b.co and 555-123-4567 and 10.0.0.1",  # all three chained
         "no pii here at all",                # no guard chars
         "1", "@", "",                        # degenerate
+        # unicode digits: (?U) makes Java \d match these like Python's
+        "call ٥٥٥-١٢٣-٤٥٦٧ now",
+        "nums ５５５-１２３-４５６７ wide",
+        "ip١٠.٠.٠.١arabic",  # unicode \b edge
     ]
     sdf = spark.createDataFrame([(t,) for t in texts], ["t"])
     got = [
