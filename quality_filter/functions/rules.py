@@ -20,10 +20,14 @@ from quality_filter.features import (
     PPL_NORM_CAP,
     PPL_NORM_SCALE,
     PY_STRIP_PATTERN,
+    PY_WHITESPACE_CHARS,
     SYMBOL_PATTERN,
     TOKEN_SEP_PATTERN,
     tox_pattern,
 )
+
+
+_NONSPACE_WS = [c for c in PY_WHITESPACE_CHARS if c != " "]
 
 
 def strip_col(text: Column) -> Column:
@@ -31,8 +35,21 @@ def strip_col(text: Column) -> Column:
     PY_WHITESPACE_CHARS class from both ends.  Spark's trim() strips
     ASCII spaces only — using it leaves phantom empty edge tokens after
     split() on text with leading/trailing tabs/newlines/nbsp, diverging
-    from the oracle's tokenize() (features.py)."""
-    return F.regexp_replace(text, PY_STRIP_PATTERN, F.lit(""))
+    from the oracle's tokenize() (features.py).
+
+    Fast path: trim() handles the space-only case, then the full
+    strip regex runs only when a non-space whitespace char survives at
+    either end (rare — extraction whitespace-collapses its output; only
+    raw `text` passthrough rows can hit it).  The unconditional regex is
+    ~9x slower at 1M rows: its trailing `[ws]+$` branch back-tracks at
+    every interior space."""
+    s1 = F.trim(text)
+    first = F.substring(s1, 1, 1)
+    last = F.substring(s1, -1, 1)
+    edge_ws = first.isin(*_NONSPACE_WS) | last.isin(*_NONSPACE_WS)
+    return F.when(
+        edge_ws, F.regexp_replace(s1, PY_STRIP_PATTERN, F.lit(""))
+    ).otherwise(s1)
 
 
 def sigmoid(z: Column) -> Column:
