@@ -416,6 +416,47 @@ def q_active_positive_custkeys(spark, sf_dir):
     return positive.intersect(with_orders)
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 analog: 3-way-filtered join + revenue agg + global top-k
+    (TakeOrderedAndProject — no full sort at scale)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = orders.filter(F.col("o_orderdate") < "1998-01-01").join(
+        li.filter(F.col("l_shipdate") > "1998-01-01"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    rev = joined.groupBy("o_orderkey", "o_orderdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
+
+
+def q_supplier_part_breadth(spark, sf_dir):
+    """COUNT(DISTINCT) per group — the two-phase distinct-aggregate path."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+def q_customer_order_cume(spark, sf_dir):
+    """Per-customer cumulative spend over order time (running window with
+    a deterministic tie-break; one shuffle on the partition key)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("cume_spend"),
+    )
+
+
 def q_embedding_near_dup_pairs(spark, sf_dir):
     """Exact cosine near-dup pairs (small-side self-join; the LSH-bucketed
     path in operators/similarity.py is the corpus-scale variant)."""
@@ -502,6 +543,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles": q_doc_length_quantiles,
         "running_value_sum": q_running_value_sum,
         "active_positive_custkeys": q_active_positive_custkeys,
+        "shipping_priority": q_shipping_priority,
+        "supplier_part_breadth": q_supplier_part_breadth,
+        "customer_order_cume": q_customer_order_cume,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "pii_scrub_docs": q_pii_scrub_docs,
         "simhash_docs": q_simhash_docs,
@@ -794,6 +838,22 @@ FROM events""",
 SELECT c_custkey FROM customer WHERE c_acctbal > 0
 INTERSECT
 SELECT DISTINCT o_custkey AS c_custkey FROM orders""",
+        "shipping_priority": """
+SELECT o_orderkey, o_orderdate,
+  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+        "supplier_part_breadth": """
+SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_items
+FROM lineitem GROUP BY l_suppkey""",
+        "customer_order_cume": """
+SELECT o_custkey, o_orderkey,
+  round(sum(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cume_spend
+FROM orders""",
         "embedding_near_dup_pairs": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
