@@ -146,8 +146,45 @@ def tox_score_col(text: Column, n_words: Column, cfg: RuleConfig) -> Column:
     return sigmoid(F.lit(float(cfg.tox_a)) * density + F.lit(float(cfg.tox_b)))
 
 
-def _pii_guard(pattern: str, text: Column) -> Column | None:
-    """Cheap necessary-condition guard for a PII pattern, or None.
+def _guard_kind(pattern: str) -> str:
+    """Guard class a pattern admits: '@' (must contain '@'), 'd' (must
+    contain a decimal digit), or '' (no guard).
+
+    Conservative on inference: a pattern containing any negated character
+    class (``[^``) gets NO guard — the '@'/digit token might live inside
+    the negation (e.g. ``[^\\d]``), where it is not a necessary condition.
+    """
+    if "[^" in pattern:
+        return ""
+    if "@" in pattern:
+        return "@"
+    if "\\d" in pattern or "[0-9]" in pattern:
+        return "d"
+    return ""
+
+
+def _enabled_guard_kinds(rules) -> set[str]:
+    """Guard kinds that are provably safe for this rule chain.
+
+    The guard-on-ORIGINAL-text proof requires that no replacement in the
+    chain can INTRODUCE a guard character (otherwise an earlier rule's
+    output could newly satisfy a later rule's guard while the original
+    text does not).  Enforced at expression-build time, not assumed:
+    any replacement containing '@' disables '@' guards chain-wide; any
+    replacement containing a decimal digit disables 'd' guards.  The
+    frozen default replacements ('<EMAIL>', '<PHONE>', '<IP>') keep both.
+    """
+    enabled = {"@", "d"}
+    for r in rules:
+        if "@" in r.replacement:
+            enabled.discard("@")
+        if any(ch.isdigit() for ch in r.replacement):
+            enabled.discard("d")
+    return enabled
+
+
+def _pii_guard(kind: str, text: Column) -> Column | None:
+    """Cheap necessary-condition guard Column for a guard kind, or None.
 
     A pattern with a literal '@' can only match text containing '@'
     (memchr-fast contains); a pattern requiring a digit can only match
@@ -156,9 +193,9 @@ def _pii_guard(pattern: str, text: Column) -> Column | None:
     no PII, and skipping the full regex scan is ~3.5x on the scrub stage
     at 1M rows.
     """
-    if "@" in pattern:
+    if kind == "@":
         return text.contains("@")
-    if "\\d" in pattern or "[0-9]" in pattern:
+    if kind == "d":
         # \\p{Nd} = all Unicode decimal digits (what (?U)\\d matches) —
         # an ASCII-only [0-9] guard would skip texts whose only digits
         # are e.g. Arabic-Indic, breaking the necessary-condition proof
@@ -170,33 +207,29 @@ def scrub_pii_col(text: Column, cfg: RuleConfig) -> Column:
     """Chained regexp_replace in frozen rule order (email → phone → ip),
     with consecutive same-guard rules grouped under one conditional.
 
-    Guard correctness across chaining: replacements never ADD guard
-    characters ('<EMAIL>' has no '@' or digit), so a guard evaluated on
-    the ORIGINAL text is still a necessary condition after earlier rules
-    ran (earlier rules only remove matchable material).
-    """
+    Guard safety is VALIDATED, not assumed (see _guard_kind /
+    _enabled_guard_kinds): negated classes and guard-introducing
+    replacements both fall back to guard=None (unconditional replace —
+    always correct, merely slower)."""
+    enabled = _enabled_guard_kinds(cfg.pii_rules)
     out = text
     i, rules = 0, list(cfg.pii_rules)
+
+    def kind_of(rule) -> str:
+        k = _guard_kind(rule.pattern)
+        return k if k in enabled else ""
+
     while i < len(rules):
-        guard = _pii_guard(rules[i].pattern, text)
+        kind = kind_of(rules[i])
+        guard = _pii_guard(kind, text)
         j = i
         chained = out
-        while j < len(rules) and _same_guard(rules[j].pattern, rules[i].pattern):
+        while j < len(rules) and kind_of(rules[j]) == kind:
             chained = F.regexp_replace(chained, rules[j].pattern, rules[j].replacement)
             j += 1
         out = chained if guard is None else F.when(guard, chained).otherwise(out)
         i = j
     return out
-
-
-def _same_guard(p1: str, p2: str) -> bool:
-    def kind(p: str) -> str:
-        if "@" in p:
-            return "@"
-        if "\\d" in p or "[0-9]" in p:
-            return "d"
-        return ""
-    return kind(p1) == kind(p2)
 
 
 def hard_rule_reasons(feats: dict[str, Column], cfg: RuleConfig) -> list[tuple[str, Column]]:

@@ -31,11 +31,6 @@ class LangIdModel:
     ns: tuple[int, ...] = NGRAM_SIZES
     dim: int = DIM
 
-    def __post_init__(self) -> None:
-        # row-gather layout: WT[h] is one cache line per hash — the hot
-        # path never materializes a dense (batch, D) matrix
-        object.__setattr__(self, "_WT", np.ascontiguousarray(self.W.T))
-
     def save(self, path: str) -> None:
         np.savez_compressed(
             path,

@@ -68,6 +68,31 @@ def test_resume_processes_only_pending(spark, pages_dir, tmp_path):
         assert rec["wall_sec"] > 0 and rec["engine_version"]
 
 
+def test_resume_lineage_without_output_reread(spark, pages_dir, tmp_path, monkeypatch):
+    """Manifest metrics come from observe() on the write, not from
+    re-reading the committed output (the old read-back doubled sink-side
+    I/O per split).  Spy on DataFrameReader.parquet: no path under the
+    output dir may be read during the run."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    out = str(tmp_path / "out_obs")
+    man = str(tmp_path / "man_obs.jsonl")
+    read_paths: list[str] = []
+    orig = DataFrameReader.parquet
+
+    def spy(self, *paths, **kw):
+        read_paths.extend(str(p) for p in paths)
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", spy)
+    run_with_resume(spark, pages_dir, out, man)
+    assert not [p for p in read_paths if p.startswith(out)], read_paths
+    recs = Manifest(man).records()
+    assert len(recs) == 3
+    for rec in recs:
+        assert rec["rows_out"] == sum(rec["by_status"].values()) > 0
+
+
 def test_partition_lineage_conserves_rows(spark, pages_dir):
     scored = tiered_scored(spark.read.parquet(pages_dir).drop("warc_dt"))
     lin = partition_lineage(scored).toPandas()

@@ -166,6 +166,45 @@ def test_pii_guard_edge_cases(spark):
     assert got == want
 
 
+def test_pii_guard_disabled_for_unsafe_custom_rules(spark):
+    """Guard inference must fall back to the unconditional (always-correct)
+    replace when a custom rules.json breaks the guard proof: a negated
+    class containing the guard token, or a replacement that INTRODUCES a
+    guard character (so a later rule's guard on the original text is no
+    longer a necessary condition)."""
+    import dataclasses
+
+    from quality_filter.config import load_config, DEFAULT_ARTIFACT_DIR, PiiRule
+    from quality_filter.features import scrub_pii
+    from quality_filter.functions.rules import scrub_pii_col
+    from pyspark.sql import functions as F
+
+    base = load_config(DEFAULT_ARTIFACT_DIR)
+    rules = (
+        # replacement introduces '@': text without '@' can gain one
+        PiiRule(name="at_inject", pattern="(?U)AT", replacement="@"),
+        # the frozen email rule now runs on possibly-injected '@'
+        base.pii_rules[0],
+        # negated class: requires a digit-adjacent NON-digit — '\\d' in the
+        # pattern text must NOT produce a digit guard
+        PiiRule(name="negated", pattern="(?U)x[^\\d]y", replacement="<NX>"),
+    )
+    cfg = dataclasses.replace(base, pii_rules=rules)
+    texts = [
+        "mail me bobATexample.com",       # '@' appears only after rule 1
+        "wire x.y marker",                # negated-class match, no digits
+        "plain text, no guards at all",
+        "a@b.co stays an email",
+    ]
+    sdf = spark.createDataFrame([(t,) for t in texts], ["t"])
+    got = [
+        r["s"]
+        for r in sdf.select(scrub_pii_col(F.col("t"), cfg).alias("s")).collect()
+    ]
+    want = [scrub_pii(t, cfg.pii_rules) for t in texts]
+    assert got == want
+
+
 def test_feature_parity_on_edge_whitespace(spark):
     """JVM feature expressions must equal the Python twin on inputs that
     probe the trim/tokenize boundary: unicode whitespace at the edges
