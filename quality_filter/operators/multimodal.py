@@ -4,19 +4,30 @@ Images/audio/video ride through the engine as `payload BINARY` plus a
 typed metadata struct — the same pattern as `html BINARY` in the pages
 table and the reference's image-handle input
 (/root/reference/opennsfw2/_inference.py:30-41).  Decode / feature
-extraction runs as Arrow-batched ``mapInPandas`` stages with per-worker
-codec caching, exactly like the text model stage.
+extraction / resize run as Arrow-batched ``mapInPandas`` stages with
+per-worker codec caching, exactly like the text model stage.
 
-The actual pixel/sample decoding is STUBBED: no image/audio libraries
-exist in this container.  If PIL/soundfile appear on a real cluster the
-stubs raise-or-route to them; otherwise a clearly-marked deterministic
-fake keeps the Spark-side plumbing (schema, batching, partitioning, UDF
-signatures) real and testable end-to-end.
+Decode capability ladder (strictly additive — an optional library can
+only ADD decodable formats, never degrade output):
+
+  1. built-in pure-numpy decoders: PPM (P6) and BMP (uncompressed
+     24/32-bit) — real pixel decode, no external libraries;
+  2. PIL, if installed, for containers the built-ins don't recognize;
+  3. otherwise a clearly-marked deterministic fake (digest-derived
+     features) keeps opaque payloads flowing with decode_ok=true.
+
+A payload whose container IS recognized (magic bytes) but whose body is
+malformed decodes to decode_ok=false (quarantine discipline, the
+content-type-sniff lesson from
+/root/reference/app/services/file_service.py:125-156) — it never fails
+the task.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
 import zlib
 from typing import Iterator
 
@@ -57,15 +68,158 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("payload_crc", T.LongType(), True),
         T.StructField("features", T.ArrayType(T.FloatType()), True),
         T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("decoder", T.StringType(), True),  # ppm|bmp|pil|stub|null
+    ]
+)
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),  # resized, PPM-encoded
+        T.StructField("resize_ok", T.BooleanType(), False),
     ]
 )
 
 
+# ---------------------------------------------------------------------------
+# pure-numpy codecs (no external image libraries)
+# ---------------------------------------------------------------------------
+
+def _ppm_header_tokens(b: bytes, n: int) -> tuple[list[int], int]:
+    """Parse n whitespace-separated integers after the P6 magic,
+    honoring '#' comments (PPM spec); returns (values, body_offset)."""
+    vals: list[int] = []
+    i = 2  # past 'P6'
+    while len(vals) < n:
+        if i >= len(b):
+            raise ValueError("truncated ppm header")
+        c = b[i : i + 1]
+        if c == b"#":
+            while i < len(b) and b[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < len(b) and b[j : j + 1].isdigit():
+                j += 1
+            vals.append(int(b[i:j]))
+            i = j
+        else:
+            raise ValueError("bad ppm header byte")
+    # exactly one whitespace char separates maxval from the raster
+    if i >= len(b) or not b[i : i + 1].isspace():
+        raise ValueError("missing ppm raster separator")
+    return vals, i + 1
+
+
+def decode_ppm(b: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (H, W, 3) uint8.  Raises ValueError on a
+    malformed body (the caller quarantines)."""
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 ppm")
+    (w, h, maxval), off = _ppm_header_tokens(b, 3)
+    if w <= 0 or h <= 0 or not (0 < maxval < 65536):
+        raise ValueError("bad ppm dimensions")
+    if maxval > 255:
+        raise ValueError("16-bit ppm unsupported")
+    need = w * h * 3
+    body = b[off : off + need]
+    if len(body) < need:
+        raise ValueError("truncated ppm raster")
+    return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → binary PPM (P6)."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        arr, dtype=np.uint8
+    ).tobytes()
+
+
+def decode_bmp(b: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP (BITMAPINFOHEADER) → (H, W, 3) uint8
+    RGB.  Bottom-up or top-down rows, 4-byte row padding.  Raises
+    ValueError on anything else."""
+    if b[:2] != b"BM" or len(b) < 54:
+        raise ValueError("not a bmp")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    hdr_size = struct.unpack_from("<I", b, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("bmp core header unsupported")
+    w, h_signed = struct.unpack_from("<ii", b, 18)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if planes != 1 or bpp not in (24, 32) or compression not in (0, 3):
+        raise ValueError("bmp variant unsupported")
+    h = abs(h_signed)
+    if w <= 0 or h == 0:
+        raise ValueError("bad bmp dimensions")
+    bytes_pp = bpp // 8
+    stride = (w * bytes_pp + 3) & ~3
+    need = stride * h
+    body = b[data_off : data_off + need]
+    if len(body) < need:
+        raise ValueError("truncated bmp raster")
+    rows = np.frombuffer(body, dtype=np.uint8).reshape(h, stride)
+    px = rows[:, : w * bytes_pp].reshape(h, w, bytes_pp)
+    if h_signed > 0:  # bottom-up storage
+        px = px[::-1]
+    return px[:, :, 2::-1]  # BGR(A) → RGB, drop alpha
+
+
+def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize — the resize(224,224)
+    preprocessing analog (/root/reference/opennsfw2/_image.py:48-59)."""
+    h, w = arr.shape[:2]
+    yi = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xi = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return arr[yi][:, xi]
+
+
+def image_features(arr: np.ndarray) -> np.ndarray:
+    """16-dim deterministic features from decoded pixels, all in [0, 1]:
+    per-channel mean+std (6), aspect, log-area, 2x2 gray grid means (4),
+    gray mean/std/min/max (4).  float64 math, float32 output — the
+    frozen-preprocessing-constants discipline
+    (/root/reference/opennsfw2/_image.py:64-66)."""
+    h, w = arr.shape[:2]
+    px = arr.astype(np.float64) / 255.0
+    gray = px @ np.array([0.299, 0.587, 0.114])
+    hh, wh = max(h // 2, 1), max(w // 2, 1)
+    grid = [
+        float(gray[ys, xs].mean())
+        for ys in (slice(0, hh), slice(hh, None))
+        for xs in (slice(0, wh), slice(wh, None))
+        if gray[ys, xs].size
+    ]
+    grid += [0.0] * (4 - len(grid))
+    feats = np.array(
+        [
+            *px.reshape(-1, 3).mean(axis=0),
+            *px.reshape(-1, 3).std(axis=0),
+            w / (w + h),
+            min(np.log10(float(w) * h + 1.0) / 8.0, 1.0),
+            *grid,
+            float(gray.mean()),
+            float(gray.std()),
+            float(gray.min()),
+            float(gray.max()),
+        ],
+        dtype=np.float32,
+    )
+    return feats
+
+
 def _try_real_decoder():
-    """Real decode path if an imaging library exists (gated import —
-    the lazy-dependency lesson, /root/reference/opennsfw2/_compat.py)."""
+    """Optional PIL path for containers the built-ins don't recognize
+    (gated import — the lazy-dependency lesson,
+    /root/reference/opennsfw2/_compat.py).  Presence only ADDS formats."""
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
 
         return Image
     except ImportError:
@@ -73,12 +227,32 @@ def _try_real_decoder():
 
 
 def _stub_features(payload: bytes, dim: int = IMAGE_FEATURE_DIM) -> np.ndarray:
-    """STUB: deterministic pseudo-features from a digest of the payload.
-    Stands in for resize(224,224) → CNN embedding; replace with a real
-    decoder on a cluster that has one."""
+    """STUB: deterministic pseudo-features from a digest of the payload —
+    the declared fake for opaque (unrecognized-container) payloads in an
+    environment with no decoder for them."""
     digest = hashlib.sha256(payload).digest()
     raw = np.frombuffer((digest * ((dim * 4) // len(digest) + 1))[: dim * 4], dtype=np.uint32)
     return (raw % 1000).astype(np.float32) / 1000.0
+
+
+def decode_pixels(b: bytes, pil=None) -> np.ndarray | None:
+    """Pixels for a recognized container, None for an opaque payload.
+    Raises ValueError when a RECOGNIZED container is malformed — the
+    caller quarantines that row; opaque payloads are not an error."""
+    if b[:2] == b"P6":
+        return decode_ppm(b)
+    if b[:2] == b"BM":
+        return decode_bmp(b)
+    if pil is not None:
+        try:
+            img = pil.open(io.BytesIO(b))
+            return np.asarray(img.convert("RGB"), dtype=np.uint8)
+        except Exception:
+            # PIL couldn't identify/decode it → treat as opaque, exactly
+            # as if PIL were absent (capability detection must never
+            # make output worse)
+            return None
+    return None
 
 
 def decode_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
@@ -86,32 +260,35 @@ def decode_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
     One Arrow batch per kernel invocation (the B-row batched-inference
     contract, /root/reference/opennsfw2/_inference.py:64-84); malformed
-    payloads set decode_ok=false instead of failing the task (quarantine
-    discipline)."""
+    recognized-container payloads set decode_ok=false instead of failing
+    the task (quarantine discipline)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pil = _try_real_decoder()
         for pdf in batches:
-            n = len(pdf)
-            feats, ok, sizes, crcs = [], [], [], []
+            feats, ok, sizes, crcs, decoders = [], [], [], [], []
             for payload in pdf["payload"]:
                 if payload is None:
                     feats.append(None); ok.append(False)
-                    sizes.append(None); crcs.append(None)
+                    sizes.append(None); crcs.append(None); decoders.append(None)
                     continue
                 b = bytes(payload)
                 sizes.append(len(b))
                 crcs.append(zlib.crc32(b))
                 try:
-                    if pil is not None:
-                        raise NotImplementedError(
-                            "real decoder wiring is cluster-specific"
-                        )
-                    feats.append(_stub_features(b).tolist())
-                    ok.append(True)
-                except Exception:
-                    feats.append(None)
-                    ok.append(False)
+                    px = decode_pixels(b, pil)
+                except ValueError:
+                    feats.append(None); ok.append(False)
+                    decoders.append(b[:2].decode("latin1"))
+                    continue
+                if px is not None:
+                    feats.append(image_features(px).tolist()); ok.append(True)
+                    decoders.append(
+                        "ppm" if b[:2] == b"P6" else "bmp" if b[:2] == b"BM" else "pil"
+                    )
+                else:
+                    feats.append(_stub_features(b).tolist()); ok.append(True)
+                    decoders.append("stub")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -120,10 +297,45 @@ def decode_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                     "payload_crc": pd.array(crcs, dtype="Int64"),
                     "features": feats,
                     "decode_ok": ok,
+                    "decoder": decoders,
                 }
             )
 
     return df.select("media_id", "kind", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """mapInPandas resize stage: decode → nearest-neighbor resize →
+    re-encode as PPM.  Rows whose payload has no pixel decode (opaque or
+    malformed) emit a NULL payload with resize_ok=false."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pil = _try_real_decoder()
+        for pdf in batches:
+            outs, oks = [], []
+            for payload in pdf["payload"]:
+                px = None
+                if payload is not None:
+                    try:
+                        px = decode_pixels(bytes(payload), pil)
+                    except ValueError:
+                        px = None
+                if px is None:
+                    outs.append(None); oks.append(False)
+                else:
+                    outs.append(encode_ppm(resize_nearest(px, out_w, out_h)))
+                    oks.append(True)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.array([out_w] * len(pdf), dtype="Int32"),
+                    "height": pd.array([out_h] * len(pdf), dtype="Int32"),
+                    "payload": outs,
+                    "resize_ok": oks,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_k: int = 8) -> DataFrame:
@@ -140,9 +352,11 @@ def frame_sample(df: DataFrame, every_k: int = 8) -> DataFrame:
     )
 
 
-def generate_media(n: int, seed: int = 11) -> pd.DataFrame:
-    """Deterministic synthetic media table (payloads are random bytes —
-    the engine treats them as opaque)."""
+def generate_media(n: int, seed: int = 11, real_image_every: int = 0) -> pd.DataFrame:
+    """Deterministic synthetic media table.  Most payloads are random
+    bytes (opaque to the engine); with ``real_image_every`` > 0, every
+    k-th row carries a real decodable PPM or BMP payload so the pixel
+    decoders are exercised end-to-end."""
     import random
 
     rnd = random.Random(seed)
@@ -150,7 +364,16 @@ def generate_media(n: int, seed: int = 11) -> pd.DataFrame:
     kinds = ("image", "audio", "video")
     for i in range(n):
         kind = kinds[i % 3]
-        payload = None if rnd.random() < 0.05 else rnd.randbytes(rnd.randint(64, 4096))
+        if rnd.random() < 0.05:
+            payload = None
+        elif real_image_every and i % real_image_every == 0:
+            w, h = rnd.choice(((8, 6), (16, 9), (5, 7)))
+            arr = np.frombuffer(
+                rnd.randbytes(w * h * 3), dtype=np.uint8
+            ).reshape(h, w, 3)
+            payload = encode_ppm(arr) if i % (2 * real_image_every) else _to_bmp(arr)
+        else:
+            payload = rnd.randbytes(rnd.randint(64, 4096))
         meta = (
             rnd.choice((320, 640, 1024)) if kind == "image" else None,
             rnd.choice((240, 480, 768)) if kind == "image" else None,
@@ -163,3 +386,17 @@ def generate_media(n: int, seed: int = 11) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["media_id", "url", "kind", "payload", "meta"]
     )
+
+
+def _to_bmp(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → uncompressed 24-bit bottom-up BMP."""
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    bgr = arr[:, :, ::-1]
+    for y in range(h - 1, -1, -1):
+        row = bgr[y].tobytes()
+        body += row + b"\x00" * (stride - len(row))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + bytes(body)

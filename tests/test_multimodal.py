@@ -1,12 +1,18 @@
-"""Multimodal plumbing tests — schema, batching, quarantine discipline.
-The decode itself is a documented stub; what these tests pin is the
-Spark-side contract (Arrow batch flow, null routing, decimation)."""
+"""Multimodal tests — real PPM/BMP pixel decode, the optional-decoder
+capability ladder, resize, schema/batching/quarantine plumbing.
 
+Contract pinned here: an optional imaging library can only ADD decodable
+formats — its presence (working or broken) must never flip decode_ok to
+false for a payload that decodes without it."""
+
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from quality_filter.operators.multimodal import (
-    IMAGE_FEATURE_DIM, MEDIA_SCHEMA, decode_features, frame_sample, generate_media,
+    IMAGE_FEATURE_DIM, MEDIA_SCHEMA, _to_bmp, decode_bmp, decode_features,
+    decode_pixels, decode_ppm, encode_ppm, frame_sample, generate_media,
+    image_features, resize_images, resize_nearest,
 )
 
 from tests.test_spark_pipeline import spark  # session fixture  # noqa: F401
@@ -14,16 +20,128 @@ from tests.test_spark_pipeline import spark  # session fixture  # noqa: F401
 
 @pytest.fixture(scope="module")
 def media(spark):
-    return spark.createDataFrame(generate_media(120, seed=11), schema=MEDIA_SCHEMA)
+    return spark.createDataFrame(
+        generate_media(120, seed=11, real_image_every=6), schema=MEDIA_SCHEMA
+    )
 
+
+def _demo_pixels(w=8, h=6, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+# -- pure codec layer -------------------------------------------------------
+
+def test_ppm_roundtrip_and_comment_header():
+    px = _demo_pixels()
+    assert (decode_ppm(encode_ppm(px)) == px).all()
+    with_comment = b"P6\n# a comment\n8 6\n255\n" + px.tobytes()
+    assert (decode_ppm(with_comment) == px).all()
+
+
+def test_bmp_roundtrip():
+    px = _demo_pixels(w=5, h=7)  # stride padding path (5*3 = 15 -> 16)
+    assert (decode_bmp(_to_bmp(px)) == px).all()
+
+
+def test_malformed_recognized_containers_raise():
+    px = _demo_pixels()
+    for bad in (
+        encode_ppm(px)[:-10],          # truncated ppm raster
+        b"P6\n0 6\n255\n",             # zero width
+        _to_bmp(px)[:-20],             # truncated bmp raster
+        b"BM" + b"\x00" * 80,          # nonsense bmp header
+    ):
+        with pytest.raises(ValueError):
+            decode_pixels(bad)
+
+
+def test_optional_decoder_is_strictly_additive():
+    """The PIL-present regression: a broken/present optional decoder must
+    not change the outcome for payloads the built-ins handle, and a
+    working one must only add formats."""
+    ppm = encode_ppm(_demo_pixels())
+    opaque = b"\x89randomnoise" * 16
+
+    class BrokenPIL:
+        @staticmethod
+        def open(fp):
+            raise RuntimeError("boom")
+
+    # built-in formats: identical with no/broken optional decoder
+    assert (decode_pixels(ppm, None) == decode_pixels(ppm, BrokenPIL)).all()
+    # opaque payloads: None (stub path) with no/broken optional decoder
+    assert decode_pixels(opaque, None) is None
+    assert decode_pixels(opaque, BrokenPIL) is None
+
+    class FakeImage:
+        def convert(self, mode):
+            return _demo_pixels(w=2, h=2, seed=9)
+
+    class WorkingPIL:
+        @staticmethod
+        def open(fp):
+            return FakeImage()
+
+    # a working optional decoder ADDS capability for opaque payloads
+    assert decode_pixels(opaque, WorkingPIL).shape == (2, 2, 3)
+
+
+def test_resize_nearest_deterministic():
+    px = _demo_pixels(w=16, h=9)
+    small = resize_nearest(px, 4, 4)
+    assert small.shape == (4, 4, 3)
+    assert (resize_nearest(px, 4, 4) == small).all()
+    # identity resize is exact
+    assert (resize_nearest(px, 16, 9) == px).all()
+
+
+# -- Spark stages -----------------------------------------------------------
 
 def test_decode_schema_and_rowcount(spark, media):
     out = decode_features(media)
     assert [f.name for f in out.schema.fields] == [
-        "media_id", "kind", "payload_bytes", "payload_crc", "features", "decode_ok",
+        "media_id", "kind", "payload_bytes", "payload_crc", "features",
+        "decode_ok", "decoder",
     ]
     rows = out.collect()
     assert len(rows) == 120
+
+
+def test_real_pixel_decode_end_to_end(spark, media):
+    """Rows carrying real PPM/BMP payloads decode through the pure-numpy
+    codecs inside the Spark stage, and their features equal the local
+    image_features computation exactly."""
+    out = decode_features(media).toPandas().set_index("media_id")
+    src = media.toPandas().set_index("media_id")
+    real = out[out["decoder"].isin(["ppm", "bmp"])]
+    assert len(real) > 5 and set(real["decoder"]) == {"ppm", "bmp"}
+    assert real["decode_ok"].all()
+    for mid, row in real.iterrows():
+        px = decode_pixels(bytes(src.loc[mid, "payload"]))
+        assert np.allclose(row["features"], image_features(px), atol=0)
+
+
+def test_malformed_recognized_payload_quarantined(spark):
+    import pandas as pd
+
+    px = _demo_pixels()
+    pdf = pd.DataFrame(
+        {
+            "media_id": [0, 1, 2],
+            "url": ["u"] * 3,
+            "kind": ["image"] * 3,
+            "payload": [encode_ppm(px), encode_ppm(px)[:-10], b"opaquebytes" * 8],
+            "meta": [None] * 3,
+        }
+    )
+    out = (
+        decode_features(spark.createDataFrame(pdf, schema=MEDIA_SCHEMA))
+        .toPandas().set_index("media_id")
+    )
+    assert bool(out.loc[0, "decode_ok"]) and out.loc[0, "decoder"] == "ppm"
+    assert not bool(out.loc[1, "decode_ok"])          # malformed -> quarantine
+    assert bool(out.loc[2, "decode_ok"]) and out.loc[2, "decoder"] == "stub"
 
 
 def test_null_payloads_quarantined_not_failed(spark, media):
@@ -43,12 +161,23 @@ def test_decode_deterministic(spark, media):
         assert (fa is None and fb is None) or list(fa) == list(fb)
 
 
+def test_resize_stage(spark, media):
+    out = resize_images(media, 4, 4).toPandas().set_index("media_id")
+    src = media.toPandas().set_index("media_id")
+    ok = out[out["resize_ok"]]
+    assert len(ok) > 5
+    for mid, row in ok.iterrows():
+        resized = decode_ppm(bytes(row["payload"]))
+        assert resized.shape == (4, 4, 3)
+        want = resize_nearest(decode_pixels(bytes(src.loc[mid, "payload"])), 4, 4)
+        assert (resized == want).all()
+    # opaque / null payloads: flagged, not failed
+    assert (~out.loc[out.index.difference(ok.index), "resize_ok"]).all()
+
+
 def test_frame_sample_decimation(spark, media):
     out = frame_sample(media, every_k=4).toPandas()
-    # per url: rows 1, 3, 7, 11, ... (rn==1 or (rn+1)%4==0)
     full = media.toPandas()
-    per_url = full.groupby("url").size()
-    expected = sum(1 + (n + 1) // 4 - (1 if (1 + 1) % 4 == 0 else 0) for n in per_url)
     # structural: fewer rows out, at least one per url
     assert 0 < len(out) < len(full)
     assert set(out["url"]) == set(full["url"])
