@@ -6,8 +6,10 @@ DuckDB oracle (``oracle_sql()``).  Column names and integer/double types
 are aligned on both sides (counts cast to BIGINT, floats rounded) so the
 driver's order-insensitive value-hash matches.
 
-Non-SQL-expressible ops (simhash via xxhash64, LSH-bucketed ANN) are
-registered without an oracle → rows-only checks.
+Engine-specific hashing is avoided in registered queries (md5 hash
+universes, shared plane/centroid literals, engine-free trainer twins)
+so EVERY registry entry carries a full value-hash oracle — including
+simhash, LSH/IVF ANN, and the LSH near-dup path.
 """
 
 from __future__ import annotations
@@ -287,6 +289,24 @@ def q_near_dup_pairs(spark, sf_dir):
     )
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Pairs → clusters: star edges from band collisions (linear in
+    bucket size — the hot-band-key mitigation) + min-label connected
+    components.  comp = each cluster's min doc id.  The DuckDB oracle
+    derives the same components from the pair edges via a recursive
+    closure — star vs clique edge sets have identical components."""
+    bands = q_lsh_band_keys(spark, sf_dir)
+    return dedup.near_dup_components(bands, "doc_id")
+
+
+def q_near_dup_survivors(spark, sf_dir):
+    """Clusters → deduped corpus: drop every clustered doc except its
+    representative; one left-anti join against the non-rep member list."""
+    docs = _t(spark, sf_dir, "documents")
+    comp = dedup.near_dup_components(q_lsh_band_keys(spark, sf_dir), "doc_id")
+    return dedup.near_dup_survivors(docs, "doc_id", comp)
+
+
 def q_ngram_jaccard_dups(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(
@@ -319,8 +339,10 @@ def q_minhash_jaccard_estimate(spark, sf_dir):
 
 def q_embedding_near_dup_lsh(spark, sf_dir):
     """Scale path for embedding near-dup: candidates restricted to shared
-    hyperplane-LSH buckets (bucket-equi-join instead of a cross join);
-    rows-only check — recall < 1 by construction."""
+    hyperplane-LSH buckets (bucket-equi-join instead of a cross join).
+    Recall < 1 by construction, but the DuckDB oracle applies the SAME
+    bucket restriction (plane literals are shared), so the check is a
+    full value-hash match, not rows-only."""
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").head()[0])
     planes = similarity.make_planes(dim, n_planes=3, seed=99)
@@ -458,18 +480,14 @@ def q_customer_order_cume(spark, sf_dir):
 
 
 def q_embedding_near_dup_pairs(spark, sf_dir):
-    """Exact cosine near-dup pairs (small-side self-join; the LSH-bucketed
-    path in operators/similarity.py is the corpus-scale variant)."""
+    """Exact cosine near-dup pairs via the triangle block join
+    (operators/similarity.py: blocked_all_pairs) — every unordered pair
+    exactly once through an equi-join on block-pair keys, no cartesian
+    node.  Exact all-pairs is O(n^2) compute by definition; the LSH
+    bucket path (q_embedding_near_dup_lsh) is the sub-quadratic,
+    recall<1 alternative."""
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    cos = similarity.cosine(F.col("va"), F.col("vb"))
-    return (
-        pairs.withColumn("cos_sim", cos)
-        .filter(F.col("cos_sim") >= 0.46)
-        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
-    )
+    return similarity.blocked_all_pairs(emb, "embedding", "vec_id", 0.46, n_blocks=8)
 
 
 def q_pii_scrub_docs(spark, sf_dir):
@@ -485,25 +503,41 @@ def q_pii_scrub_docs(spark, sf_dir):
     return docs.select("doc_id", R.scrub_pii_col(aug, CFG).alias("scrubbed"))
 
 
-# ---- rows-only (no SQL oracle) --------------------------------------------
-
 def q_simhash_docs(spark, sf_dir):
+    """Engine-portable SimHash (md5 hash universe) — the DuckDB oracle
+    computes the identical 64-bit fingerprint; dedup.simhash64 is the
+    xxhash64 production-speed twin (same vote structure)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash64(docs, "text", "doc_id")
+    return dedup.simhash_md5(docs, "text", "doc_id")
+
+
+KNN_LSH_PLANES = 4
+KNN_LSH_SEED = 1234
+IVF_CLUSTERS = 8
+IVF_SEED = 7
+IVF_PROBE = 2
 
 
 def q_knn_lsh(spark, sf_dir):
+    """ANN via hyperplane-LSH bucket restriction.  The oracle rebuilds
+    the SAME buckets from shared plane literals → full hash check."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
-    planes = similarity.make_planes(len(qvec), n_planes=4, seed=1234)
+    planes = similarity.make_planes(len(qvec), n_planes=KNN_LSH_PLANES, seed=KNN_LSH_SEED)
     return similarity.knn_lsh(emb, "embedding", "vec_id", qvec, planes, k=10)
 
 
 def q_knn_ivf(spark, sf_dir):
+    """ANN via IVF coarse quantizer.  Centroids come from a
+    deterministic hash-ordered sample + shared numpy k-means, so the
+    oracle generator re-derives bit-identical centroids from the same
+    parquet and the check is a full hash match."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
-    cents = similarity.train_ivf_centroids(emb, "embedding", n_clusters=8, seed=7)
-    return similarity.knn_ivf(emb, "embedding", "vec_id", qvec, cents, n_probe=2, k=10)
+    cents = similarity.train_ivf_centroids(
+        emb, "embedding", "vec_id", n_clusters=IVF_CLUSTERS, seed=IVF_SEED
+    )
+    return similarity.knn_ivf(emb, "embedding", "vec_id", qvec, cents, n_probe=IVF_PROBE, k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -533,6 +567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_band_keys": q_lsh_band_keys,
         "near_dup_pairs": q_near_dup_pairs,
+        "near_dup_clusters": q_near_dup_clusters,
+        "near_dup_survivors": q_near_dup_survivors,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -558,8 +594,177 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
 
+# The driver evaluates oracles at sf0.01; data-derived oracle artifacts
+# (embedding dim, IVF centroids, probe order) are re-derived from the same
+# parquet the queries read, via engine-free numpy twins.
+ORACLE_SF_DIR = os.environ.get("QF_SF_DIR", "/root/testdata/sf0.01")
+
+
 def _sql_list(words) -> str:
     return "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in words) + "]"
+
+
+def _sql_vec(v) -> str:
+    """DOUBLE[] literal; repr() round-trips Python floats exactly, so the
+    DuckDB literal equals the Spark F.lit(float(x)) double bit-for-bit."""
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+
+def _embedding_dim() -> int:
+    import pyarrow.parquet as pq
+
+    path = f"{ORACLE_SF_DIR}/embeddings.parquet"
+    try:
+        batch = next(pq.ParquetFile(path).iter_batches(batch_size=1, columns=["embedding"]))
+        return len(batch.column(0)[0].as_py())
+    except Exception:
+        return 64  # the generated testdata's frozen dim
+
+
+def _query_vec() -> list[float]:
+    """The vec_id = 0 embedding (the frozen query vector) from the oracle
+    scale's parquet — float32 → Python float is exact, matching what the
+    Spark query collects via head()."""
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    t = pq.read_table(
+        f"{ORACLE_SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    idx = pc.index(t.column("vec_id"), 0).as_py()
+    return [float(x) for x in t.column("embedding")[idx].as_py()]
+
+
+def _bucket_sql(vexpr: str, planes) -> str:
+    """Hyperplane-LSH bucket string for a DOUBLE[] expression — the SQL
+    twin of similarity.hyperplane_lsh_buckets, with identical plane
+    literals (sign of an O(1)-magnitude dot product: engine summation
+    order cannot flip it except on exact-zero boundaries)."""
+    return " || ".join(
+        f"(CASE WHEN list_dot_product({vexpr}, {_sql_vec(p)}) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+
+
+def _simhash_sql() -> str:
+    """SQL twin of dedup.simhash_md5 — same md5 hash universe, same
+    two-word hex parse, same vote rule, same nibble packing."""
+    sums = []
+    for i in range(64):
+        w, j = ("w0", i) if i < 32 else ("w1", i - 32)
+        sums.append(f"sum(CASE WHEN (({w} >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}")
+    nibs = []
+    for n in range(16):
+        v = " + ".join(
+            f"(CASE WHEN b{4 * n + k} > 0 THEN {1 << (3 - k)} ELSE 0 END)" for k in range(4)
+        )
+        nibs.append(f"substr('0123456789abcdef', ({v}) + 1, 1)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '[ ]+'))) AS tok
+  FROM documents
+),
+words AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS w0,
+    ('0x' || substr(md5(tok), 9, 8))::BIGINT AS w1
+  FROM toks
+),
+votes AS (SELECT doc_id, {', '.join(sums)} FROM words GROUP BY doc_id)
+SELECT doc_id, {' || '.join(nibs)} AS simhash FROM votes"""
+
+
+def _components_sql() -> str:
+    """Recursive-closure connected components over the LSH candidate
+    pair edges: comp(x) = min id reachable.  The Spark twin uses star
+    edges (linear per bucket) — identical components, since a bucket's
+    pair-clique and its star are both connected through the bucket min."""
+    return f"""
+WITH RECURSIVE {_minhash_sig_cte().lstrip()},
+bands AS ({_bands_sql()}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+edges AS (SELECT doc_a AS x, doc_b AS y FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+reach(x, y) AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+),
+comp AS (SELECT x AS doc_id, least(x, min(y)) AS comp FROM reach GROUP BY x)
+"""
+
+
+_COS_SQL = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _knn_lsh_sql() -> str:
+    from quality_filter.operators import similarity as S
+
+    planes = S.make_planes(_embedding_dim(), n_planes=KNN_LSH_PLANES, seed=KNN_LSH_SEED)
+    cos = _COS_SQL.format(a="cb.v", b="q.qe")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qe FROM e WHERE vec_id = 0),
+qb AS (SELECT {_bucket_sql('qe', planes)} AS bucket FROM q),
+cb AS (SELECT vec_id, v, {_bucket_sql('v', planes)} AS bucket FROM e)
+SELECT cb.vec_id, round({cos}, 6) AS cos_sim
+FROM cb, q, qb WHERE cb.bucket = qb.bucket
+ORDER BY cos_sim DESC, cb.vec_id ASC LIMIT 10"""
+
+
+def _embedding_lsh_sql() -> str:
+    from quality_filter.operators import similarity as S
+
+    planes = S.make_planes(_embedding_dim(), n_planes=3, seed=99)
+    cos = _COS_SQL.format(a="a.v", b="c.v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_bucket_sql('v', planes)} AS bucket FROM e)
+SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b, round({cos}, 6) AS cos_sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE {cos} >= 0.4"""
+
+
+def _knn_ivf_sql() -> str:
+    """Centroids re-derived by the engine-free twin (same hash-ordered
+    sample, same kmeans_fit) → bit-identical to the Spark query's; the
+    SQL then replays assignment (first-match argmax, same tie order),
+    probe restriction, and the exact top-k."""
+    import numpy as np
+
+    from quality_filter.operators import similarity as S
+
+    cents = S.train_ivf_centroids_local(
+        f"{ORACLE_SF_DIR}/embeddings.parquet", "embedding", "vec_id",
+        n_clusters=IVF_CLUSTERS, seed=IVF_SEED,
+    )
+    q = np.array(_query_vec(), dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    order = (np.array(cents, dtype=np.float64) @ q).argsort()[::-1][:IVF_PROBE].tolist()
+    sim_cols = ", ".join(
+        f"list_dot_product(v, {_sql_vec(c)}) / (sqrt(list_dot_product(v, v)) + 1e-12) AS s{i}"
+        for i, c in enumerate(cents)
+    )
+    best = "greatest(" + ", ".join(f"s{i}" for i in range(len(cents))) + ")"
+    cluster = "CASE " + " ".join(
+        f"WHEN s{i} = best THEN {i}" for i in range(len(cents))
+    ) + " ELSE -1 END"
+    cos = _COS_SQL.format(a="a.v", b="q.qe")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qe FROM e WHERE vec_id = 0),
+sims AS (SELECT vec_id, v, {sim_cols} FROM e),
+withbest AS (SELECT *, {best} AS best FROM sims),
+assign AS (SELECT vec_id, v, {cluster} AS cluster FROM withbest)
+SELECT a.vec_id, round({cos}, 6) AS cos_sim
+FROM assign a, q WHERE a.cluster IN ({', '.join(str(i) for i in order)})
+ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 10"""
 
 
 _TOKS = f"regexp_split_to_array(trim(text), '{TOKEN_SEP_PATTERN}')"
@@ -773,6 +978,10 @@ bands AS ({_bands_sql()})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id""",
+        "near_dup_clusters": _components_sql() + "\nSELECT doc_id, comp FROM comp",
+        "near_dup_survivors": _components_sql() + """
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> comp)""",
         "ngram_jaccard_dups": f"""
 WITH toks AS (SELECT doc_id, source, {_SIMPLE_TOKS} AS t FROM documents),
 ng AS (
@@ -863,6 +1072,10 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.46""",
         "pii_scrub_docs": _pii_scrub_docs_sql(),
+        "simhash_docs": _simhash_sql(),
+        "knn_lsh": _knn_lsh_sql(),
+        "knn_ivf": _knn_ivf_sql(),
+        "embedding_near_dup_lsh": _embedding_lsh_sql(),
         "knn_bruteforce": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,

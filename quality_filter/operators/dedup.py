@@ -135,10 +135,57 @@ def near_dup_pairs(bands: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+HEX_CHARS = "0123456789abcdef"
+
+
+def simhash_md5(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Engine-portable 64-bit SimHash: per-token hash = first 64 bits of
+    md5(token), per-bit majority vote, output as a 16-char hex string.
+
+    The md5 universe makes the DuckDB oracle compute the IDENTICAL
+    simhash (same trick as minhash_signature): both engines parse the
+    first 16 hex digits into two 32-bit words (Spark conv(.., 16, 10) /
+    DuckDB ('0x' || ..)::BIGINT), vote per bit, and re-emit hex — no
+    engine-specific hash anywhere.  Bit layout: bit i of word w is
+    (w >> (i % 32)) & 1, words cover bits 0-31 / 32-63; output nibble n
+    packs bits 4n..4n+3 with 4n as the high bit (layout is arbitrary but
+    frozen — both sides must agree, nothing else reads individual bits).
+
+    Same plan shape as the xxhash64 variant: explode distinct tokens →
+    64 partial-aggregated SUM buffers → one row per doc into the
+    shuffle.  ~2x the token-hash cost of xxhash64 (md5 + two string
+    parses); use simhash64 when cross-engine parity is not required."""
+    toks = F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("tok")
+    hx = F.md5("tok")
+    exploded = df.select(F.col(id_col), toks).select(
+        F.col(id_col),
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("w0"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("w1"),
+    )
+
+    def bit(i: int):
+        w = F.col("w0") if i < 32 else F.col("w1")
+        return F.shiftright(w, i % 32).bitwiseAND(F.lit(1))
+
+    votes = exploded.groupBy(id_col).agg(
+        *[F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}") for i in range(64)]
+    )
+    hex_arr = F.array(*[F.lit(c) for c in HEX_CHARS])
+    nibbles = []
+    for n in range(16):
+        v = None
+        for k in range(4):
+            term = F.when(F.col(f"b{4 * n + k}") > 0, F.lit(1 << (3 - k))).otherwise(0)
+            v = term if v is None else v + term
+        nibbles.append(F.element_at(hex_arr, v + 1))
+    return votes.select(F.col(id_col), F.concat(*nibbles).alias("simhash"))
+
+
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash over tokens, fully native: per-token xxhash64, then
-    per-bit majority vote via bitwise ops + sums.  (No DuckDB oracle —
-    xxhash64 is Spark-specific; registered as a rows-only check.)"""
+    per-bit majority vote via bitwise ops + sums.  The production-speed
+    variant; simhash_md5 is the cross-engine-verifiable twin (identical
+    vote/packing structure, engine-portable hash universe)."""
     toks = F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("tok")
     exploded = df.select(F.col(id_col), toks)
     h = F.xxhash64("tok")
@@ -156,6 +203,87 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             .otherwise(F.lit(0).cast("long"))
         )
     return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def star_edges(bands: DataFrame, id_col: str) -> DataFrame:
+    """Linear-size connectivity edges from band collisions: every doc
+    links to the MIN doc id in its band bucket — O(|bucket|) edges where
+    the pair enumeration is O(|bucket|^2), with IDENTICAL connected
+    components (a bucket's pair-clique and its star both connect the
+    bucket through its min member).
+
+    This is the hot-band-key mitigation for clustering: 10k identical
+    boilerplate docs collide into one band bucket → 10k star edges
+    instead of ~50M pairs, so the skewed bucket costs one partial-agg
+    min + one broadcast-able join row per doc, not a quadratic reducer.
+    near_dup_pairs stays available when the pair LIST is the product."""
+    roots = bands.filter(F.col("band_key").isNotNull()).groupBy(
+        "band_idx", "band_key"
+    ).agg(F.min(id_col).alias("dst"))
+    return (
+        bands.filter(F.col("band_key").isNotNull())
+        .join(roots, ["band_idx", "band_key"])
+        .filter(F.col(id_col) != F.col("dst"))
+        .select(F.col(id_col).alias("src"), "dst")
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 25
+) -> DataFrame:
+    """Connected components by min-label propagation to fixpoint:
+    comp(x) = min id reachable from x (including x).  Returns
+    (node, comp) for every node incident to an edge.
+
+    Each iteration is one join + one partial-aggregated min — a bounded
+    number of shuffles on the node id; lineage is truncated per
+    iteration (localCheckpoint) so the plan doesn't grow with the loop.
+    Converges in O(graph diameter) rounds — near-dup graphs are
+    union-of-cliques/stars with tiny diameter; the large-star/small-star
+    doubling scheme is the upgrade path if long chains ever appear."""
+    und = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .union(edges.select(F.col(dst).alias("x"), F.col(src).alias("y")))
+        .distinct()
+    )
+    labels = und.select("x").distinct().select("x", F.col("x").alias("comp"))
+    for _ in range(max_iters):
+        nbr = (
+            und.join(
+                labels.select(F.col("x").alias("y"), F.col("comp").alias("ycomp")), "y"
+            )
+            .groupBy("x")
+            .agg(F.min("ycomp").alias("nbr_min"))
+        )
+        proposed = labels.join(nbr, "x", "left").select(
+            "x",
+            F.least(F.col("comp"), F.coalesce("nbr_min", F.col("comp"))).alias("comp"),
+            F.col("comp").alias("_old"),
+        )
+        proposed = proposed.localCheckpoint(eager=True)
+        changed = proposed.filter(F.col("comp") < F.col("_old")).count()
+        labels = proposed.drop("_old")
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_components(bands: DataFrame, id_col: str) -> DataFrame:
+    """(id, comp) for every doc in a near-dup cluster: star edges from
+    band collisions → min-label components.  comp = the cluster's min
+    doc id (its representative/survivor)."""
+    comp = connected_components(star_edges(bands, id_col), "src", "dst")
+    return comp.select(F.col("x").alias(id_col), "comp")
+
+
+def near_dup_survivors(docs: DataFrame, id_col: str, components: DataFrame) -> DataFrame:
+    """The deduped corpus id set: drop every clustered doc except its
+    representative (comp == id), keep all unclustered docs — one
+    left-anti join against the (small relative to the corpus) non-rep
+    member list."""
+    losers = components.filter(F.col(id_col) != F.col("comp")).select(id_col)
+    return docs.select(id_col).join(losers, id_col, "left_anti")
 
 
 def ngram_jaccard_pairs(

@@ -97,27 +97,69 @@ def make_planes(dim: int, n_planes: int, seed: int = 1234) -> list[list[float]]:
 
 
 # ---------------------------------------------------------------------------
+# exact all-pairs without a cartesian node — triangle block join
+# ---------------------------------------------------------------------------
+
+def blocked_all_pairs(
+    df: DataFrame, vec_col: str, id_col: str,
+    threshold: float, n_blocks: int = 8,
+) -> DataFrame:
+    """Exact cosine near-dup pairs (id_a < id_b, cos >= threshold) via a
+    TRIANGLE BLOCK JOIN instead of crossJoin: rows land in block
+    g = id % B; side A replicates each row to block-pairs (g, j>=g),
+    side B to (i<=g, g); the equi-join on (i, j) enumerates every
+    unordered pair exactly once across B(B+1)/2 evenly-sized tasks.
+
+    Exact all-pairs is O(n^2) COMPUTE by definition — what this buys at
+    scale is shape: a shuffle equi-join with ~n*B/2 replicated rows and
+    no BroadcastNestedLoopJoin/cartesian node, so work spreads over the
+    cluster instead of serializing one unbounded partition.  Pick B so
+    (n/B)^2 comparisons fit one task.  Sub-quadratic candidate
+    generation (LSH buckets) is the recall<1 alternative."""
+    g = (F.col(id_col) % n_blocks).cast("int")
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), g.alias("ga"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), g.alias("gb"))
+    blocks = F.sequence(F.lit(0), F.lit(n_blocks - 1))
+    a = a.withColumn(
+        "bj", F.explode(F.filter(blocks, lambda j: j >= F.col("ga")))
+    ).withColumnRenamed("ga", "bi")
+    b = b.withColumn(
+        "bi", F.explode(F.filter(blocks, lambda i: i <= F.col("gb")))
+    ).withColumnRenamed("gb", "bj")
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, ["bi", "bj"])
+        # cross-block (bi < bj): each unordered pair matches exactly once
+        # (with the lower-block row on the A side, whichever id that is);
+        # same-block (bi == bj): both orderings match, keep one.
+        .filter((F.col("bi") != F.col("bj")) | (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # ---------------------------------------------------------------------------
 
-def train_ivf_centroids(
-    df: DataFrame, vec_col: str, n_clusters: int = 8,
-    iters: int = 10, seed: int = 7, sample_rows: int = 4096,
+def kmeans_fit(
+    X, n_clusters: int, iters: int = 10, seed: int = 7
 ) -> list[list[float]]:
-    """Deterministic Lloyd's k-means on a bounded driver-side sample.
-
-    The centroid table is a MODEL ARTIFACT, not a query-time computation:
-    at corpus scale it is trained once on a sample (this routine), shipped
-    like langid.npz, and the assignment below is the distributed part.
-    Sample bounded by ``sample_rows`` so driver memory is constant.
-    """
+    """Deterministic Lloyd's k-means (cosine / normalized rows) — the
+    shared trainer core.  Pure numpy, bit-identical for identical input
+    in identical order; both the Spark path and the local/oracle twin
+    call THIS function so their centroids agree exactly."""
     import numpy as np
 
-    rows = df.select(vec_col).limit(sample_rows).collect()
-    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    X = np.asarray(X, dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
-    cent = X[rng.choice(len(X), size=n_clusters, replace=False)]
+    cent = X[rng.choice(len(X), size=n_clusters, replace=False)].copy()
     for _ in range(iters):
         assign = (X @ cent.T).argmax(axis=1)  # cosine on normalized rows
         for c in range(n_clusters):
@@ -126,6 +168,57 @@ def train_ivf_centroids(
                 m = members.mean(axis=0)
                 cent[c] = m / max(np.linalg.norm(m), 1e-12)
     return cent.tolist()
+
+
+def training_sample_order(id_value) -> tuple[str, str]:
+    """Deterministic, order-invariant sample key: md5 of the stringified
+    id (tie-broken by the id itself).  Content-addressed, so the sample
+    is invariant under input repartition/sort — a plain LIMIT reads
+    whatever partitions come first and trains biased centroids on
+    sorted/partitioned corpora."""
+    import hashlib
+
+    s = str(id_value)
+    return (hashlib.md5(s.encode()).hexdigest(), s)
+
+
+def train_ivf_centroids(
+    df: DataFrame, vec_col: str, id_col: str, n_clusters: int = 8,
+    iters: int = 10, seed: int = 7, sample_rows: int = 4096,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means on a bounded, HASH-ORDERED sample.
+
+    The centroid table is a MODEL ARTIFACT, not a query-time computation:
+    at corpus scale it is trained once on a sample (this routine), shipped
+    like langid.npz, and the assignment below is the distributed part.
+    The sample = the ``sample_rows`` smallest rows by md5(id) — executed
+    as TakeOrderedAndProject (bounded driver memory, no full sort) and
+    invariant under input partitioning, unlike limit() which reads the
+    first partitions only."""
+    rows = (
+        df.select(F.col(id_col).cast("string").alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.md5("_id").asc(), F.col("_id").asc())
+        .limit(sample_rows)
+        .collect()
+    )
+    return kmeans_fit([list(r["_v"]) for r in rows], n_clusters, iters, seed)
+
+
+def train_ivf_centroids_local(
+    parquet_path: str, vec_col: str, id_col: str, n_clusters: int = 8,
+    iters: int = 10, seed: int = 7, sample_rows: int = 4096,
+) -> list[list[float]]:
+    """Engine-free twin of train_ivf_centroids: same hash-ordered sample,
+    same kmeans_fit core, bit-identical centroids — used by the DuckDB
+    oracle generator and by differential tests."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = t.column(id_col).to_pylist()
+    vecs = t.column(vec_col).to_pylist()
+    order = sorted(range(len(ids)), key=lambda i: training_sample_order(ids[i]))
+    sample = [list(vecs[i]) for i in order[:sample_rows]]
+    return kmeans_fit(sample, n_clusters, iters, seed)
 
 
 def ivf_assign(df: DataFrame, vec_col: str, id_col: str, centroids: list[list[float]]) -> DataFrame:

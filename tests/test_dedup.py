@@ -1,0 +1,114 @@
+"""Dedup operator tests: hot-band-key skew mitigation (star edges),
+connected components vs a union-find ground truth, survivors, and the
+engine-portable simhash twin.  The value-level contracts are ALSO pinned
+by the DuckDB registry oracles; what lives here is the scale-shape and
+adversarial-input behavior the oracles can't see."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from quality_filter.operators import dedup
+
+from tests.test_spark_pipeline import spark  # session fixture  # noqa: F401
+
+SF = "/root/testdata/sf0.01"
+
+
+def _bands(df):
+    sig = dedup.minhash_signature(df, "text", "doc_id", dedup.DEFAULT_NUM_HASHES)
+    return dedup.lsh_bands(sig, "doc_id", dedup.DEFAULT_NUM_HASHES, dedup.DEFAULT_BAND_SIZE)
+
+
+def test_star_edges_linear_under_hot_band_key(spark):
+    """The skew demo the LSH join needs at 100 TB: N identical docs
+    collide into ONE bucket per band.  Pair enumeration is O(N^2)
+    (~4.5M pairs here); star edges stay linear (N-1) and the whole
+    cluster resolves through one partial-agg min + an equi-join."""
+    n_dup, n_uniq = 3000, 50
+    dup_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, dup_text) for i in range(n_dup)] + [
+        (n_dup + i, f"unique document number {i} with its own distinct words {i * 7} {i * 13}")
+        for i in range(n_uniq)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+    bands = _bands(docs)
+    edges = dedup.star_edges(bands, "doc_id")
+    # all 4 bands map the duplicates to the same (band, key) bucket with
+    # the same min -> exactly n_dup - 1 distinct edges for the hot cluster
+    edge_rows = edges.collect()
+    hot = [r for r in edge_rows if r["dst"] == 0]
+    assert len(hot) == n_dup - 1
+    assert len(edge_rows) < n_dup + 4 * n_uniq  # linear, nowhere near N^2
+
+    comp = dedup.near_dup_components(bands, "doc_id")
+    hot_comp = comp.filter(F.col("comp") == 0).count()
+    assert hot_comp == n_dup
+    survivors = dedup.near_dup_survivors(docs, "doc_id", comp)
+    surv = {r["doc_id"] for r in survivors.collect()}
+    assert 0 in surv and len(surv & set(range(n_dup))) == 1
+
+
+def test_components_match_union_find(spark):
+    """Star-edge min-label components == union-find over the full pair
+    list (clique edges) on the real sf0.01 corpus."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bands = _bands(docs)
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in dedup.near_dup_pairs(bands, "doc_id").collect()
+    ]
+    parent: dict = {}
+
+    def find(a):
+        while parent.setdefault(a, a) != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    got = {
+        r["doc_id"]: r["comp"]
+        for r in dedup.near_dup_components(bands, "doc_id").collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def _py_simhash(text: str) -> str:
+    toks = {t for t in text.strip(" ").split()} or {""}
+    votes = [0] * 64
+    for tok in toks:
+        hx = hashlib.md5(tok.encode()).hexdigest()
+        w0, w1 = int(hx[:8], 16), int(hx[8:16], 16)
+        for i in range(64):
+            w = w0 if i < 32 else w1
+            votes[i] += 1 if (w >> (i % 32)) & 1 else -1
+    return "".join(
+        "0123456789abcdef"[
+            sum(1 << (3 - k) for k in range(4) if votes[4 * n + k] > 0)
+        ]
+        for n in range(16)
+    )
+
+
+def test_simhash_md5_matches_python_twin(spark):
+    texts = [
+        "the quick brown fox", "the quick brown fox", "the quick brown fo x",
+        "completely different content here", "a", "a b c d e f g",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash_md5(df, "text", "doc_id").collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _py_simhash(t), (i, t)
+    assert got[0] == got[1]  # identical text -> identical fingerprint
+
+    def ham(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    # one-character edit stays close; different content is far
+    assert ham(got[0], got[2]) < ham(got[0], got[3])

@@ -38,10 +38,59 @@ def test_lsh_ann_subset_of_corpus(spark, emb):
     assert ann[0]["vec_id"] == 0
 
 
+def test_ivf_centroid_training_order_invariant(spark, emb):
+    """The training sample is content-addressed (md5 of id), so the
+    centroid artifact is invariant under input repartition/sort — a
+    plain limit() sample would read the first partitions only and train
+    biased centroids on sorted corpora.  The engine-free local twin
+    (used by the DuckDB oracle generator) must agree bit-for-bit."""
+    cents = similarity.train_ivf_centroids(emb, "embedding", "vec_id", n_clusters=8, seed=7)
+    shuffled = emb.repartition(13).sortWithinPartitions(F.col("vec_id").desc())
+    cents_re = similarity.train_ivf_centroids(shuffled, "embedding", "vec_id", n_clusters=8, seed=7)
+    assert cents == cents_re
+    local = similarity.train_ivf_centroids_local(
+        f"{SF}/embeddings.parquet", "embedding", "vec_id", n_clusters=8, seed=7
+    )
+    assert cents == local
+
+
+def test_blocked_all_pairs_matches_crossjoin_reference(spark, emb):
+    """blocked_all_pairs (triangle block equi-join) must equal the
+    crossJoin reference exactly — the cartesian formulation lives ONLY
+    here as a test oracle; no registered query may plan a cartesian."""
+    ref = (
+        emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+        .crossJoin(emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", similarity.cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_sim") >= 0.46)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+    for n_blocks in (1, 3, 8):
+        got = similarity.blocked_all_pairs(emb, "embedding", "vec_id", 0.46, n_blocks)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+    plan = (
+        similarity.blocked_all_pairs(emb, "embedding", "vec_id", 0.46, 8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_registered_query_plans_a_cartesian(spark):
+    """Registry-wide guard: every queries() plan is free of cartesian /
+    nested-loop join nodes (the 100-TB scale-killer class)."""
+    import __spark_entry__ as E
+
+    for name, fn in E.queries().items():
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_ivf_recall_and_determinism(spark, emb):
     qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
-    cents = similarity.train_ivf_centroids(emb, "embedding", n_clusters=8, seed=7)
-    cents2 = similarity.train_ivf_centroids(emb, "embedding", n_clusters=8, seed=7)
+    cents = similarity.train_ivf_centroids(emb, "embedding", "vec_id", n_clusters=8, seed=7)
+    cents2 = similarity.train_ivf_centroids(emb, "embedding", "vec_id", n_clusters=8, seed=7)
     assert cents == cents2  # deterministic artifact
 
     exact = {r["vec_id"] for r in similarity.knn_bruteforce(emb, "embedding", "vec_id", qvec, k=10).collect()}
