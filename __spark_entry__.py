@@ -255,6 +255,21 @@ def q_quality_gate_docs(spark, sf_dir):
     )
 
 
+def q_quality_contribs_docs(spark, sf_dir):
+    """Numeric per-term attribution (the Grad-CAM analog) over the
+    documents table, FAST-profile shadow (ppl_norm = 0), exploded to
+    (doc_id, term, contrib) rows so the oracle hash covers map values."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = R.feature_columns(F.col("text"), CFG)
+    feats["ppl_norm"] = F.lit(0.0)
+    m = R.quality_contribs_col(feats, CFG)
+    # + 0.0 collapses IEEE -0.0 to +0.0 (Spark's round() normalizes the
+    # sign, DuckDB's keeps it — both engines get the explicit normalize)
+    return docs.select("doc_id", F.explode(m).alias("term", "contrib")).select(
+        "doc_id", "term", (F.round("contrib", 6) + F.lit(0.0)).alias("contrib")
+    )
+
+
 def q_lang_guess_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", TS.lang_guess(F.col("text")).alias("lang_guess"))
@@ -561,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_ratio_docs": q_stopword_ratio_docs,
         "symbol_density_docs": q_symbol_density_docs,
         "quality_gate_docs": q_quality_gate_docs,
+        "quality_contribs_docs": q_quality_contribs_docs,
         "lang_guess_docs": q_lang_guess_docs,
         "doc_fingerprints": q_doc_fingerprints,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -952,6 +968,7 @@ SELECT doc_id,
   round(1.0 / (1.0 + exp(-{qz})), 6) AS quality_score,
   (NOT {hard_fail}) AND (1.0 / (1.0 + exp(-{qz})) >= {CFG.quality_threshold}) AS keep_heuristic
 FROM ratios""",
+        "quality_contribs_docs": _quality_contribs_sql(),
         "lang_guess_docs": f"""
 WITH hits AS (
   SELECT doc_id,
@@ -1085,6 +1102,24 @@ SELECT vec_id,
 FROM embeddings, q
 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
     }
+
+
+def _quality_contribs_sql() -> str:
+    """(doc_id, term, contrib) — one UNION ALL branch per quality-weight
+    term + bias, over the shared features CTE (ppl_norm = 0 in the
+    FAST-profile shadow, matching q_quality_contribs_docs)."""
+    branches = []
+    for name, w in CFG.quality_weights.items():
+        # ppl_norm contributes w * 0.0 in the FAST shadow — spelled as the
+        # same multiplication so both engines produce the same signed zero
+        expr = f"{float(w)!r} * 0.0" if name == "ppl_norm" else f"{float(w)!r} * {name}"
+        branches.append(
+            f"SELECT doc_id, '{name}' AS term, round({expr}, 6) + 0.0 AS contrib FROM ratios"
+        )
+    branches.append(
+        f"SELECT doc_id, 'bias' AS term, round({float(CFG.quality_bias)!r}, 6) + 0.0 AS contrib FROM ratios"
+    )
+    return f"WITH {_features_cte()}\n" + "\nUNION ALL\n".join(branches)
 
 
 def _pii_scrub_docs_sql() -> str:

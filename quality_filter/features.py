@@ -95,6 +95,19 @@ def quality_score(feats: dict[str, float], weights: dict[str, float], bias: floa
     return sigmoid(z)
 
 
+def quality_contribs(
+    feats: dict[str, float], weights: dict[str, float], bias: float
+) -> dict[str, float]:
+    """Per-term contribution to the quality logit: weight x feature, plus
+    the bias — the NUMERIC attribution analog of Grad-CAM's per-region
+    heat (/root/reference/opennsfw2/_inspection.py:103-122): it says HOW
+    MUCH each input signal pushed the score, where ``reasons`` only says
+    which gates failed.  Invariant: sigmoid(sum(values)) == quality_score."""
+    out = {name: w * feats[name] for name, w in weights.items()}
+    out["bias"] = bias
+    return out
+
+
 def py_pattern(pattern: str) -> str:
     """Strip the Java-only (?U) prefix for use with Python ``re``.
 

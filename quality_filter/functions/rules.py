@@ -138,6 +138,17 @@ def quality_score_col(feats: dict[str, Column], cfg: RuleConfig) -> Column:
     return sigmoid(z)
 
 
+def quality_contribs_col(feats: dict[str, Column], cfg: RuleConfig) -> Column:
+    """MAP<STRING, DOUBLE> of per-term logit contributions (weight x
+    feature, plus bias) — the Spark twin of features.quality_contribs;
+    native column math, no Python crossing."""
+    entries: list[Column] = []
+    for name, w in cfg.quality_weights.items():
+        entries += [F.lit(name), (F.lit(float(w)) * feats[name]).cast("double")]
+    entries += [F.lit("bias"), F.lit(float(cfg.quality_bias)).cast("double")]
+    return F.create_map(*entries)
+
+
 def tox_score_col(text: Column, n_words: Column, cfg: RuleConfig) -> Column:
     """Lexicon-density toxicity, fully native (regexp_count is codegen'd)."""
     pat = tox_pattern(cfg.tox_lexicon)

@@ -25,6 +25,7 @@ from quality_filter.text.extraction import extract_text_from_bytes
 OUTPUT_COLUMNS = [
     "url", "status", "extracted_text", "lang_pred", "lang_conf", "ppl",
     "quality_score", "tox_score", "scrubbed_text", "keep", "reasons",
+    "contribs",
 ]
 
 
@@ -53,7 +54,7 @@ def run_oracle(
         if text is None or text == "":
             out_rows.append(
                 (url, "quarantine", None, None, None, None, None, None, None,
-                 False, ["undecodable"])
+                 False, ["undecodable"], None)
             )
             continue
 
@@ -63,6 +64,7 @@ def run_oracle(
         ppl = lm.perplexity(text) if cfg.profile == "FULL" else 0.0
         feats["ppl_norm"] = FT.ppl_norm(ppl) if cfg.profile == "FULL" else 0.0
         q = FT.quality_score(feats, dict(cfg.quality_weights), cfg.quality_bias)
+        contribs = FT.quality_contribs(feats, dict(cfg.quality_weights), cfg.quality_bias)
         tox = FT.tox_score(text, cfg.tox_lexicon, feats["n_words"], cfg.tox_a, cfg.tox_b)
         scrubbed = FT.scrub_pii(text, cfg.pii_rules)
 
@@ -95,7 +97,7 @@ def run_oracle(
         keep = not reasons
         out_rows.append(
             (url, "keep" if keep else "drop", text, lang_pred, lang_conf, ppl,
-             q, tox, scrubbed, keep, reasons)
+             q, tox, scrubbed, keep, reasons, contribs)
         )
 
     return pd.DataFrame(out_rows, columns=OUTPUT_COLUMNS)

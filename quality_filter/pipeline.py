@@ -36,6 +36,7 @@ from quality_filter.operators.score import make_score_udf
 SCORED_COLUMNS = [
     "url", "warc_ts", "status", "extracted_text", "lang_pred", "lang_conf",
     "ppl", "quality_score", "tox_score", "scrubbed_text", "keep", "reasons",
+    "contribs",
 ]
 
 
@@ -92,6 +93,9 @@ def _scored_plan(
             "lang_conf": F.col("_score.lang_conf"),
             "ppl": F.col("_score.ppl"),
             "quality_score": R.quality_score_col(f, cfg),
+            # numeric attribution next to the boolean reasons (the
+            # grad-cam analog, /root/reference/opennsfw2/_inspection.py:103-122)
+            "contribs": R.quality_contribs_col(f, cfg),
             "tox_score": R.tox_score_col(t, f["n_words"], cfg),
             "scrubbed_text": R.scrub_pii_col(scrub_input, cfg),
         }
@@ -134,6 +138,7 @@ def _scored_plan(
         for c, mask_col in {
             "lang_pred": mask, "lang_conf": mask, "ppl": mask,
             "quality_score": ~F.col("_quarantined"),
+            "contribs": ~F.col("_quarantined"),
             "tox_score": ~F.col("_quarantined"),
             "scrubbed_text": mask,
             "extracted_text": ~F.col("_quarantined"),

@@ -45,6 +45,28 @@ def test_golden_exact_text_and_labels(golden, oracle_now):
         assert list(row["reasons"]) == list(g["reasons"]), g["url"]
 
 
+def test_golden_contribs_exact(golden, oracle_now):
+    """Numeric attribution contract: per-term contributions match the
+    frozen goldens, and sigmoid(sum(contribs)) reproduces quality_score
+    exactly (the attribution is complete, not approximate)."""
+    import math
+
+    now = oracle_now.set_index("url")
+    for g in golden:
+        row = now.loc[g["url"]]
+        exp, got = g["contribs"], row["contribs"]
+        if exp is None:
+            assert got is None, g["url"]
+            continue
+        assert set(got) == set(exp), g["url"]
+        for k in exp:
+            assert got[k] == pytest.approx(exp[k], abs=5e-4), (g["url"], k)
+        z = sum(got.values())
+        assert 1.0 / (1.0 + math.exp(-z)) == pytest.approx(
+            row["quality_score"], abs=1e-12
+        ), g["url"]
+
+
 def test_golden_scores_3dp(golden, oracle_now):
     now = oracle_now.set_index("url")
     for g in golden:

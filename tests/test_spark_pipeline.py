@@ -90,6 +90,25 @@ def test_spark_matches_committed_goldens(spark):
                 assert row[col] == pytest.approx(g[col], abs=5e-4), (url, col)
 
 
+def test_contribs_match_oracle(spark_scored, oracle_scored):
+    """Spark per-term attribution == oracle attribution (5e-4, the score
+    tolerance), with identical term sets and null-for-quarantine."""
+    import math
+
+    for got, exp, q in zip(
+        spark_scored["contribs"], oracle_scored["contribs"],
+        spark_scored["quality_score"],
+    ):
+        if exp is None:
+            assert got is None
+            continue
+        assert set(got) == set(exp)
+        for k in exp:
+            assert got[k] == pytest.approx(exp[k], abs=5e-4), k
+        z = sum(got.values())
+        assert 1.0 / (1.0 + math.exp(-z)) == pytest.approx(float(q), abs=1e-9)
+
+
 def test_filter_corpus_three_way_split(spark, pages_pdf, oracle_scored):
     sdf = spark.createDataFrame(pages_pdf, schema=pages_spark_schema())
     kept, dropped, quar = filter_corpus(sdf)
