@@ -7,10 +7,13 @@ aggregate" between frames (/root/reference/opennsfw2/_inference.py:177,
 (last_value,) tuple per key, carried across micro-batches by the state
 store, evicted by timeout.
 
-Ordering contract: rows are sorted by (ts, tiebreak) INSIDE each
-micro-batch; across micro-batches the operator assumes per-key arrival
-order (exactly the reference's assumption for cv2 frame order).  A
-late-data-tolerant variant would buffer behind a watermark.
+Ordering contract: stream_forward_fill sorts by (ts, tiebreak) INSIDE
+each micro-batch; across micro-batches it assumes per-key arrival order
+(exactly the reference's assumption for cv2 frame order).
+stream_forward_fill_late drops that assumption: it buffers rows behind
+an event-time watermark and emits them in event-time order, so
+out-of-order arrival within the watermark delay matches the batch twin
+exactly.
 """
 
 from __future__ import annotations
@@ -81,4 +84,105 @@ def stream_forward_fill(
     )
     return sdf.groupBy(key).applyInPandasWithState(
         fill, out_schema, state_schema, "append", timeout
+    )
+
+
+def stream_forward_fill_late(
+    sdf: DataFrame,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    value: str,
+    out: str = "filled",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Late-data-tolerant per-key forward fill: rows BUFFER in the state
+    store behind an event-time watermark and are emitted (in event-time
+    order, fill applied over the ordered sequence) only once the
+    watermark guarantees nothing earlier can still arrive.  Out-of-order
+    arrival within ``delay`` therefore produces output identical to the
+    batch twin — the in-order-arrival assumption of stream_forward_fill
+    (the reference's cv2 frame-order assumption,
+    /root/reference/opennsfw2/_inference.py:187-218) is discharged.
+
+    Mechanics: per key the state holds (last_value, buffered rows).
+    Each invocation merges new rows into the buffer, emits the sorted
+    prefix with ts <= watermark, and re-arms an EventTimeTimeout at the
+    earliest buffered row so the tail flushes on a no-data micro-batch
+    when the watermark passes it.  A row arriving LATER than ``delay``
+    (already behind the emitted horizon) is still emitted — immediately,
+    filled with the current last-value — rather than dropped; row
+    conservation over silent loss.
+
+    ``tiebreak`` must be an integral column (it rides the state buffer
+    as ARRAY<LONG>); ``value`` must be numeric."""
+    sdf = sdf.withWatermark(ts, delay)
+    out_schema = T.StructType(
+        [
+            sdf.schema[key],
+            sdf.schema[ts],
+            sdf.schema[tiebreak],
+            T.StructField(out, T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last", T.DoubleType()),
+            T.StructField("ts_buf", T.ArrayType(T.LongType())),   # epoch ns
+            T.StructField("tb_buf", T.ArrayType(T.LongType())),
+            T.StructField("val_buf", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def fill(
+        key_tuple: Tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last, ts_buf, tb_buf, val_buf = state.get
+            ts_buf, tb_buf, val_buf = list(ts_buf), list(tb_buf), list(val_buf)
+        else:
+            last, ts_buf, tb_buf, val_buf = None, [], [], []
+        for pdf in pdfs:
+            if len(pdf):
+                ts_buf.extend(int(x) for x in pdf[ts].astype("int64"))
+                tb_buf.extend(int(x) for x in pdf[tiebreak].astype("int64"))
+                val_buf.extend(
+                    None if pd.isna(v) else float(v) for v in pdf[value]
+                )
+        wm_ns = state.getCurrentWatermarkMs() * 1_000_000
+        order = sorted(range(len(ts_buf)), key=lambda i: (ts_buf[i], tb_buf[i]))
+        emit_idx = [i for i in order if ts_buf[i] <= wm_ns]
+        keep_idx = [i for i in order if ts_buf[i] > wm_ns]
+        if emit_idx:
+            filled = []
+            for i in emit_idx:
+                v = val_buf[i]
+                if v is not None:
+                    last = v
+                filled.append(last if last is not None else 0.0)
+            yield pd.DataFrame(
+                {
+                    key: [key_tuple[0]] * len(emit_idx),
+                    ts: pd.to_datetime([ts_buf[i] for i in emit_idx], unit="ns"),
+                    tiebreak: [tb_buf[i] for i in emit_idx],
+                    out: filled,
+                }
+            )
+        state.update(
+            (
+                last,
+                [ts_buf[i] for i in keep_idx],
+                [tb_buf[i] for i in keep_idx],
+                [val_buf[i] for i in keep_idx],
+            )
+        )
+        if keep_idx:
+            # wake when the watermark passes the earliest buffered row
+            # (guaranteed > current watermark, as every kept ts is)
+            state.setTimeoutTimestamp(min(ts_buf[i] for i in keep_idx) // 1_000_000 + 1)
+
+    return sdf.groupBy(key).applyInPandasWithState(
+        fill, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )

@@ -61,6 +61,85 @@ def test_conservation_via_exceptall(spark):
     assert not res2["ok"] and res2["missing"] > 0
 
 
+def test_stream_forward_fill_late_matches_batch_on_shuffled_arrival(spark, tmp_path):
+    """Out-of-order micro-batch input: rows arrive shuffled within
+    10-minute blocks (inside the watermark delay).  The watermarked
+    variant buffers, reorders by event time, and flushes the tail via
+    EventTimeTimeout on the sentinel-driven no-data batch — output equals
+    the batch forward fill exactly.  The in-order variant would be wrong
+    on this input by construction."""
+    import random
+    import time
+
+    from quality_filter.operators.windows import forward_fill
+    from quality_filter.streaming.stateful import stream_forward_fill_late
+
+    base = pd.Timestamp("2025-06-01 00:00:00")
+    rng = random.Random(42)
+    rows = []
+    eid = 0
+    for block in range(4):           # 4 blocks x 10 minutes
+        block_rows = []
+        for minute in range(10):
+            for user in (1, 2, 3):
+                v = (
+                    None if rng.random() < 0.6
+                    else round(rng.uniform(1, 100), 3)
+                )
+                block_rows.append(
+                    (user, base + pd.Timedelta(minutes=block * 10 + minute), eid, v)
+                )
+                eid += 1
+        rng.shuffle(block_rows)      # disorder WITHIN the watermark delay
+        rows.append(block_rows)
+
+    cols = ["user_id", "ts", "event_id", "v"]
+    stream_dir = str(tmp_path / "late_stream")
+    schema = "user_id LONG, ts TIMESTAMP, event_id LONG, v DOUBLE"
+    for i, block_rows in enumerate(rows):
+        spark.createDataFrame(pd.DataFrame(block_rows, columns=cols), schema=schema) \
+            .coalesce(1).write.mode("append").parquet(stream_dir)
+        time.sleep(0.3)  # distinct mtimes -> file source preserves order
+    # sentinel far in the future: advances the watermark past every real
+    # row so the buffered tail flushes (excluded from the comparison)
+    sentinel = pd.DataFrame([(999, base + pd.Timedelta(days=7), 10**6, 1.0)], columns=cols)
+    spark.createDataFrame(sentinel, schema=schema).coalesce(1).write.mode("append").parquet(stream_dir)
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    filled = stream_forward_fill_late(
+        sdf, "user_id", "ts", "event_id", "v", "filled", delay="10 minutes"
+    )
+    q = (
+        filled.writeStream.format("parquet")
+        .option("path", str(tmp_path / "late_out"))
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = (
+        spark.read.parquet(str(tmp_path / "late_out"))
+        .filter(F.col("user_id") != 999)
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    flat = pd.DataFrame([r for b in rows for r in b], columns=cols)
+    batch = spark.createDataFrame(flat, schema=schema)
+    want = (
+        forward_fill(batch, "user_id", "ts", "event_id", F.col("v"), "filled")
+        .select("user_id", "ts", "event_id", "filled")
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 120
+    pd.testing.assert_series_equal(got["filled"], want["filled"], check_names=False)
+    pd.testing.assert_series_equal(got["event_id"], want["event_id"], check_names=False)
+
+
 def test_stream_forward_fill_matches_batch(spark, tmp_path):
     from quality_filter.operators.windows import forward_fill
     from quality_filter.streaming.stateful import stream_forward_fill
