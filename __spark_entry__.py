@@ -30,7 +30,7 @@ from quality_filter.features import SYMBOL_PATTERN, TOKEN_SEP_PATTERN
 from quality_filter.corpus import STOPWORDS
 from quality_filter.functions import rules as R
 from quality_filter.functions import textstats as TS
-from quality_filter.operators import dedup, relational, similarity, windows
+from quality_filter.operators import dedup, relational, sampling, similarity, textagg, windows
 
 CFG = load_config()
 LANGS = sorted(STOPWORDS)
@@ -253,6 +253,46 @@ def q_quality_gate_docs(spark, sf_dir):
     return docs.select(
         "doc_id", F.round(q, 6).alias("quality_score"), keep.alias("keep_heuristic")
     )
+
+
+SAMPLE_RATE = 0.1
+STRATA_RATES = {"en": 0.2, "de": 0.5}
+STRATA_DEFAULT = 0.8
+TOP_TERMS_K = 100
+TFIDF_K = 3
+TFIDF_MIN_DF = 2
+
+
+def q_docs_hash_sample(spark, sf_dir):
+    """Deterministic ~10% sample, content-addressed by md5(doc_id) —
+    invariant under repartition/retry; DuckDB computes the identical
+    member set (shared md5 hash universe)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, "doc_id", SAMPLE_RATE).select("doc_id")
+
+
+def q_docs_stratified_sample(spark, sf_dir):
+    """Per-language rebalancing sample (downsample dominant strata) —
+    one narrow filter, no shuffle, same determinism as hash_sample."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.stratified_hash_sample(
+        docs, "doc_id", "lang", STRATA_RATES, STRATA_DEFAULT
+    ).select("doc_id", "lang")
+
+
+def q_corpus_top_terms(spark, sf_dir):
+    """Corpus vocabulary head: explode → map-side partial count →
+    O(distinct terms) shuffle → TakeOrderedAndProject top-k."""
+    docs = _t(spark, sf_dir, "documents")
+    return textagg.top_terms(docs, "text", TOP_TERMS_K)
+
+
+def q_tfidf_top_docs(spark, sf_dir):
+    """Per-doc top-k TF-IDF terms (keyword extraction): two shuffles —
+    doc-frequency aggregate + per-doc window; the vocabulary-side join
+    is broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    return textagg.tfidf_top_terms(docs, "text", "doc_id", k=TFIDF_K, min_df=TFIDF_MIN_DF)
 
 
 def q_quality_contribs_docs(spark, sf_dir):
@@ -577,6 +617,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symbol_density_docs": q_symbol_density_docs,
         "quality_gate_docs": q_quality_gate_docs,
         "quality_contribs_docs": q_quality_contribs_docs,
+        "docs_hash_sample": q_docs_hash_sample,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "corpus_top_terms": q_corpus_top_terms,
+        "tfidf_top_docs": q_tfidf_top_docs,
         "lang_guess_docs": q_lang_guess_docs,
         "doc_fingerprints": q_doc_fingerprints,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -969,6 +1013,38 @@ SELECT doc_id,
   (NOT {hard_fail}) AND (1.0 / (1.0 + exp(-{qz})) >= {CFG.quality_threshold}) AS keep_heuristic
 FROM ratios""",
         "quality_contribs_docs": _quality_contribs_sql(),
+        "docs_hash_sample": f"""
+SELECT doc_id FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < {int(SAMPLE_RATE * (1 << 32))}""",
+        "docs_stratified_sample": f"""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
+  CASE {' '.join(f"WHEN lang = '{s}' THEN {int(r * (1 << 32))}" for s, r in sorted(STRATA_RATES.items()))}
+       ELSE {int(STRATA_DEFAULT * (1 << 32))} END""",
+        "corpus_top_terms": f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '[ ]+')) AS term FROM documents
+)
+SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks
+GROUP BY term ORDER BY n DESC, term ASC LIMIT {TOP_TERMS_K}""",
+        "tfidf_top_docs": f"""
+WITH occ AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ ]+')) AS term
+  FROM documents
+),
+tfc AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM occ GROUP BY doc_id, term),
+dfq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM occ GROUP BY term
+  HAVING count(DISTINCT doc_id) >= {TFIDF_MIN_DF}
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf * ln(nd / d.df) AS tfidf
+  FROM tfc t JOIN dfq d USING (term), n
+)
+SELECT doc_id, term, round(tfidf, 6) AS tfidf,
+  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= {TFIDF_K}""",
         "lang_guess_docs": f"""
 WITH hits AS (
   SELECT doc_id,

@@ -1,0 +1,83 @@
+"""Corpus-level text aggregation: vocabulary statistics and TF-IDF.
+
+The explode-then-aggregate family a training-data pipeline runs for
+vocabulary pruning, boilerplate detection, and keyword extraction.
+All native (split/explode/groupBy); the heavy explode is collapsed by
+map-side partial aggregation before any shuffle, so shuffle volume is
+O(distinct terms), not O(token occurrences).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens_lower(text):
+    return F.split(F.lower(F.trim(text)), "[ ]+")
+
+
+def top_terms(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
+    """Corpus-wide top-k terms by occurrence count (ties by term).
+
+    Plan: explode → partial count (map-side combine collapses each
+    task's occurrences) → one shuffle of O(distinct terms) rows →
+    TakeOrderedAndProject for the top-k (no global sort)."""
+    toks = df.select(F.explode(_tokens_lower(F.col(text_col))).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def doc_frequency(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(term, df): number of documents containing each term.  The
+    per-doc distinct happens BEFORE the explode (array_distinct on the
+    token array — no doc-level shuffle), so the aggregate counts each
+    (doc, term) once."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_tokens_lower(F.col(text_col)))).alias("term"),
+    )
+    return toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3,
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-document top-k terms by tf * idf, idf = ln(N / df).
+
+    Two shuffles total: the doc-frequency aggregate (O(distinct terms))
+    and the per-doc top-k window (hash-partitioned on the doc id).  The
+    doc-frequency side is a dimension table at corpus scale (bounded by
+    vocabulary size) → broadcast into the term join.  Deterministic
+    tie-break (score desc, term asc) so results are engine-comparable."""
+    from pyspark.sql import Window as W
+
+    n_docs = df.count()  # driver scalar: one count job, reused as a literal
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(_tokens_lower(F.col(text_col))).alias("term")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = doc_frequency(df, text_col, id_col).filter(F.col("df") >= min_df)
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    )
+    return (
+        scored.withColumn("rank", rn)
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col, "term",
+            F.round("tfidf", 6).alias("tfidf"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -61,6 +61,28 @@ def windowed_keep_rate(
     )
 
 
+def stream_dedup_exact(
+    sdf: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first-seen wins within the watermark
+    horizon.  `dropDuplicatesWithinWatermark` keys the state store by
+    the md5 fingerprint (same normalization as dedup.fingerprint_col,
+    so batch and stream agree on what counts as a duplicate) and evicts
+    fingerprint state once the watermark passes — bounded state, unlike
+    an unbounded dropDuplicates which would grow with the corpus."""
+    from quality_filter.operators.dedup import fingerprint_col
+
+    return (
+        sdf.withColumn("_fp", fingerprint_col(F.col(text_col)))
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )
+
+
 def run_stream_to_parquet(
     scored_stream: DataFrame, out_dir: str, checkpoint_dir: str, available_now: bool = True
 ):

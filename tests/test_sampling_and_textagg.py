@@ -1,0 +1,107 @@
+"""Sampling determinism, corpus text aggregation, streaming dedup."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from quality_filter.operators import sampling, textagg
+
+from tests.test_spark_pipeline import spark  # session fixture  # noqa: F401
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark, docs):
+    a = {r["doc_id"] for r in sampling.hash_sample(docs, "doc_id", 0.1).select("doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in sampling.hash_sample(
+            docs.repartition(17).sortWithinPartitions(F.col("doc_id").desc()),
+            "doc_id", 0.1,
+        ).select("doc_id").collect()
+    }
+    assert a == b and 0 < len(a) < 500
+    # rate monotonicity: a smaller rate's sample is a subset (same hash order)
+    c = {r["doc_id"] for r in sampling.hash_sample(docs, "doc_id", 0.05).select("doc_id").collect()}
+    assert c <= a
+    # df.sample() by contrast is NOT partition-invariant — that's why it
+    # isn't used; no assertion on it (behavior is version-dependent)
+
+
+def test_stratified_rates_roughly_honored(spark, docs):
+    out = sampling.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.2}, default_rate=0.9
+    ).groupBy("lang").count().toPandas().set_index("lang")
+    full = docs.groupBy("lang").count().toPandas().set_index("lang")
+    en_rate = out.loc["en", "count"] / full.loc["en", "count"]
+    assert en_rate < 0.45  # ~0.2 with small-sample noise
+    others = [l for l in full.index if l != "en" and full.loc[l, "count"] >= 20]
+    for l in others:
+        assert out.loc[l, "count"] / full.loc[l, "count"] > 0.6  # ~0.9
+
+
+def test_top_terms_and_doc_frequency(spark, docs):
+    top = textagg.top_terms(docs, "text", 20).toPandas()
+    assert len(top) == 20
+    assert (top["n"].values == sorted(top["n"].values)[::-1]).all()
+    dfq = textagg.doc_frequency(docs, "text", "doc_id").toPandas()
+    # df can never exceed the corpus size, and every top term has df >= 1
+    assert dfq["df"].max() <= 500
+    merged = top.merge(dfq, on="term", how="left")
+    assert merged["df"].notna().all()
+    # occurrence count >= document frequency, always
+    assert (merged["n"] >= merged["df"]).all()
+
+
+def test_tfidf_top_terms_shape_and_scoring(spark, docs):
+    out = textagg.tfidf_top_terms(docs, "text", "doc_id", k=3, min_df=2).toPandas()
+    per_doc = out.groupby("doc_id").size()
+    assert per_doc.max() <= 3
+    assert out["rank"].between(1, 3).all()
+    # a term present in every document has idf = ln(1) = 0 -> never a top
+    # term unless nothing else qualifies; spot-check scores are finite
+    assert out["tfidf"].notna().all() and (out["tfidf"] >= 0).all()
+
+
+def test_stream_dedup_matches_batch_first_seen(spark, tmp_path):
+    """Streaming dropDuplicatesWithinWatermark on the text fingerprint
+    keeps exactly one row per distinct normalized text (all data within
+    the watermark horizon here), matching batch dedup's group count."""
+    from quality_filter.corpus import generate_pages, pages_spark_schema
+    from quality_filter.operators.dedup import fingerprint_col
+    from quality_filter.streaming.stream import stream_dedup_exact
+
+    pages = generate_pages(120, seed=9).drop(columns=["cls"])
+    dup = pages.copy()
+    dup["url"] = dup["url"] + "#dup"
+    both = pd.concat([pages, dup], ignore_index=True)  # every text twice
+    src = str(tmp_path / "dd_src")
+    spark.createDataFrame(both, schema=pages_spark_schema()).write.parquet(src)
+
+    sdf = (
+        spark.readStream.schema(pages_spark_schema())
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    deduped = stream_dedup_exact(sdf, "text", "warc_ts", delay="365 days")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(tmp_path / "dd_out"))
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(str(tmp_path / "dd_out"))
+    batch = spark.createDataFrame(both, schema=pages_spark_schema())
+    n_distinct = batch.select(fingerprint_col(F.col("text")).alias("fp")).distinct().count()
+    assert got.count() == n_distinct
+    # stream output carries no duplicate fingerprints
+    assert got.select(fingerprint_col(F.col("text"))).distinct().count() == got.count()
