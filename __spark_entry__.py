@@ -566,6 +566,38 @@ def q_simhash_docs(spark, sf_dir):
     return dedup.simhash_md5(docs, "text", "doc_id")
 
 
+SIMHASH_MAX_HAMMING = 3
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup pairs: band equi-join (pigeonhole-exact for
+    hamming <= 3 with 4x16-bit bands) + native popcount verify."""
+    sim = q_simhash_docs(spark, sf_dir)
+    return dedup.simhash_near_dup(sim, "doc_id", max_hamming=SIMHASH_MAX_HAMMING)
+
+
+def q_hopping_event_stats(spark, sf_dir):
+    """2-hour windows sliding by 1 hour — each event lands in 2 windows."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.hopping_time_agg(ev, "ts", "value", "2 hours", "1 hour")
+    return out.select(
+        "window_start",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+def q_embedding_clusters(spark, sf_dir):
+    """Coarse k-means cluster assignment for every vector (the inverted
+    file's partition key at scale) — centroids from the shared
+    deterministic trainer, so the oracle re-derives them exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.train_ivf_centroids(
+        emb, "embedding", "vec_id", n_clusters=IVF_CLUSTERS, seed=IVF_SEED
+    )
+    return similarity.ivf_assign(emb, "embedding", "vec_id", cents)
+
+
 KNN_LSH_PLANES = 4
 KNN_LSH_SEED = 1234
 IVF_CLUSTERS = 8
@@ -645,6 +677,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "pii_scrub_docs": q_pii_scrub_docs,
         "simhash_docs": q_simhash_docs,
+        "simhash_near_dup": q_simhash_near_dup,
+        "hopping_event_stats": q_hopping_event_stats,
+        "embedding_clusters": q_embedding_clusters,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
     }
@@ -706,9 +741,10 @@ def _bucket_sql(vexpr: str, planes) -> str:
     )
 
 
-def _simhash_sql() -> str:
-    """SQL twin of dedup.simhash_md5 — same md5 hash universe, same
-    two-word hex parse, same vote rule, same nibble packing."""
+def _simhash_ctes() -> str:
+    """CTE chain ending in sim(doc_id, simhash) — SQL twin of
+    dedup.simhash_md5: same md5 hash universe, same two-word hex parse,
+    same vote rule, same nibble packing."""
     sums = []
     for i in range(64):
         w, j = ("w0", i) if i < 32 else ("w1", i - 32)
@@ -719,8 +755,7 @@ def _simhash_sql() -> str:
             f"(CASE WHEN b{4 * n + k} > 0 THEN {1 << (3 - k)} ELSE 0 END)" for k in range(4)
         )
         nibs.append(f"substr('0123456789abcdef', ({v}) + 1, 1)")
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '[ ]+'))) AS tok
   FROM documents
 ),
@@ -730,8 +765,34 @@ words AS (
     ('0x' || substr(md5(tok), 9, 8))::BIGINT AS w1
   FROM toks
 ),
-votes AS (SELECT doc_id, {', '.join(sums)} FROM words GROUP BY doc_id)
-SELECT doc_id, {' || '.join(nibs)} AS simhash FROM votes"""
+votes AS (SELECT doc_id, {', '.join(sums)} FROM words GROUP BY doc_id),
+sim AS (SELECT doc_id, {' || '.join(nibs)} AS simhash FROM votes)"""
+
+
+def _simhash_sql() -> str:
+    return f"WITH {_simhash_ctes()}\nSELECT doc_id, simhash FROM sim"
+
+
+def _simhash_near_dup_sql() -> str:
+    """SQL twin of dedup.simhash_near_dup: same 4x16-bit banding, same
+    popcount-of-xor verify (bit_count/xor are native in both engines)."""
+    ham = "bit_count(xor(a.w0, c.w0)) + bit_count(xor(a.w1, c.w1))"
+    return f"""
+WITH {_simhash_ctes()},
+simw AS (
+  SELECT doc_id, simhash,
+    ('0x' || substr(simhash, 1, 8))::BIGINT AS w0,
+    ('0x' || substr(simhash, 9, 8))::BIGINT AS w1
+  FROM sim
+),
+bands AS (
+  SELECT doc_id, w0, w1, b.band_idx, substr(simhash, b.band_idx * 4 + 1, 4) AS band_key
+  FROM simw, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+)
+SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+  CAST({ham} AS BIGINT) AS hamming
+FROM bands a JOIN bands c ON a.band_idx = c.band_idx AND a.band_key = c.band_key
+WHERE a.doc_id < c.doc_id AND {ham} <= {SIMHASH_MAX_HAMMING}"""
 
 
 def _components_sql() -> str:
@@ -791,22 +852,19 @@ FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 WHERE {cos} >= 0.4"""
 
 
-def _knn_ivf_sql() -> str:
-    """Centroids re-derived by the engine-free twin (same hash-ordered
-    sample, same kmeans_fit) → bit-identical to the Spark query's; the
-    SQL then replays assignment (first-match argmax, same tie order),
-    probe restriction, and the exact top-k."""
-    import numpy as np
-
+def _oracle_centroids() -> list[list[float]]:
     from quality_filter.operators import similarity as S
 
-    cents = S.train_ivf_centroids_local(
+    return S.train_ivf_centroids_local(
         f"{ORACLE_SF_DIR}/embeddings.parquet", "embedding", "vec_id",
         n_clusters=IVF_CLUSTERS, seed=IVF_SEED,
     )
-    q = np.array(_query_vec(), dtype=np.float64)
-    q /= max(np.linalg.norm(q), 1e-12)
-    order = (np.array(cents, dtype=np.float64) @ q).argsort()[::-1][:IVF_PROBE].tolist()
+
+
+def _ivf_assign_ctes(cents) -> str:
+    """CTE chain ending in assign(vec_id, v, cluster) — SQL twin of
+    similarity.ivf_assign over centroid literals (first-match argmax,
+    same tie order as the Spark when-chain)."""
     sim_cols = ", ".join(
         f"list_dot_product(v, {_sql_vec(c)}) / (sqrt(list_dot_product(v, v)) + 1e-12) AS s{i}"
         for i, c in enumerate(cents)
@@ -815,13 +873,32 @@ def _knn_ivf_sql() -> str:
     cluster = "CASE " + " ".join(
         f"WHEN s{i} = best THEN {i}" for i in range(len(cents))
     ) + " ELSE -1 END"
-    cos = _COS_SQL.format(a="a.v", b="q.qe")
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT v AS qe FROM e WHERE vec_id = 0),
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 sims AS (SELECT vec_id, v, {sim_cols} FROM e),
 withbest AS (SELECT *, {best} AS best FROM sims),
-assign AS (SELECT vec_id, v, {cluster} AS cluster FROM withbest)
+assign AS (SELECT vec_id, v, {cluster} AS cluster FROM withbest)"""
+
+
+def _embedding_clusters_sql() -> str:
+    return f"""
+WITH {_ivf_assign_ctes(_oracle_centroids())}
+SELECT vec_id, cluster FROM assign"""
+
+
+def _knn_ivf_sql() -> str:
+    """Centroids re-derived by the engine-free twin (same hash-ordered
+    sample, same kmeans_fit) → bit-identical to the Spark query's; the
+    SQL then replays assignment, probe restriction, and the exact top-k."""
+    import numpy as np
+
+    cents = _oracle_centroids()
+    q = np.array(_query_vec(), dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    order = (np.array(cents, dtype=np.float64) @ q).argsort()[::-1][:IVF_PROBE].tolist()
+    cos = _COS_SQL.format(a="a.v", b="q.qe")
+    return f"""
+WITH {_ivf_assign_ctes(cents)},
+q AS (SELECT v AS qe FROM e WHERE vec_id = 0)
 SELECT a.vec_id, round({cos}, 6) AS cos_sim
 FROM assign a, q WHERE a.cluster IN ({', '.join(str(i) for i in order)})
 ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 10"""
@@ -1166,6 +1243,17 @@ WHERE list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.46""",
         "pii_scrub_docs": _pii_scrub_docs_sql(),
         "simhash_docs": _simhash_sql(),
+        "simhash_near_dup": _simhash_near_dup_sql(),
+        "hopping_event_stats": """
+WITH contrib AS (
+  SELECT date_trunc('hour', ts) AS window_start, value FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start, value FROM events
+)
+SELECT window_start, CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(value), 4) AS sum_value
+FROM contrib GROUP BY 1""",
+        "embedding_clusters": _embedding_clusters_sql(),
         "knn_lsh": _knn_lsh_sql(),
         "knn_ivf": _knn_ivf_sql(),
         "embedding_near_dup_lsh": _embedding_lsh_sql(),

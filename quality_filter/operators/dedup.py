@@ -181,6 +181,60 @@ def simhash_md5(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return votes.select(F.col(id_col), F.concat(*nibbles).alias("simhash"))
 
 
+def simhash_near_dup(
+    sim: DataFrame, id_col: str, max_hamming: int = 3,
+    band_chars: int = 4,
+) -> DataFrame:
+    """Near-dup pairs from simhash fingerprints: band the 16-hex-char
+    hash into 16/band_chars bands; by pigeonhole, any pair within
+    max_hamming < n_bands bits must agree exactly on at least one band
+    → the candidate join is an equi-join on (band_idx, band_key), never
+    all-pairs.  Candidates are verified with an exact popcount of the
+    XOR (bit_count — native in Spark and DuckDB; the hex → two 32-bit
+    words parse is the same portable trick as simhash_md5 itself).
+
+    Output: (id_a, id_b, hamming) with hamming <= max_hamming.  With
+    the default 4 bands of 16 bits, recall is EXACT for
+    max_hamming <= 3 (pigeonhole), unlike the probabilistic MinHash
+    banding."""
+    n_bands = 16 // band_chars
+    entries = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.substring("simhash", b * band_chars + 1, band_chars).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    w0 = F.conv(F.substring("simhash", 1, 8), 16, 10).cast("long")
+    w1 = F.conv(F.substring("simhash", 9, 8), 16, 10).cast("long")
+    withwords = sim.select(
+        F.col(id_col), F.col("simhash"), w0.alias("w0"), w1.alias("w1")
+    )
+    bands = withwords.select(
+        F.col(id_col), "w0", "w1", F.explode(F.array(*entries)).alias("_b")
+    ).select(id_col, "w0", "w1", F.col("_b.band_idx"), F.col("_b.band_key"))
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("w0").alias("a0"),
+        F.col("w1").alias("a1"), "band_idx", "band_key",
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("w0").alias("b0"),
+        F.col("w1").alias("b1"), "band_idx", "band_key",
+    )
+    ham = (
+        F.bit_count(F.col("a0").bitwiseXOR(F.col("b0")))
+        + F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash over tokens, fully native: per-token xxhash64, then
     per-bit majority vote via bitwise ops + sums.  The production-speed

@@ -77,6 +77,25 @@ def tumbling_time_agg(df: DataFrame, ts: str, key: str, value: str, duration: st
     )
 
 
+def hopping_time_agg(
+    df: DataFrame, ts: str, value: str,
+    window: str = "2 hours", slide: str = "1 hour",
+) -> DataFrame:
+    """Hopping (sliding) event-time window: each row contributes to
+    window/slide overlapping windows.  F.window with a slide is the
+    streaming-compatible form; the expansion happens inside the window
+    operator, and the aggregate is still partial-then-final (shuffle is
+    O(windows), not O(rows x overlap))."""
+    return (
+        df.groupBy(F.window(F.col(ts), window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
 def forward_fill(df: DataFrame, part: str, ts: str, tiebreak: str, value: Column, out: str = "filled") -> DataFrame:
     """Every row inherits the most recent non-null value, initial 0.0 —
     `last(ignorenulls) over rowsBetween(unboundedPreceding, 0)` +

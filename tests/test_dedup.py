@@ -79,6 +79,29 @@ def test_components_match_union_find(spark):
     assert got == want and len(got) > 0
 
 
+def test_simhash_near_dup_recall_is_exact(spark):
+    """Pigeonhole guarantee: with 4 bands of 16 bits, every pair within
+    hamming <= 3 shares at least one exact band — the banded equi-join
+    must find EXACTLY the brute-force pair set (unlike MinHash LSH,
+    whose recall is probabilistic)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sim = dedup.simhash_md5(docs, "text", "doc_id")
+    rows = sim.collect()
+    vals = {r["doc_id"]: int(r["simhash"], 16) for r in rows}
+    ids = sorted(vals)
+    want = {
+        (a, b): bin(vals[a] ^ vals[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(vals[a] ^ vals[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_dup(sim, "doc_id", max_hamming=3).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def _py_simhash(text: str) -> str:
     toks = {t for t in text.strip(" ").split()} or {""}
     votes = [0] * 64
