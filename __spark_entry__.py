@@ -756,7 +756,7 @@ def _simhash_ctes() -> str:
         )
         nibs.append(f"substr('0123456789abcdef', ({v}) + 1, 1)")
     return f"""toks AS (
-  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '[ ]+'))) AS tok
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text, ' '), '[ ]+'))) AS tok
   FROM documents
 ),
 words AS (
@@ -904,8 +904,17 @@ FROM assign a, q WHERE a.cluster IN ({', '.join(str(i) for i in order)})
 ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 10"""
 
 
-_TOKS = f"regexp_split_to_array(trim(text), '{TOKEN_SEP_PATTERN}')"
-_SIMPLE_TOKS = "regexp_split_to_array(trim(text), '[ ]+')"
+# Trim seams (found by scripts/fuzz_oracle.py; invisible on clean text):
+#  * Spark F.trim strips ASCII space ONLY -> DuckDB must use trim(s, ' ')
+#    (its default trim also strips Unicode spaces: NBSP, U+3000, ...).
+#  * The feature tier's strip_col has Python str.strip semantics (29 ws
+#    chars) -> DuckDB twin is the same frozen regex, not trim().
+from quality_filter.features import PY_STRIP_PATTERN  # noqa: E402
+
+_PY_STRIP = f"regexp_replace(text, '{PY_STRIP_PATTERN}', '', 'g')"
+_SPACE_TRIM = "trim(text, ' ')"
+_TOKS = f"regexp_split_to_array({_PY_STRIP}, '{TOKEN_SEP_PATTERN}')"
+_SIMPLE_TOKS = f"regexp_split_to_array({_SPACE_TRIM}, '[ ]+')"
 _EV_RN = "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)"
 
 
@@ -916,7 +925,7 @@ def _features_cte() -> str:
 feat AS (
   SELECT doc_id, text,
     CAST(length(text) AS DOUBLE) AS n_chars,
-    CASE WHEN trim(text)='' THEN 0.0 ELSE CAST(len({_TOKS}) AS DOUBLE) END AS n_words,
+    CASE WHEN {_PY_STRIP}='' THEN 0.0 ELSE CAST(len({_TOKS}) AS DOUBLE) END AS n_words,
     CAST(len(list_filter({_TOKS}, x -> list_contains({stop}, lower(x)))) AS DOUBLE) AS stop_n,
     CAST(len(regexp_extract_all(text, '{SYMBOL_PATTERN}')) AS DOUBLE) AS sym_n,
     CAST(len(list_distinct(list_transform({_TOKS}, x -> lower(x)))) AS DOUBLE) AS distinct_n,
@@ -1100,13 +1109,13 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
        ELSE {int(STRATA_DEFAULT * (1 << 32))} END""",
         "corpus_top_terms": f"""
 WITH toks AS (
-  SELECT unnest(regexp_split_to_array(lower(trim(text)), '[ ]+')) AS term FROM documents
+  SELECT unnest(regexp_split_to_array(lower(trim(text, ' ')), '[ ]+')) AS term FROM documents
 )
 SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks
 GROUP BY term ORDER BY n DESC, term ASC LIMIT {TOP_TERMS_K}""",
         "tfidf_top_docs": f"""
 WITH occ AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ ]+')) AS term
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text, ' ')), '[ ]+')) AS term
   FROM documents
 ),
 tfc AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM occ GROUP BY doc_id, term),
@@ -1131,9 +1140,9 @@ WITH hits AS (
 best_t AS (SELECT *, {best} AS best FROM hits)
 SELECT doc_id, {lang_case} AS lang_guess FROM best_t""",
         "doc_fingerprints": """
-SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents""",
+SELECT doc_id, md5(lower(trim(text, ' '))) AS fp FROM documents""",
         "dedup_exact_docs": """
-SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS rep_id,
+SELECT md5(lower(trim(text, ' '))) AS fp, min(doc_id) AS rep_id,
   CAST(count(*) AS BIGINT) AS dup_count
 FROM documents GROUP BY 1""",
         "minhash_signatures": f"""

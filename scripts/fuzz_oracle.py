@@ -1,0 +1,168 @@
+"""Differential ORACLE fuzz: regenerate the documents/events/embeddings
+tables with adversarial content (unicode edges, ties, duplicates,
+degenerate rows), then run every table-compatible registry query
+against its DuckDB oracle on the fresh corpus.
+
+The fixed sf0.01 correctness check pins one dataset forever; this
+harness re-aims the same Spark-vs-DuckDB comparison at the corners —
+the extraction-fuzz lesson from round 1 (differential fuzzing found
+real seams) applied to the whole query registry.
+
+Known, documented exclusions (engine-semantics differences, not bugs):
+  * pii_scrub_docs — RE2's \\d/\\b are ASCII; Java's (?U)\\d/\\b are
+    Unicode.  On the fixed testdata the synthetic PII is ASCII so both
+    agree; fuzz text with Unicode digits would diverge BY DESIGN (the
+    Python oracle, which is normative, sides with Java).  The seam is
+    pinned separately by tests/test_spark_pipeline.py's guard-edge
+    tests against the PYTHON oracle.
+
+Usage: python scripts/fuzz_oracle.py [seed ...]   (default seeds 1 2 3)
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DOC_QUERIES = [
+    "text_stats", "stopword_ratio_docs", "symbol_density_docs",
+    "quality_gate_docs", "quality_contribs_docs", "lang_guess_docs",
+    "doc_fingerprints", "dedup_exact_docs", "minhash_signatures",
+    "lsh_band_keys", "near_dup_pairs", "near_dup_clusters",
+    "near_dup_survivors", "ngram_jaccard_dups", "minhash_jaccard_estimate",
+    "simhash_docs", "simhash_near_dup", "docs_hash_sample",
+    "docs_stratified_sample", "corpus_top_terms", "tfidf_top_docs",
+]
+EVENT_QUERIES = [
+    "decimated_events", "tumbling_agg_mean", "tumbling_agg_median",
+    "tumbling_agg_max", "tumbling_agg_min", "hourly_event_stats",
+    "hopping_event_stats", "forward_fill_purchase", "sessionized_counts",
+    "topk_events_per_user", "running_value_sum", "salted_user_stats",
+    "event_type_pivot", "purchase_last_view_asof",
+]
+EMB_QUERIES = [
+    "embedding_near_dup_pairs", "embedding_near_dup_lsh",
+    "embedding_clusters", "knn_bruteforce", "knn_lsh", "knn_ivf",
+]
+
+WORD_POOLS = (
+    # plain english-ish (stopword-bearing so the gates vary)
+    "the and of to in is was for on with quick brown fox lazy dog data".split(),
+    # accents / non-latin scripts / mixed digits
+    "café naïve Zürich schön østre Москва データ 北京 словарь año1 42x x42".split(),
+    # regex metachars, punctuation-dense, symbols
+    "a+b (c) [d] {e} $f %g ^h .* \\\\ |pipe| #tag @at 1.2.3 -- ==".split(),
+)
+WS = [" ", "  ", "\t", "\n", " ", " 　 "]  # inter-token whitespace
+
+
+def gen_text(rnd: random.Random) -> str:
+    kind = rnd.random()
+    if kind < 0.04:
+        return rnd.choice(["", " ", "\t\n", " ", "x"])
+    if kind < 0.08:  # pathological repetition (dup/near-dup fodder)
+        tok = rnd.choice(WORD_POOLS[0])
+        return (tok + " ") * rnd.randint(1, 60)
+    pool = rnd.choice(WORD_POOLS) if kind < 0.8 else [
+        w for p in WORD_POOLS for w in p
+    ]
+    n = rnd.randint(1, 80)
+    return rnd.choice(WS).join(rnd.choice(pool) for _ in range(n))
+
+
+def gen_corpus(outdir: str, seed: int, n_docs: int = 300, n_events: int = 2000,
+               n_vecs: int = 250) -> None:
+    rnd = random.Random(seed)
+    texts = [gen_text(rnd) for _ in range(n_docs)]
+    # inject exact + near duplicates (the dedup family must see real work)
+    for _ in range(n_docs // 10):
+        i, j = rnd.randrange(n_docs), rnd.randrange(n_docs)
+        texts[i] = texts[j]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_docs, dtype=np.int64),
+            "text": texts,
+            "lang": [rnd.choice(["en", "de", "fr", "es", "und"]) for _ in range(n_docs)],
+            "source": [f"host{rnd.randrange(5)}" for _ in range(n_docs)],
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+    docs.to_parquet(f"{outdir}/documents.parquet", index=False)
+
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    ts = [
+        base + pd.Timedelta(seconds=rnd.randrange(0, 7 * 24 * 3600))
+        for _ in range(n_events)
+    ]
+    for _ in range(n_events // 20):  # exact-tie timestamps (tiebreak paths)
+        i, j = rnd.randrange(n_events), rnd.randrange(n_events)
+        ts[i] = ts[j]
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(n_events, dtype=np.int64),
+            "ts": ts,
+            "user_id": np.array([rnd.randrange(1, 30) for _ in range(n_events)], dtype=np.int64),
+            "event_type": [
+                rnd.choice(["click", "error", "purchase", "signup", "view"])
+                for _ in range(n_events)
+            ],
+            "value": np.round(np.array([rnd.uniform(-50, 150) for _ in range(n_events)]), 2),
+            "props": ["{}"] * n_events,
+        }
+    )
+    # Spark cannot read TIMESTAMP(NANOS) parquet — match the testdata's us
+    events["ts"] = events["ts"].astype("datetime64[us]")
+    events.to_parquet(f"{outdir}/events.parquet", index=False)
+
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n_vecs, 64)).astype(np.float32)
+    # planted near-duplicate pairs (small perturbations)
+    for _ in range(n_vecs // 12):
+        i, j = rng.integers(0, n_vecs, 2)
+        X[i] = X[j] + rng.standard_normal(64).astype(np.float32) * 0.05
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(n_vecs, dtype=np.int64),
+            "embedding": list(X),
+            "label": np.zeros(n_vecs, dtype=np.int32),
+        }
+    )
+    emb.to_parquet(f"{outdir}/embeddings.parquet", index=False)
+
+
+def run_seed(seed: int) -> int:
+    with tempfile.TemporaryDirectory(prefix=f"qf_fuzz_{seed}_") as d:
+        gen_corpus(d, seed)
+        env = dict(os.environ, QF_SF_DIR=d, PYTHONPATH=REPO)
+        queries = DOC_QUERIES + EVENT_QUERIES + EMB_QUERIES
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "check_correctness.py"), *queries],
+            env=env, capture_output=True, text=True, timeout=1200,
+        )
+        tail = "\n".join(out.stdout.strip().splitlines()[-3:])
+        print(f"--- seed {seed}: {tail}")
+        if out.returncode != 0:
+            fails = [l for l in out.stdout.splitlines() if l.startswith("FAIL")]
+            print("\n".join(fails[:10]))
+        return out.returncode
+
+
+def main() -> int:
+    seeds = [int(s) for s in sys.argv[1:]] or [1, 2, 3]
+    rc = 0
+    for s in seeds:
+        rc |= run_seed(s)
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
