@@ -47,6 +47,11 @@ BENCH_QUERIES = [
     "near_dup_pairs",         # minhash + LSH band join
     "simhash_docs",           # explode + 64-bit agg
     "knn_bruteforce",         # vector math, top-k
+    # round-2 families
+    "simhash_near_dup",       # band join + popcount verify
+    "near_dup_survivors",     # star edges + components + anti-join
+    "tfidf_top_docs",         # explode agg + broadcast vocab + window top-k
+    "embedding_near_dup_pairs",  # triangle block join (exact all-pairs)
 ]
 
 

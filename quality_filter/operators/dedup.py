@@ -301,6 +301,10 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("x"), F.col(src).alias("y")))
         .distinct()
     )
+    # materialize the edge list ONCE: it is re-read every iteration, and
+    # leaving it lazy re-runs the whole upstream plan (minhash signature,
+    # banding, ...) per round — measured 3x on the survivors query
+    und = und.localCheckpoint(eager=True)
     labels = und.select("x").distinct().select("x", F.col("x").alias("comp"))
     for _ in range(max_iters):
         nbr = (
