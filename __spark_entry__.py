@@ -295,6 +295,19 @@ def q_tfidf_top_docs(spark, sf_dir):
     return textagg.tfidf_top_terms(docs, "text", "doc_id", k=TFIDF_K, min_df=TFIDF_MIN_DF)
 
 
+def q_dup_ngram_ratio_docs(spark, sf_dir):
+    """Duplicate word-3-gram fraction (the Gopher-family repetition
+    signal beyond distinct_ratio): 1 - distinct/total shingles, 0 for
+    docs with < 3 tokens.  Pure array math over the shared shingle
+    builder — no explode, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.shingles(F.col("text"), 3)
+    total = F.size(sh).cast("double")
+    distinct = F.size(F.array_distinct(sh)).cast("double")
+    ratio = F.when(total > 0, 1.0 - distinct / total).otherwise(F.lit(0.0))
+    return docs.select("doc_id", F.round(ratio, 6).alias("dup_ngram_ratio"))
+
+
 def q_quality_contribs_docs(spark, sf_dir):
     """Numeric per-term attribution (the Grad-CAM analog) over the
     documents table, FAST-profile shadow (ppl_norm = 0), exploded to
@@ -614,6 +627,18 @@ def q_knn_lsh(spark, sf_dir):
     return similarity.knn_lsh(emb, "embedding", "vec_id", qvec, planes, k=10)
 
 
+def q_knn_lsh_multiprobe(spark, sf_dir):
+    """ANN with hamming<=1 bucket probing — better recall from the same
+    single hash table; the oracle applies the identical per-character
+    bucket-distance restriction in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    planes = similarity.make_planes(len(qvec), n_planes=KNN_LSH_PLANES, seed=KNN_LSH_SEED)
+    return similarity.knn_lsh_multiprobe(
+        emb, "embedding", "vec_id", qvec, planes, k=10, probe_hamming=1
+    )
+
+
 def q_knn_ivf(spark, sf_dir):
     """ANN via IVF coarse quantizer.  Centroids come from a
     deterministic hash-ordered sample + shared numpy k-means, so the
@@ -649,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symbol_density_docs": q_symbol_density_docs,
         "quality_gate_docs": q_quality_gate_docs,
         "quality_contribs_docs": q_quality_contribs_docs,
+        "dup_ngram_ratio_docs": q_dup_ngram_ratio_docs,
         "docs_hash_sample": q_docs_hash_sample,
         "docs_stratified_sample": q_docs_stratified_sample,
         "corpus_top_terms": q_corpus_top_terms,
@@ -681,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_event_stats": q_hopping_event_stats,
         "embedding_clusters": q_embedding_clusters,
         "knn_lsh": q_knn_lsh,
+        "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
         "knn_ivf": q_knn_ivf,
     }
 
@@ -824,18 +851,26 @@ _COS_SQL = (
 )
 
 
-def _knn_lsh_sql() -> str:
+def _knn_lsh_sql(probe_hamming: int = 0) -> str:
     from quality_filter.operators import similarity as S
 
     planes = S.make_planes(_embedding_dim(), n_planes=KNN_LSH_PLANES, seed=KNN_LSH_SEED)
     cos = _COS_SQL.format(a="cb.v", b="q.qe")
+    if probe_hamming == 0:
+        cond = "cb.bucket = qb.bucket"
+    else:
+        dist = " + ".join(
+            f"(CASE WHEN substr(cb.bucket, {i + 1}, 1) <> substr(qb.bucket, {i + 1}, 1) THEN 1 ELSE 0 END)"
+            for i in range(len(planes))
+        )
+        cond = f"({dist}) <= {probe_hamming}"
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT v AS qe FROM e WHERE vec_id = 0),
 qb AS (SELECT {_bucket_sql('qe', planes)} AS bucket FROM q),
 cb AS (SELECT vec_id, v, {_bucket_sql('v', planes)} AS bucket FROM e)
 SELECT cb.vec_id, round({cos}, 6) AS cos_sim
-FROM cb, q, qb WHERE cb.bucket = qb.bucket
+FROM cb, q, qb WHERE {cond}
 ORDER BY cos_sim DESC, cb.vec_id ASC LIMIT 10"""
 
 
@@ -944,13 +979,18 @@ ratios AS (
 )"""
 
 
-def _minhash_sig_cte() -> str:
-    ng = (
+def _ngram_expr() -> str:
+    """Positional word-3-gram list — SQL twin of dedup.shingles(text, 3)."""
+    return (
         f"CASE WHEN len({_SIMPLE_TOKS}) >= 3 THEN "
         f"list_transform(generate_series(1, len({_SIMPLE_TOKS}) - 2), "
         f"i -> {_SIMPLE_TOKS}[i] || ' ' || {_SIMPLE_TOKS}[i+1] || ' ' || {_SIMPLE_TOKS}[i+2]) "
         f"ELSE [] END"
     )
+
+
+def _minhash_sig_cte() -> str:
+    ng = _ngram_expr()
     mhs = ",\n    ".join(
         f"list_min(list_transform(ng, x -> md5('{i}|' || x))) AS mh{i}"
         for i in range(NUM_HASHES)
@@ -1099,6 +1139,13 @@ SELECT doc_id,
   (NOT {hard_fail}) AND (1.0 / (1.0 + exp(-{qz})) >= {CFG.quality_threshold}) AS keep_heuristic
 FROM ratios""",
         "quality_contribs_docs": _quality_contribs_sql(),
+        "dup_ngram_ratio_docs": f"""
+WITH sh AS (SELECT doc_id, {_ngram_expr()} AS ng FROM documents)
+SELECT doc_id,
+  round(CASE WHEN len(ng) > 0
+             THEN 1.0 - CAST(len(list_distinct(ng)) AS DOUBLE) / CAST(len(ng) AS DOUBLE)
+             ELSE 0.0 END, 6) AS dup_ngram_ratio
+FROM sh""",
         "docs_hash_sample": f"""
 SELECT doc_id FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < {int(SAMPLE_RATE * (1 << 32))}""",
@@ -1264,6 +1311,7 @@ SELECT window_start, CAST(count(*) AS BIGINT) AS n_events,
 FROM contrib GROUP BY 1""",
         "embedding_clusters": _embedding_clusters_sql(),
         "knn_lsh": _knn_lsh_sql(),
+        "knn_lsh_multiprobe": _knn_lsh_sql(probe_hamming=1),
         "knn_ivf": _knn_ivf_sql(),
         "embedding_near_dup_lsh": _embedding_lsh_sql(),
         "knn_bruteforce": """

@@ -88,6 +88,39 @@ def knn_lsh(
     return knn_bruteforce(candidates, vec_col, id_col, query_vec, k)
 
 
+def query_bucket(query_vec: list[float], planes: list[list[float]]) -> str:
+    """The query's LSH bucket string (sign bits over the planes)."""
+    return "".join(
+        "1" if sum(a * b for a, b in zip(p, query_vec)) >= 0 else "0" for p in planes
+    )
+
+
+def knn_lsh_multiprobe(
+    df: DataFrame, vec_col: str, id_col: str, query_vec: list[float],
+    planes: list[list[float]], k: int = 10, probe_hamming: int = 1,
+) -> DataFrame:
+    """Multiprobe ANN: candidates come from every bucket within
+    ``probe_hamming`` bit flips of the query's bucket — the standard
+    recall lever that costs sum_i C(n_planes, i) extra bucket probes
+    instead of extra hash tables.  Monotone: recall >= single-probe
+    knn_lsh by construction (its bucket is probed too)."""
+    import itertools
+
+    qbits = query_bucket(query_vec, planes)
+    probes = {qbits}
+    for d in range(1, probe_hamming + 1):
+        for pos in itertools.combinations(range(len(qbits)), d):
+            b = list(qbits)
+            for p in pos:
+                b[p] = "0" if b[p] == "1" else "1"
+            probes.add("".join(b))
+    bucketed = hyperplane_lsh_buckets(df, vec_col, id_col, planes)
+    candidates = df.join(
+        bucketed.filter(F.col("bucket").isin(*sorted(probes))).select(id_col), id_col
+    )
+    return knn_bruteforce(candidates, vec_col, id_col, query_vec, k)
+
+
 def make_planes(dim: int, n_planes: int, seed: int = 1234) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no RNG state dependence)."""
     import numpy as np

@@ -41,6 +41,7 @@ DOC_QUERIES = [
     "near_dup_survivors", "ngram_jaccard_dups", "minhash_jaccard_estimate",
     "simhash_docs", "simhash_near_dup", "docs_hash_sample",
     "docs_stratified_sample", "corpus_top_terms", "tfidf_top_docs",
+    "dup_ngram_ratio_docs",
 ]
 EVENT_QUERIES = [
     "decimated_events", "tumbling_agg_mean", "tumbling_agg_median",
@@ -51,7 +52,8 @@ EVENT_QUERIES = [
 ]
 EMB_QUERIES = [
     "embedding_near_dup_pairs", "embedding_near_dup_lsh",
-    "embedding_clusters", "knn_bruteforce", "knn_lsh", "knn_ivf",
+    "embedding_clusters", "knn_bruteforce", "knn_lsh", "knn_lsh_multiprobe",
+    "knn_ivf",
 ]
 
 WORD_POOLS = (

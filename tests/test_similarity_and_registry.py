@@ -38,6 +38,19 @@ def test_lsh_ann_subset_of_corpus(spark, emb):
     assert ann[0]["vec_id"] == 0
 
 
+def test_multiprobe_recall_monotone(spark, emb):
+    """hamming<=1 probing must contain the single-probe candidate set:
+    its top-k recall vs exact is >= single-probe recall, and the query's
+    own bucket guarantees the query itself is found."""
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    planes = similarity.make_planes(len(qvec), n_planes=4, seed=1234)
+    exact = [r["vec_id"] for r in similarity.knn_bruteforce(emb, "embedding", "vec_id", qvec, 10).collect()]
+    single = {r["vec_id"] for r in similarity.knn_lsh(emb, "embedding", "vec_id", qvec, planes, 10).collect()}
+    multi = {r["vec_id"] for r in similarity.knn_lsh_multiprobe(emb, "embedding", "vec_id", qvec, planes, 10, 1).collect()}
+    assert 0 in multi
+    assert len(multi & set(exact)) >= len(single & set(exact))
+
+
 def test_ivf_centroid_training_order_invariant(spark, emb):
     """The training sample is content-addressed (md5 of id), so the
     centroid artifact is invariant under input repartition/sort — a
