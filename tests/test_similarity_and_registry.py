@@ -89,6 +89,39 @@ def test_blocked_all_pairs_matches_crossjoin_reference(spark, emb):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_new_operator_plan_shapes(spark):
+    """Pin the plan properties §10 of BENCH/PLANS.md documents — a
+    regression here silently changes the 100-TB story even when results
+    stay correct."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+
+    def plan(name):
+        return qs[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+    # sampling: the md5-threshold filter stays in the scan stage — no
+    # shuffle, no sample operator
+    p = plan("docs_hash_sample")
+    assert "Exchange" not in p and "Sample" not in p
+
+    # top-k terms: partial agg before the exchange, top-k without a
+    # global sort
+    p = plan("corpus_top_terms")
+    assert "TakeOrderedAndProject" in p
+    assert p.index("HashAggregate") < p.index("Exchange")
+
+    # tfidf: vocabulary join broadcast; rank-limit pushed below the
+    # window exchange
+    p = plan("tfidf_top_docs")
+    assert "BroadcastHashJoin" in p and "WindowGroupLimit" in p
+
+    # exact all-pairs: cogrouped Arrow tasks, no cartesian node
+    p = plan("embedding_near_dup_pairs")
+    assert "FlatMapCoGroupsInPandas" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
 def test_no_registered_query_plans_a_cartesian(spark):
     """Registry-wide guard: every queries() plan is free of cartesian /
     nested-loop join nodes (the 100-TB scale-killer class)."""
