@@ -10,8 +10,10 @@ per-worker codec caching, exactly like the text model stage.
 Decode capability ladder (strictly additive — an optional library can
 only ADD decodable formats, never degrade output):
 
-  1. built-in pure-numpy decoders: PPM (P6) and BMP (uncompressed
-     24/32-bit) — real pixel decode, no external libraries;
+  1. built-in pure-numpy decoders: PPM (P6), BMP (uncompressed
+     24/32-bit), PNG (8-bit gray/RGB/RGBA non-interlaced, stdlib zlib),
+     and WAV (PCM 8/16/32 + float32) — real pixel/sample decode, no
+     external libraries;
   2. PIL, if installed, for containers the built-ins don't recognize;
   3. otherwise a clearly-marked deterministic fake (digest-derived
      features) keeps opaque payloads flowing with decode_ok=true.
@@ -140,6 +142,113 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     ).tobytes()
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """Pure numpy+zlib PNG decode → (H, W, 3) uint8 RGB.
+
+    Supports the shapes that cover virtually all web PNGs: 8-bit depth,
+    color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), no
+    interlacing; all five scanline filters.  Palette (type 3),
+    16-bit, and Adam7 raise ValueError → quarantine.  Alpha is dropped
+    (the reference convert("RGB") behavior,
+    /root/reference/opennsfw2/_image.py:30-31)."""
+    if b[:8] != PNG_MAGIC:
+        raise ValueError("not a png")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated png chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("png missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("png variant unsupported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None or w <= 0 or h <= 0:
+        raise ValueError("png color type unsupported")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated png raster")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
+        pos += stride + 1
+        if ftype == 0:
+            cur = line.copy()
+        elif ftype == 2:  # Up
+            cur = line + prev
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left context
+            cur = np.zeros(stride, dtype=np.uint8)
+            bpp = channels
+            if ftype == 1:
+                cur[:bpp] = line[:bpp]
+                for x in range(bpp, stride):
+                    cur[x] = (int(line[x]) + int(cur[x - bpp])) & 0xFF
+            elif ftype == 3:
+                for x in range(stride):
+                    left = int(cur[x - bpp]) if x >= bpp else 0
+                    cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+            else:  # Paeth
+                for x in range(stride):
+                    a = int(cur[x - bpp]) if x >= bpp else 0
+                    up = int(prev[x])
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                    cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError("bad png filter type")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, channels)
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 2:
+        return px
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGBA -> RGB
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → minimal non-interlaced RGB PNG (filter 0)."""
+    h, w = arr.shape[:2]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    raw = b"".join(
+        b"\x00" + np.ascontiguousarray(arr[y], dtype=np.uint8).tobytes()
+        for y in range(h)
+    )
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_bmp(b: bytes) -> np.ndarray:
     """Uncompressed 24/32-bit BMP (BITMAPINFOHEADER) → (H, W, 3) uint8
     RGB.  Bottom-up or top-down rows, 4-byte row padding.  Raises
@@ -169,6 +278,103 @@ def decode_bmp(b: bytes) -> np.ndarray:
     if h_signed > 0:  # bottom-up storage
         px = px[::-1]
     return px[:, :, 2::-1]  # BGR(A) → RGB, drop alpha
+
+
+def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM decode → (mono float64 samples in [-1, 1], rate).
+    Supports PCM 8/16/32-bit and IEEE float32, any channel count
+    (averaged to mono).  Raises ValueError on anything else."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a wav")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("short wav fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("wav missing fmt/data")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if n_ch < 1 or rate <= 0:
+        raise ValueError("bad wav header")
+    if audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif audio_fmt == 1 and bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif audio_fmt == 1 and bits == 32:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif audio_fmt == 3 and bits == 32:
+        x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    else:
+        raise ValueError("wav encoding unsupported")
+    usable = (len(x) // n_ch) * n_ch
+    if usable == 0:
+        raise ValueError("empty wav data")
+    return x[:usable].reshape(-1, n_ch).mean(axis=1), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Mono float [-1,1] → 16-bit PCM WAV (test/fixture helper)."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1, 1)
+    pcm = (pcm * 32767.0).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+
+
+def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    """16-dim deterministic audio features (the spectral-summary analog
+    of image_features): duration/rate scalars, amplitude stats,
+    zero-crossing rate, and FFT band energies over a bounded head
+    window.  float64 math, float32 output."""
+    x = np.asarray(samples, dtype=np.float64)
+    n = len(x)
+    dur = n / rate
+    rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+    absx = np.abs(x)
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+    head = x[: 8192]
+    spec = np.abs(np.fft.rfft(head))
+    power = spec * spec
+    total = float(power.sum())
+    if total > 0:
+        freqs = np.fft.rfftfreq(len(head), d=1.0 / rate)
+        centroid = float((freqs * power).sum() / total) / (rate / 2)
+        cum = np.cumsum(power)
+        rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * total))]) / (rate / 2)
+        thirds = np.array_split(power, 3)
+        bands = [float(t.sum() / total) for t in thirds]
+    else:
+        centroid, rolloff, bands = 0.0, 0.0, [0.0, 0.0, 0.0]
+    peak = float(absx.max()) if n else 0.0
+    return np.array(
+        [
+            min(np.log10(n + 1.0) / 8.0, 1.0),
+            min(rate / 48000.0, 1.0),
+            min(np.log10(dur + 1.0) / 4.0, 1.0),
+            rms,
+            float(absx.mean()) if n else 0.0,
+            peak,
+            float(x.std()) if n else 0.0,
+            rms / peak if peak > 0 else 0.0,   # inverse crest factor
+            zcr,
+            centroid,
+            rolloff,
+            *bands,
+            float(np.percentile(absx, 50)) if n else 0.0,
+            float(np.percentile(absx, 90)) if n else 0.0,
+        ],
+        dtype=np.float32,
+    )
 
 
 def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -243,6 +449,8 @@ def decode_pixels(b: bytes, pil=None) -> np.ndarray | None:
         return decode_ppm(b)
     if b[:2] == b"BM":
         return decode_bmp(b)
+    if b[:8] == PNG_MAGIC:
+        return decode_png(b)
     if pil is not None:
         try:
             img = pil.open(io.BytesIO(b))
@@ -276,6 +484,11 @@ def decode_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 sizes.append(len(b))
                 crcs.append(zlib.crc32(b))
                 try:
+                    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                        samples, rate = decode_wav(b)
+                        feats.append(audio_features(samples, rate).tolist())
+                        ok.append(True); decoders.append("wav")
+                        continue
                     px = decode_pixels(b, pil)
                 except ValueError:
                     feats.append(None); ok.append(False)
@@ -284,7 +497,10 @@ def decode_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 if px is not None:
                     feats.append(image_features(px).tolist()); ok.append(True)
                     decoders.append(
-                        "ppm" if b[:2] == b"P6" else "bmp" if b[:2] == b"BM" else "pil"
+                        "ppm" if b[:2] == b"P6"
+                        else "bmp" if b[:2] == b"BM"
+                        else "png" if b[:8] == PNG_MAGIC
+                        else "pil"
                     )
                 else:
                     feats.append(_stub_features(b).tolist()); ok.append(True)
@@ -367,11 +583,17 @@ def generate_media(n: int, seed: int = 11, real_image_every: int = 0) -> pd.Data
         if rnd.random() < 0.05:
             payload = None
         elif real_image_every and i % real_image_every == 0:
-            w, h = rnd.choice(((8, 6), (16, 9), (5, 7)))
-            arr = np.frombuffer(
-                rnd.randbytes(w * h * 3), dtype=np.uint8
-            ).reshape(h, w, 3)
-            payload = encode_ppm(arr) if i % (2 * real_image_every) else _to_bmp(arr)
+            codec = (i // real_image_every) % 4
+            if codec == 3:  # real audio
+                t = np.arange(1600) / 16000.0
+                freq = 200 + 50 * (i % 7)
+                payload = encode_wav(0.5 * np.sin(2 * np.pi * freq * t), 16000)
+            else:  # real image in one of the three container formats
+                w, h = rnd.choice(((8, 6), (16, 9), (5, 7)))
+                arr = np.frombuffer(
+                    rnd.randbytes(w * h * 3), dtype=np.uint8
+                ).reshape(h, w, 3)
+                payload = (encode_ppm, _to_bmp, encode_png)[codec](arr)
         else:
             payload = rnd.randbytes(rnd.randint(64, 4096))
         meta = (

@@ -10,8 +10,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from quality_filter.operators.multimodal import (
-    IMAGE_FEATURE_DIM, MEDIA_SCHEMA, _to_bmp, decode_bmp, decode_features,
-    decode_pixels, decode_ppm, encode_ppm, frame_sample, generate_media,
+    IMAGE_FEATURE_DIM, MEDIA_SCHEMA, _to_bmp, audio_features, decode_bmp,
+    decode_features, decode_pixels, decode_png, decode_ppm, decode_wav,
+    encode_png, encode_ppm, encode_wav, frame_sample, generate_media,
     image_features, resize_images, resize_nearest,
 )
 
@@ -42,6 +43,74 @@ def test_ppm_roundtrip_and_comment_header():
 def test_bmp_roundtrip():
     px = _demo_pixels(w=5, h=7)  # stride padding path (5*3 = 15 -> 16)
     assert (decode_bmp(_to_bmp(px)) == px).all()
+
+
+def test_png_roundtrip_and_variants():
+    px = _demo_pixels()
+    assert (decode_png(encode_png(px)) == px).all()
+    # filter coverage: encode with each per-row filter type via a
+    # hand-built PNG (Sub=1, Up=2, Average=3, Paeth=4)
+    import struct as st
+    import zlib as zl
+
+    h, w, ch = px.shape
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y, ftype in zip(range(h), [0, 1, 2, 3, 4, 0]):
+        cur = px[y].reshape(-1).astype(np.int64)
+        if ftype == 0:
+            enc = cur.copy()
+        elif ftype == 1:
+            enc = cur.copy()
+            enc[ch:] = (cur[ch:] - cur[:-ch]) % 256
+        elif ftype == 2:
+            enc = (cur - prev) % 256
+        elif ftype == 3:
+            enc = np.zeros_like(cur)
+            for x in range(len(cur)):
+                left = cur[x - ch] if x >= ch else 0
+                enc[x] = (cur[x] - ((left + prev[x]) >> 1)) % 256
+        else:
+            enc = np.zeros_like(cur)
+            for x in range(len(cur)):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (cur[x] - pred) % 256
+        raw += bytes([ftype]) + bytes(enc.astype(np.uint8))
+        prev = cur
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return st.pack(">I", len(data)) + body + st.pack(">I", zl.crc32(body) & 0xFFFFFFFF)
+
+    b = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zl.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(b) == px).all()
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)  # no IHDR/IDAT
+
+
+def test_wav_roundtrip_and_features():
+    t = np.arange(16000) / 16000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    samples, rate = decode_wav(encode_wav(sig, 16000))
+    assert rate == 16000 and len(samples) == 16000
+    assert np.abs(samples - sig).max() < 1e-3  # 16-bit quantization
+    f = audio_features(samples, rate)
+    assert f.shape == (16,) and np.isfinite(f).all()
+    # a 440 Hz tone: centroid ~ 440/(rate/2) = 0.055, strong low band
+    assert 0.02 < f[9] < 0.12
+    assert f[11] > 0.9  # low-frequency band dominates
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF" + b"\x00" * 16)
 
 
 def test_malformed_recognized_containers_raise():
@@ -114,12 +183,17 @@ def test_real_pixel_decode_end_to_end(spark, media):
     image_features computation exactly."""
     out = decode_features(media).toPandas().set_index("media_id")
     src = media.toPandas().set_index("media_id")
-    real = out[out["decoder"].isin(["ppm", "bmp"])]
-    assert len(real) > 5 and set(real["decoder"]) == {"ppm", "bmp"}
+    real = out[out["decoder"].isin(["ppm", "bmp", "png"])]
+    assert len(real) > 5 and set(real["decoder"]) == {"ppm", "bmp", "png"}
     assert real["decode_ok"].all()
     for mid, row in real.iterrows():
         px = decode_pixels(bytes(src.loc[mid, "payload"]))
         assert np.allclose(row["features"], image_features(px), atol=0)
+    wav = out[out["decoder"] == "wav"]
+    assert len(wav) > 0 and wav["decode_ok"].all()
+    for mid, row in wav.iterrows():
+        samples, rate = decode_wav(bytes(src.loc[mid, "payload"]))
+        assert np.allclose(row["features"], audio_features(samples, rate), atol=0)
 
 
 def test_malformed_recognized_payload_quarantined(spark):
