@@ -308,6 +308,22 @@ def q_dup_ngram_ratio_docs(spark, sf_dir):
     return docs.select("doc_id", F.round(ratio, 6).alias("dup_ngram_ratio"))
 
 
+PACK_CAPACITY = 256
+PACK_SHARDS = 4
+
+
+def q_packed_docs(spark, sf_dir):
+    """Sequence packing (pretraining sequences from a corpus): docs
+    shard by content hash, pack greedily in id order into
+    fixed-token-budget bins.  The recurrence is deterministic, so the
+    oracle replays it exactly as a recursive CTE."""
+    from quality_filter.operators import packing
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), "[ ]+"))
+    return packing.pack_sequences(docs, "doc_id", n_tokens, PACK_CAPACITY, PACK_SHARDS)
+
+
 def q_quality_contribs_docs(spark, sf_dir):
     """Numeric per-term attribution (the Grad-CAM analog) over the
     documents table, FAST-profile shadow (ppl_norm = 0), exploded to
@@ -675,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate_docs": q_quality_gate_docs,
         "quality_contribs_docs": q_quality_contribs_docs,
         "dup_ngram_ratio_docs": q_dup_ngram_ratio_docs,
+        "packed_docs": q_packed_docs,
         "docs_hash_sample": q_docs_hash_sample,
         "docs_stratified_sample": q_docs_stratified_sample,
         "corpus_top_terms": q_corpus_top_terms,
@@ -1146,6 +1163,26 @@ SELECT doc_id,
              THEN 1.0 - CAST(len(list_distinct(ng)) AS DOUBLE) / CAST(len(ng) AS DOUBLE)
              ELSE 0.0 END, 6) AS dup_ngram_ratio
 FROM sh""",
+        "packed_docs": f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {PACK_SHARDS} AS INTEGER) AS shard,
+    CAST(len({_SIMPLE_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM toks
+),
+pack(shard, rn, doc_id, n_tokens, bin_idx, fill) AS (
+  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+    CASE WHEN p.fill + o.n_tokens <= {PACK_CAPACITY} THEN p.bin_idx ELSE p.bin_idx + 1 END,
+    CASE WHEN p.fill + o.n_tokens <= {PACK_CAPACITY} THEN p.fill + o.n_tokens ELSE o.n_tokens END
+  FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT doc_id, shard, bin_idx, n_tokens FROM pack""",
         "docs_hash_sample": f"""
 SELECT doc_id FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < {int(SAMPLE_RATE * (1 << 32))}""",

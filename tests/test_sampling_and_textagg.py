@@ -68,6 +68,45 @@ def test_tfidf_top_terms_shape_and_scoring(spark, docs):
     assert out["tfidf"].notna().all() and (out["tfidf"] >= 0).all()
 
 
+def test_sequence_packing_invariants(spark, docs):
+    """Packing must conserve rows, respect the capacity for multi-doc
+    bins (only an oversize single doc may exceed it), produce contiguous
+    bin indices per shard, and be invariant under input partitioning."""
+    from quality_filter.operators import packing
+
+    cap = 256
+    n_tokens = F.size(F.split(F.trim("text"), "[ ]+"))
+    packed = packing.pack_sequences(docs, "doc_id", n_tokens, cap, 4).toPandas()
+    assert len(packed) == 500 and packed["doc_id"].is_unique
+
+    stats = (
+        packed.groupby(["shard", "bin_idx"])
+        .agg(n_docs=("doc_id", "size"), fill=("n_tokens", "sum"))
+        .reset_index()
+    )
+    multi = stats[stats["n_docs"] > 1]
+    assert (multi["fill"] <= cap).all()
+    over = stats[stats["fill"] > cap]
+    assert (over["n_docs"] == 1).all()  # only oversize singletons exceed
+    for _, grp in stats.groupby("shard"):
+        bins = sorted(grp["bin_idx"])
+        assert bins == list(range(len(bins)))  # contiguous from 0
+
+    repacked = packing.pack_sequences(
+        docs.repartition(13), "doc_id", n_tokens, cap, 4
+    ).toPandas()
+    a = packed.sort_values("doc_id").reset_index(drop=True)
+    b = repacked.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    util = packing.bin_stats(
+        packing.pack_sequences(docs, "doc_id", n_tokens, cap, 4), cap
+    ).toPandas()
+    assert (util["utilization"] > 0).all()
+    # greedy packing on this corpus should fill bins reasonably well
+    assert util[util["n_docs"] > 1]["utilization"].mean() > 0.5
+
+
 def test_stream_dedup_matches_batch_first_seen(spark, tmp_path):
     """Streaming dropDuplicatesWithinWatermark on the text fingerprint
     keeps exactly one row per distinct normalized text (all data within
