@@ -324,6 +324,59 @@ def q_packed_docs(spark, sf_dir):
     return packing.pack_sequences(docs, "doc_id", n_tokens, PACK_CAPACITY, PACK_SHARDS)
 
 
+def q_corpus_curation(spark, sf_dir):
+    """The end-to-end curation flow a pretraining corpus actually runs,
+    as ONE composed plan: heuristic quality gate → exact-dup
+    representatives → near-dup survivors → per-language stratified
+    downsample → sequence packing.  Every stage is an operator from
+    this registry; the oracle composes the same stages as CTEs, so the
+    whole flow is value-hash-checked end to end.
+
+    Stage order matters and is frozen: dedup before sampling (sampling
+    first would randomly thin duplicate clusters), gate before dedup
+    (no point clustering junk), packing last (it consumes the final
+    membership)."""
+    from pyspark.sql import Window
+
+    from quality_filter.operators import packing
+
+    docs = _t(spark, sf_dir, "documents")
+
+    # 1. heuristic gate (FAST shadow — same predicate as quality_gate_docs)
+    feats = R.feature_columns(F.col("text"), CFG)
+    feats["ppl_norm"] = F.lit(0.0)
+    hard = R.hard_rule_reasons(feats, CFG)
+    fail_any = None
+    for _, cond in hard:
+        fail_any = cond if fail_any is None else (fail_any | cond)
+    keep = ~fail_any & (R.quality_score_col(feats, CFG) >= CFG.quality_threshold)
+    gated = docs.filter(keep)
+
+    # 2. exact-dup representatives (min doc_id per fingerprint)
+    reps = (
+        gated.withColumn("_fp", dedup.fingerprint_col(F.col("text")))
+        .withColumn("_rep", F.min("doc_id").over(Window.partitionBy("_fp")))
+        .filter(F.col("doc_id") == F.col("_rep"))
+        .drop("_fp", "_rep")
+    )
+
+    # 3. near-dup survivors among the exact survivors
+    sig = dedup.minhash_signature(reps, "text", "doc_id", NUM_HASHES)
+    bands = dedup.lsh_bands(sig, "doc_id", NUM_HASHES, BAND_SIZE)
+    comp = dedup.near_dup_components(bands, "doc_id")
+    surv = dedup.near_dup_survivors(reps, "doc_id", comp)
+    survivors = reps.join(surv, "doc_id")
+
+    # 4. per-language stratified hash sample
+    sampled = sampling.stratified_hash_sample(
+        survivors, "doc_id", "lang", STRATA_RATES, STRATA_DEFAULT
+    )
+
+    # 5. sequence packing over the final membership
+    n_tokens = F.size(F.split(F.trim("text"), "[ ]+"))
+    return packing.pack_sequences(sampled, "doc_id", n_tokens, PACK_CAPACITY, PACK_SHARDS)
+
+
 def q_quality_contribs_docs(spark, sf_dir):
     """Numeric per-term attribution (the Grad-CAM analog) over the
     documents table, FAST-profile shadow (ppl_norm = 0), exploded to
@@ -692,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_contribs_docs": q_quality_contribs_docs,
         "dup_ngram_ratio_docs": q_dup_ngram_ratio_docs,
         "packed_docs": q_packed_docs,
+        "corpus_curation": q_corpus_curation,
         "docs_hash_sample": q_docs_hash_sample,
         "docs_stratified_sample": q_docs_stratified_sample,
         "corpus_top_terms": q_corpus_top_terms,
@@ -839,13 +893,13 @@ FROM bands a JOIN bands c ON a.band_idx = c.band_idx AND a.band_key = c.band_key
 WHERE a.doc_id < c.doc_id AND {ham} <= {SIMHASH_MAX_HAMMING}"""
 
 
-def _components_sql() -> str:
-    """Recursive-closure connected components over the LSH candidate
-    pair edges: comp(x) = min id reachable.  The Spark twin uses star
-    edges (linear per bucket) — identical components, since a bucket's
+def _components_ctes(src: str = "documents") -> str:
+    """CTE chain (no WITH prefix) ending in comp(doc_id, comp):
+    recursive-closure connected components over the LSH candidate pair
+    edges — comp(x) = min id reachable.  The Spark twin uses star edges
+    (linear per bucket) — identical components, since a bucket's
     pair-clique and its star are both connected through the bucket min."""
-    return f"""
-WITH RECURSIVE {_minhash_sig_cte().lstrip()},
+    return f"""{_minhash_sig_cte(src).lstrip()},
 bands AS ({_bands_sql()}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -858,8 +912,76 @@ reach(x, y) AS (
   UNION
   SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
 ),
-comp AS (SELECT x AS doc_id, least(x, min(y)) AS comp FROM reach GROUP BY x)
-"""
+comp AS (SELECT x AS doc_id, least(x, min(y)) AS comp FROM reach GROUP BY x)"""
+
+
+def _components_sql() -> str:
+    return "\nWITH RECURSIVE " + _components_ctes() + "\n"
+
+
+def _packing_ctes(src: str = "documents") -> str:
+    """CTE chain (no WITH prefix) ending in pack(shard, rn, doc_id,
+    n_tokens, bin_idx, fill) — the greedy packing recurrence."""
+    return f"""toks AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {PACK_SHARDS} AS INTEGER) AS shard,
+    CAST(len({_SIMPLE_TOKS}) AS BIGINT) AS n_tokens
+  FROM {src}
+),
+ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM toks
+),
+pack(shard, rn, doc_id, n_tokens, bin_idx, fill) AS (
+  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+    CASE WHEN p.fill + o.n_tokens <= {PACK_CAPACITY} THEN p.bin_idx ELSE p.bin_idx + 1 END,
+    CASE WHEN p.fill + o.n_tokens <= {PACK_CAPACITY} THEN p.fill + o.n_tokens ELSE o.n_tokens END
+  FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+)"""
+
+
+def _strata_threshold_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{s}' THEN {int(r * (1 << 32))}"
+        for s, r in sorted(STRATA_RATES.items())
+    )
+    return f"CASE {cases} ELSE {int(STRATA_DEFAULT * (1 << 32))} END"
+
+
+def _corpus_curation_sql(qz: str, hard_fail: str) -> str:
+    """Composed oracle for the end-to-end curation flow — the same five
+    stages as q_corpus_curation, each reusing the stage's own oracle
+    formulation, chained as CTEs."""
+    return f"""
+WITH RECURSIVE {_features_cte().lstrip()},
+gated_ids AS (
+  SELECT doc_id FROM ratios
+  WHERE (NOT {hard_fail}) AND 1.0 / (1.0 + exp(-{qz})) >= {CFG.quality_threshold}
+),
+gated AS (
+  SELECT d.doc_id, d.text, d.lang FROM documents d JOIN gated_ids USING (doc_id)
+),
+fp AS (
+  SELECT doc_id, text, lang, md5(lower(trim(text, ' '))) AS fpv FROM gated
+),
+reps AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY fpv) AS rep FROM fp
+  ) WHERE doc_id = rep
+),
+{_components_ctes('reps')},
+survivors AS (
+  SELECT * FROM reps
+  WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> comp)
+),
+sampled AS (
+  SELECT doc_id, text, lang FROM survivors
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < {_strata_threshold_sql()}
+),
+{_packing_ctes('sampled')}
+SELECT doc_id, shard, bin_idx, n_tokens FROM pack"""
 
 
 _COS_SQL = (
@@ -1006,14 +1128,14 @@ def _ngram_expr() -> str:
     )
 
 
-def _minhash_sig_cte() -> str:
+def _minhash_sig_cte(src: str = "documents") -> str:
     ng = _ngram_expr()
     mhs = ",\n    ".join(
         f"list_min(list_transform(ng, x -> md5('{i}|' || x))) AS mh{i}"
         for i in range(NUM_HASHES)
     )
     return f"""
-shingled AS (SELECT doc_id, {ng} AS ng FROM documents),
+shingled AS (SELECT doc_id, {ng} AS ng FROM {src}),
 sig AS (
   SELECT doc_id,
     {mhs}
@@ -1163,34 +1285,15 @@ SELECT doc_id,
              THEN 1.0 - CAST(len(list_distinct(ng)) AS DOUBLE) / CAST(len(ng) AS DOUBLE)
              ELSE 0.0 END, 6) AS dup_ngram_ratio
 FROM sh""",
-        "packed_docs": f"""
-WITH RECURSIVE toks AS (
-  SELECT doc_id,
-    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {PACK_SHARDS} AS INTEGER) AS shard,
-    CAST(len({_SIMPLE_TOKS}) AS BIGINT) AS n_tokens
-  FROM documents
-),
-ordered AS (
-  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM toks
-),
-pack(shard, rn, doc_id, n_tokens, bin_idx, fill) AS (
-  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
-  FROM ordered WHERE rn = 1
-  UNION ALL
-  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
-    CASE WHEN p.fill + o.n_tokens <= {PACK_CAPACITY} THEN p.bin_idx ELSE p.bin_idx + 1 END,
-    CASE WHEN p.fill + o.n_tokens <= {PACK_CAPACITY} THEN p.fill + o.n_tokens ELSE o.n_tokens END
-  FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
-)
-SELECT doc_id, shard, bin_idx, n_tokens FROM pack""",
+        "packed_docs": "WITH RECURSIVE " + _packing_ctes("documents")
+        + "\nSELECT doc_id, shard, bin_idx, n_tokens FROM pack",
+        "corpus_curation": _corpus_curation_sql(qz, hard_fail),
         "docs_hash_sample": f"""
 SELECT doc_id FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < {int(SAMPLE_RATE * (1 << 32))}""",
         "docs_stratified_sample": f"""
 SELECT doc_id, lang FROM documents
-WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
-  CASE {' '.join(f"WHEN lang = '{s}' THEN {int(r * (1 << 32))}" for s, r in sorted(STRATA_RATES.items()))}
-       ELSE {int(STRATA_DEFAULT * (1 << 32))} END""",
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < {_strata_threshold_sql()}""",
         "corpus_top_terms": f"""
 WITH toks AS (
   SELECT unnest(regexp_split_to_array(lower(trim(text, ' ')), '[ ]+')) AS term FROM documents

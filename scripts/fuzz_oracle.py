@@ -41,7 +41,7 @@ DOC_QUERIES = [
     "near_dup_survivors", "ngram_jaccard_dups", "minhash_jaccard_estimate",
     "simhash_docs", "simhash_near_dup", "docs_hash_sample",
     "docs_stratified_sample", "corpus_top_terms", "tfidf_top_docs",
-    "dup_ngram_ratio_docs", "packed_docs",
+    "dup_ngram_ratio_docs", "packed_docs", "corpus_curation",
 ]
 EVENT_QUERIES = [
     "decimated_events", "tumbling_agg_mean", "tumbling_agg_median",
