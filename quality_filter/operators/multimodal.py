@@ -12,8 +12,9 @@ only ADD decodable formats, never degrade output):
 
   1. built-in pure-numpy decoders: PPM (P6), BMP (uncompressed
      24/32-bit), PNG (8-bit gray/RGB/RGBA non-interlaced, stdlib zlib),
-     and WAV (PCM 8/16/32 + float32) — real pixel/sample decode, no
-     external libraries;
+     baseline JPEG (operators/jpeg.py: full T.81 sequential DCT —
+     generic DHT/DQT, subsampling, restarts), and WAV (PCM 8/16/32 +
+     float32) — real pixel/sample decode, no external libraries;
   2. PIL, if installed, for containers the built-ins don't recognize;
   3. otherwise a clearly-marked deterministic fake (digest-derived
      features) keeps opaque payloads flowing with decode_ok=true.
@@ -70,7 +71,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("payload_crc", T.LongType(), True),
         T.StructField("features", T.ArrayType(T.FloatType()), True),
         T.StructField("decode_ok", T.BooleanType(), False),
-        T.StructField("decoder", T.StringType(), True),  # ppm|bmp|pil|stub|null
+        T.StructField("decoder", T.StringType(), True),  # ppm|bmp|png|jpeg|wav|pil|stub|null
     ]
 )
 
@@ -451,6 +452,10 @@ def decode_pixels(b: bytes, pil=None) -> np.ndarray | None:
         return decode_bmp(b)
     if b[:8] == PNG_MAGIC:
         return decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        from quality_filter.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(b)
     if pil is not None:
         try:
             img = pil.open(io.BytesIO(b))
@@ -500,6 +505,7 @@ def decode_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                         "ppm" if b[:2] == b"P6"
                         else "bmp" if b[:2] == b"BM"
                         else "png" if b[:8] == PNG_MAGIC
+                        else "jpeg" if b[:2] == b"\xff\xd8"
                         else "pil"
                     )
                 else:
@@ -583,7 +589,7 @@ def generate_media(n: int, seed: int = 11, real_image_every: int = 0) -> pd.Data
         if rnd.random() < 0.05:
             payload = None
         elif real_image_every and i % real_image_every == 0:
-            codec = (i // real_image_every) % 4
+            codec = (i // real_image_every) % 5
             if codec == 3:  # real audio
                 t = np.arange(1600) / 16000.0
                 freq = 200 + 50 * (i % 7)
@@ -593,7 +599,12 @@ def generate_media(n: int, seed: int = 11, real_image_every: int = 0) -> pd.Data
                 arr = np.frombuffer(
                     rnd.randbytes(w * h * 3), dtype=np.uint8
                 ).reshape(h, w, 3)
-                payload = (encode_ppm, _to_bmp, encode_png)[codec](arr)
+                if codec == 4:
+                    from quality_filter.operators.jpeg import encode_jpeg
+
+                    payload = encode_jpeg(arr, subsample=bool(i % 2))
+                else:
+                    payload = (encode_ppm, _to_bmp, encode_png)[codec](arr)
         else:
             payload = rnd.randbytes(rnd.randint(64, 4096))
         meta = (

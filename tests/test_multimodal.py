@@ -113,6 +113,48 @@ def test_wav_roundtrip_and_features():
         decode_wav(b"RIFF" + b"\x00" * 16)
 
 
+def test_jpeg_roundtrip_and_real_fixtures():
+    import glob
+
+    from quality_filter.operators.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:17]
+    img = np.stack(
+        [
+            (128 + 100 * np.sin(xx / 7)).clip(0, 255),
+            (128 + 100 * np.cos(yy / 9)).clip(0, 255),
+            xx * 255 / 16,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, subsample=False, q=4))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(float) - img.astype(float)).max() <= 4  # quantization only
+    out420 = decode_jpeg(encode_jpeg(img, subsample=True, q=4))
+    assert np.abs(out420.astype(float) - img.astype(float)).mean() < 8  # chroma loss
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8" + b"\x00" * 16)  # garbage after SOI
+    with pytest.raises(ValueError):
+        decode_jpeg(encode_jpeg(img)[:-40])  # truncated entropy data
+
+    # real encoders: JPEGs shipped inside host Python distributions
+    # (generic Huffman tables, 4:2:0, APP segments) — skip if absent
+    fixtures = [
+        f
+        for pat in (
+            "/mnt/*/model_tools_env/*/python/install/lib/python3*/test/imghdrdata/python.jpg",
+            "/usr/lib/python3*/test/imghdrdata/python.jpg",
+        )
+        for f in glob.glob(pat)
+    ]
+    if not fixtures:
+        pytest.skip("no real jpeg fixtures on this host")
+    arr = decode_jpeg(open(fixtures[0], "rb").read())
+    assert arr.shape == (16, 16, 3)  # the CPython test logo
+    assert arr.std() > 20  # decoded real content, not noise-shaped garbage
+
+
 def test_malformed_recognized_containers_raise():
     px = _demo_pixels()
     for bad in (
@@ -183,8 +225,8 @@ def test_real_pixel_decode_end_to_end(spark, media):
     image_features computation exactly."""
     out = decode_features(media).toPandas().set_index("media_id")
     src = media.toPandas().set_index("media_id")
-    real = out[out["decoder"].isin(["ppm", "bmp", "png"])]
-    assert len(real) > 5 and set(real["decoder"]) == {"ppm", "bmp", "png"}
+    real = out[out["decoder"].isin(["ppm", "bmp", "png", "jpeg"])]
+    assert len(real) > 5 and set(real["decoder"]) == {"ppm", "bmp", "png", "jpeg"}
     assert real["decode_ok"].all()
     for mid, row in real.iterrows():
         px = decode_pixels(bytes(src.loc[mid, "payload"]))
