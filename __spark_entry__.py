@@ -708,6 +708,22 @@ def q_knn_lsh_multiprobe(spark, sf_dir):
     )
 
 
+KNN_JOIN_QUERIES = 5
+
+
+def q_knn_join(spark, sf_dir):
+    """Exact batch KNN join: top-k corpus neighbors for every query in
+    a bounded query set (vec_id < 5), inlined as plan literals — one
+    corpus scan, no join operator, rank-limited windows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < KNN_JOIN_QUERIES)
+        .select("vec_id", "embedding").collect()
+    )
+    queries = [(int(r["vec_id"]), list(r["embedding"])) for r in qrows]
+    return similarity.knn_join(emb, "embedding", "vec_id", queries, k=5)
+
+
 def q_knn_ivf(spark, sf_dir):
     """ANN via IVF coarse quantizer.  Centroids come from a
     deterministic hash-ordered sample + shared numpy k-means, so the
@@ -780,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
         "knn_ivf": q_knn_ivf,
+        "knn_join": q_knn_join,
     }
 
 
@@ -1454,6 +1471,16 @@ FROM contrib GROUP BY 1""",
         "knn_lsh_multiprobe": _knn_lsh_sql(probe_hamming=1),
         "knn_ivf": _knn_ivf_sql(),
         "embedding_near_dup_lsh": _embedding_lsh_sql(),
+        "knn_join": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {KNN_JOIN_QUERIES})
+SELECT q.query_id, e.vec_id,
+  round({_COS_SQL.format(a='e.v', b='q.qv')}, 6) AS cos_sim,
+  CAST(row_number() OVER (
+    PARTITION BY q.query_id
+    ORDER BY round({_COS_SQL.format(a='e.v', b='q.qv')}, 6) DESC, e.vec_id ASC
+  ) AS BIGINT) AS rank
+FROM e, q QUALIFY rank <= 5""",
         "knn_bruteforce": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,

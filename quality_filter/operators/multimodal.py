@@ -13,8 +13,9 @@ only ADD decodable formats, never degrade output):
   1. built-in pure-numpy decoders: PPM (P6), BMP (uncompressed
      24/32-bit), PNG (8-bit gray/RGB/RGBA non-interlaced, stdlib zlib),
      baseline JPEG (operators/jpeg.py: full T.81 sequential DCT —
-     generic DHT/DQT, subsampling, restarts), and WAV (PCM 8/16/32 +
-     float32) — real pixel/sample decode, no external libraries;
+     generic DHT/DQT, subsampling, restarts), GIF (operators/gif.py:
+     LZW, interlace, transparency), and WAV (PCM 8/16/32 + float32) —
+     real pixel/sample decode, no external libraries;
   2. PIL, if installed, for containers the built-ins don't recognize;
   3. otherwise a clearly-marked deterministic fake (digest-derived
      features) keeps opaque payloads flowing with decode_ok=true.
@@ -456,6 +457,10 @@ def decode_pixels(b: bytes, pil=None) -> np.ndarray | None:
         from quality_filter.operators.jpeg import decode_jpeg
 
         return decode_jpeg(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from quality_filter.operators.gif import decode_gif
+
+        return decode_gif(b)
     if pil is not None:
         try:
             img = pil.open(io.BytesIO(b))
@@ -506,6 +511,7 @@ def decode_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                         else "bmp" if b[:2] == b"BM"
                         else "png" if b[:8] == PNG_MAGIC
                         else "jpeg" if b[:2] == b"\xff\xd8"
+                        else "gif" if b[:6] in (b"GIF87a", b"GIF89a")
                         else "pil"
                     )
                 else:
@@ -589,7 +595,7 @@ def generate_media(n: int, seed: int = 11, real_image_every: int = 0) -> pd.Data
         if rnd.random() < 0.05:
             payload = None
         elif real_image_every and i % real_image_every == 0:
-            codec = (i // real_image_every) % 5
+            codec = (i // real_image_every) % 6
             if codec == 3:  # real audio
                 t = np.arange(1600) / 16000.0
                 freq = 200 + 50 * (i % 7)
@@ -603,6 +609,10 @@ def generate_media(n: int, seed: int = 11, real_image_every: int = 0) -> pd.Data
                     from quality_filter.operators.jpeg import encode_jpeg
 
                     payload = encode_jpeg(arr, subsample=bool(i % 2))
+                elif codec == 5:
+                    from quality_filter.operators.gif import encode_gif
+
+                    payload = encode_gif(arr)
                 else:
                     payload = (encode_ppm, _to_bmp, encode_png)[codec](arr)
         else:

@@ -121,6 +121,50 @@ def knn_lsh_multiprobe(
     return knn_bruteforce(candidates, vec_col, id_col, query_vec, k)
 
 
+def knn_join(
+    df: DataFrame, vec_col: str, id_col: str,
+    queries: list[tuple[int, list[float]]], k: int = 10,
+) -> DataFrame:
+    """Exact batch KNN join: top-k corpus neighbors for EVERY query in a
+    (bounded) query set.  The queries ride into the plan as a literal
+    array of structs — one corpus scan, per-row explode over the query
+    set, partial top-k per task via the rank-limit window pushdown
+    (WindowGroupLimit) — no join operator at all, so nothing shuffles
+    but the per-query candidate heads.
+
+    For query sets too large to inline (>~1e3), chunk the calls or use
+    the LSH/IVF single-query paths per query; the scan cost amortizes
+    over all inlined queries either way."""
+    from pyspark.sql import Window as W
+
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(int(qid)).alias("query_id"),
+                F.array(*[F.lit(float(x)) for x in qv]).alias("qv"),
+            )
+            for qid, qv in queries
+        ]
+    )
+    exploded = df.select(
+        F.col(id_col), F.col(vec_col).alias("_v"), F.explode(qarr).alias("_q")
+    )
+    cos = cosine(F.col("_v"), F.col("_q.qv"))
+    scored = exploded.select(
+        F.col("_q.query_id").alias("query_id"),
+        F.col(id_col),
+        F.round(cos, 6).alias("cos_sim"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    )
+    return (
+        scored.withColumn("rank", rn)
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def make_planes(dim: int, n_planes: int, seed: int = 1234) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no RNG state dependence)."""
     import numpy as np

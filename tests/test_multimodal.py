@@ -155,6 +155,29 @@ def test_jpeg_roundtrip_and_real_fixtures():
     assert arr.std() > 20  # decoded real content, not noise-shaped garbage
 
 
+def test_gif_roundtrip_and_real_fixtures():
+    import glob
+
+    from quality_filter.operators.gif import decode_gif, encode_gif
+
+    img = _demo_pixels(w=9, h=13)
+    out = decode_gif(encode_gif(img, max_colors=8))
+    quant = ((img.astype(np.int64) * 8 // 256) * 32).astype(np.uint8)
+    assert (out == quant).all()  # exact to the quantized palette
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + b"\x00" * 8)
+    with pytest.raises(ValueError):
+        decode_gif(encode_gif(img)[:-20])
+
+    fixtures = glob.glob(
+        "/mnt/*/model_tools_env/*/python/install/lib/python3*/idlelib/Icons/idle_16.gif"
+    ) + glob.glob("/usr/lib/python3*/idlelib/Icons/idle_16.gif")
+    if not fixtures:
+        pytest.skip("no real gif fixtures on this host")
+    arr = decode_gif(open(fixtures[0], "rb").read())
+    assert arr.shape == (16, 16, 3) and arr.std() > 20
+
+
 def test_malformed_recognized_containers_raise():
     px = _demo_pixels()
     for bad in (
@@ -225,8 +248,8 @@ def test_real_pixel_decode_end_to_end(spark, media):
     image_features computation exactly."""
     out = decode_features(media).toPandas().set_index("media_id")
     src = media.toPandas().set_index("media_id")
-    real = out[out["decoder"].isin(["ppm", "bmp", "png", "jpeg"])]
-    assert len(real) > 5 and set(real["decoder"]) == {"ppm", "bmp", "png", "jpeg"}
+    real = out[out["decoder"].isin(["ppm", "bmp", "png", "jpeg", "gif"])]
+    assert len(real) > 5 and set(real["decoder"]) == {"ppm", "bmp", "png", "jpeg", "gif"}
     assert real["decode_ok"].all()
     for mid, row in real.iterrows():
         px = decode_pixels(bytes(src.loc[mid, "payload"]))
