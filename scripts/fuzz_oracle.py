@@ -53,7 +53,7 @@ EVENT_QUERIES = [
 EMB_QUERIES = [
     "embedding_near_dup_pairs", "embedding_near_dup_lsh",
     "embedding_clusters", "knn_bruteforce", "knn_lsh", "knn_lsh_multiprobe",
-    "knn_ivf",
+    "knn_ivf", "knn_join",
 ]
 
 WORD_POOLS = (
