@@ -290,12 +290,13 @@ def connected_components(
     comp(x) = min id reachable from x (including x).  Returns
     (node, comp) for every node incident to an edge.
 
-    Each iteration is one join + one partial-aggregated min — a bounded
-    number of shuffles on the node id; lineage is truncated per
-    iteration (localCheckpoint) so the plan doesn't grow with the loop.
-    Converges in O(graph diameter) rounds — near-dup graphs are
-    union-of-cliques/stars with tiny diameter; the large-star/small-star
-    doubling scheme is the upgrade path if long chains ever appear."""
+    Each iteration: neighbor-min propagation (one join + one
+    partial-aggregated min) followed by POINTER JUMPING — comp(x) :=
+    comp(comp(x)) — which halves label-chain depth every round, so
+    convergence is O(log diameter), not O(diameter) (a 4097-node path
+    converges in 12 rounds, pinned by test).  Lineage is truncated per
+    iteration (localCheckpoint) so the plan doesn't grow with the
+    loop; each round is a bounded number of shuffles on the node id."""
     und = (
         edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
         .union(edges.select(F.col(dst).alias("x"), F.col(src).alias("y")))
@@ -314,10 +315,22 @@ def connected_components(
             .groupBy("x")
             .agg(F.min("ycomp").alias("nbr_min"))
         )
-        proposed = labels.join(nbr, "x", "left").select(
+        stepped = labels.join(nbr, "x", "left").select(
             "x",
             F.least(F.col("comp"), F.coalesce("nbr_min", F.col("comp"))).alias("comp"),
             F.col("comp").alias("_old"),
+        )
+        # pointer jumping: follow the label one hop (comp := comp(comp))
+        # — min-labels only move one edge per propagation round, but
+        # label CHAINS can be followed transitively for free
+        lut = stepped.select(F.col("x").alias("comp"), F.col("comp").alias("_jump"))
+        proposed = (
+            stepped.join(lut, "comp", "left")
+            .select(
+                "x",
+                F.least(F.col("comp"), F.coalesce("_jump", F.col("comp"))).alias("comp"),
+                "_old",
+            )
         )
         proposed = proposed.localCheckpoint(eager=True)
         changed = proposed.filter(F.col("comp") < F.col("_old")).count()

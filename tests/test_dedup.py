@@ -50,6 +50,19 @@ def test_star_edges_linear_under_hot_band_key(spark):
     assert 0 in surv and len(surv & set(range(n_dup))) == 1
 
 
+def test_components_converge_on_long_chains(spark):
+    """Pointer jumping makes convergence O(log diameter): a 4097-node
+    path (diameter 4096) must resolve within 15 rounds — plain min-label
+    propagation would need 4096."""
+    n = 4097
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["src", "dst"]
+    ).repartition(8)
+    comp = dedup.connected_components(edges, max_iters=15).toPandas()
+    assert len(comp) == n
+    assert (comp["comp"] == 0).all()
+
+
 def test_components_match_union_find(spark):
     """Star-edge min-label components == union-find over the full pair
     list (clique edges) on the real sf0.01 corpus."""
