@@ -150,17 +150,17 @@ def _decode_gif(b: bytes) -> np.ndarray:
     raise ValueError("gif has no image frame")
 
 
-def encode_gif(arr: np.ndarray, max_colors: int = 64) -> bytes:
-    """(H, W, 3) uint8 → single-frame GIF89a.  Palette = the image's
-    distinct colors (must be <= 256 after uniform quantization to
-    ``max_colors`` levels); LZW stream emits a clear code before every
-    pixel code — maximally dumb, spec-valid, trivially correct."""
+def encode_gif(arr: np.ndarray, levels: int = 6) -> bytes:
+    """(H, W, 3) uint8 → single-frame GIF89a.  Channels are uniformly
+    quantized to ``levels`` values (levels**3 <= 256 guarantees the
+    palette fits); the LZW stream emits a clear code before every pixel
+    code — maximally dumb, spec-valid, trivially correct."""
+    if levels ** 3 > 256:
+        raise ValueError("levels**3 must fit a gif palette")
     h, w = arr.shape[:2]
-    quant = (arr.astype(np.int64) * max_colors // 256) * (256 // max_colors)
+    quant = (arr.astype(np.int64) * levels // 256) * (256 // levels)
     flat = quant.reshape(-1, 3)
     colors, inverse = np.unique(flat, axis=0, return_inverse=True)
-    if len(colors) > 256:
-        raise ValueError("too many colors for gif test encoder")
     bits = max(2, int(len(colors) - 1).bit_length())
     table_size = 1 << bits
     palette = np.zeros((table_size, 3), dtype=np.uint8)

@@ -161,8 +161,8 @@ def test_gif_roundtrip_and_real_fixtures():
     from quality_filter.operators.gif import decode_gif, encode_gif
 
     img = _demo_pixels(w=9, h=13)
-    out = decode_gif(encode_gif(img, max_colors=8))
-    quant = ((img.astype(np.int64) * 8 // 256) * 32).astype(np.uint8)
+    out = decode_gif(encode_gif(img, levels=6))
+    quant = ((img.astype(np.int64) * 6 // 256) * 42).astype(np.uint8)
     assert (out == quant).all()  # exact to the quantized palette
     with pytest.raises(ValueError):
         decode_gif(b"GIF89a" + b"\x00" * 8)
