@@ -1,0 +1,83 @@
+"""Table maintenance: small-file compaction for partitioned sinks.
+
+The 100-TB operational problem the scoring pipeline creates over time:
+every incremental run appends a few files per day-partition, and after
+months a partition holds thousands of small parquet files — scan
+planning, shuffle fetch, and the NameNode/object-store listing all
+degrade.  (Iceberg's rewrite_data_files does this natively; this is the
+hive-layout fallback matching io/pages.py's partitioned-parquet mode.)
+
+Safety model: rewrite into a sibling temp dir, verify row count, then
+atomically swap via two renames.  A crash before the first rename
+leaves the partition untouched; between renames the partition is
+momentarily absent (the same window a hive INSERT OVERWRITE has) —
+callers needing stronger guarantees use the Iceberg path.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def partition_file_stats(path: str) -> dict[str, dict]:
+    """{partition_dir: {n_files, bytes}} for a hive-partitioned sink."""
+    out = {}
+    for entry in sorted(os.listdir(path)):
+        full = os.path.join(path, entry)
+        if not os.path.isdir(full) or "=" not in entry:
+            continue
+        files = [
+            f for f in os.listdir(full)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        out[entry] = {
+            "n_files": len(files),
+            "bytes": sum(os.path.getsize(os.path.join(full, f)) for f in files),
+        }
+    return out
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    min_files: int = 4,
+) -> dict:
+    """Rewrite every partition holding more than ``min_files`` files
+    into ceil(bytes / target) files.  Returns a summary of what was
+    rewritten.  Row-count-verified before the swap; idempotent (a
+    compacted partition is below min_files and is skipped next run)."""
+    stats = partition_file_stats(path)
+    done = {}
+    for part, st in stats.items():
+        if st["n_files"] <= min_files:
+            continue
+        src = os.path.join(path, part)
+        n_out = max(1, -(-st["bytes"] // target_file_bytes))
+        df = spark.read.parquet(src)
+        n_rows = df.count()
+        tmp = src + "._compact_tmp"
+        old = src + "._compact_old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+        if spark.read.parquet(tmp).count() != n_rows:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(f"compaction row-count mismatch in {part}")
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old)
+        done[part] = {
+            "files_before": st["n_files"],
+            "files_after": len(
+                [f for f in os.listdir(src) if f.endswith(".parquet")]
+            ),
+            "rows": n_rows,
+        }
+    return {"compacted": done, "skipped": len(stats) - len(done)}

@@ -93,6 +93,34 @@ def test_resume_lineage_without_output_reread(spark, pages_dir, tmp_path, monkey
         assert rec["rows_out"] == sum(rec["by_status"].values()) > 0
 
 
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    """Small-file compaction: a fragmented day-partition collapses to
+    few files with identical rows; already-compact partitions are
+    skipped; the pass is idempotent."""
+    from quality_filter.io.maintenance import compact_partitions, partition_file_stats
+
+    out = str(tmp_path / "sink")
+    pdf = generate_pages(200, seed=55, days=2).drop(columns=["cls"])
+    sdf = spark.createDataFrame(pdf, schema=pages_spark_schema())
+    # fragment: 25 input partitions -> ~25 files per day-partition
+    from quality_filter.io.pages import write_pages_partitioned
+
+    write_pages_partitioned(sdf.repartition(25), out)
+    before = partition_file_stats(out)
+    assert all(s["n_files"] >= 20 for s in before.values())
+    rows_before = spark.read.parquet(out).count()
+
+    summary = compact_partitions(spark, out, target_file_bytes=1 << 30, min_files=4)
+    assert len(summary["compacted"]) == len(before)
+    after = partition_file_stats(out)
+    assert all(s["n_files"] <= 2 for s in after.values())
+    assert spark.read.parquet(out).count() == rows_before
+
+    # idempotent: nothing left to do
+    again = compact_partitions(spark, out, target_file_bytes=1 << 30, min_files=4)
+    assert not again["compacted"] and again["skipped"] == len(after)
+
+
 def test_partition_lineage_conserves_rows(spark, pages_dir):
     scored = tiered_scored(spark.read.parquet(pages_dir).drop("warc_dt"))
     lin = partition_lineage(scored).toPandas()
