@@ -543,6 +543,47 @@ def q_event_type_pivot(spark, sf_dir):
     return out.select("user_id", *cols)
 
 
+def q_event_counts_unpivot(spark, sf_dir):
+    """UNPIVOT (melt): the wide per-type count matrix back to long
+    (user_id, event_type, n) rows — the inverse of event_type_pivot,
+    dropping the zero cells the pivot materialized."""
+    wide = q_event_type_pivot(spark, sf_dir)
+    long = wide.unpivot(
+        "user_id", [f"n_{t}" for t in EVENT_TYPES], "event_type", "n"
+    )
+    return long.filter(F.col("n") > 0).select(
+        "user_id",
+        F.expr("substring(event_type, 3)").alias("event_type"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def q_doc_quality_deciles(spark, sf_dir):
+    """ntile(10) quality bucketing over the heuristic score — the
+    corpus-curriculum operator (train on the top deciles first).
+
+    Scale note: an UNPARTITIONED ntile is a global sort (Spark warns,
+    correctly) — exact global ranks cost that by definition.  At corpus
+    scale the pattern is two-phase: compute the 9 decile BOUNDARIES once
+    (exact `percentile` — tree-aggregated partials) and assign buckets
+    by comparison in a narrow map; this registered query keeps the exact
+    single-window form because the driver's oracle checks exact ranks
+    with deterministic tie-breaks, which boundary-assignment cannot
+    reproduce for duplicate scores at the boundary."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = R.feature_columns(F.col("text"), CFG)
+    feats["ppl_norm"] = F.lit(0.0)
+    q = F.round(R.quality_score_col(feats, CFG), 6)
+    w = Window.orderBy(q.desc(), F.col("doc_id").asc())
+    return docs.select(
+        "doc_id",
+        q.alias("quality_score"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
 def q_doc_length_quantiles(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
@@ -781,6 +822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_last_view_asof": q_purchase_last_view_asof,
         "orders_grouping_sets": q_orders_grouping_sets,
         "event_type_pivot": q_event_type_pivot,
+        "event_counts_unpivot": q_event_counts_unpivot,
+        "doc_quality_deciles": q_doc_quality_deciles,
         "doc_length_quantiles": q_doc_length_quantiles,
         "running_value_sum": q_running_value_sum,
         "active_positive_custkeys": q_active_positive_custkeys,
@@ -1412,6 +1455,17 @@ FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
             for t in EVENT_TYPES
         )
         + " FROM events GROUP BY user_id",
+        "event_counts_unpivot": """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY user_id, event_type""",
+        "doc_quality_deciles": f"""
+WITH {_features_cte()}
+SELECT doc_id,
+  round(1.0 / (1.0 + exp(-{qz})), 6) AS quality_score,
+  CAST(ntile(10) OVER (
+    ORDER BY round(1.0 / (1.0 + exp(-{qz})), 6) DESC, doc_id ASC
+  ) AS BIGINT) AS decile
+FROM ratios""",
         "doc_length_quantiles": """
 SELECT lang,
   round(quantile_cont(n_chars, 0.25), 6) AS q25,

@@ -42,13 +42,14 @@ DOC_QUERIES = [
     "simhash_docs", "simhash_near_dup", "docs_hash_sample",
     "docs_stratified_sample", "corpus_top_terms", "tfidf_top_docs",
     "dup_ngram_ratio_docs", "packed_docs", "corpus_curation",
+    "doc_quality_deciles",
 ]
 EVENT_QUERIES = [
     "decimated_events", "tumbling_agg_mean", "tumbling_agg_median",
     "tumbling_agg_max", "tumbling_agg_min", "hourly_event_stats",
     "hopping_event_stats", "forward_fill_purchase", "sessionized_counts",
     "topk_events_per_user", "running_value_sum", "salted_user_stats",
-    "event_type_pivot", "purchase_last_view_asof",
+    "event_type_pivot", "event_counts_unpivot", "purchase_last_view_asof",
 ]
 EMB_QUERIES = [
     "embedding_near_dup_pairs", "embedding_near_dup_lsh",
