@@ -61,6 +61,27 @@ def windowed_keep_rate(
     )
 
 
+def stream_sessionized_counts(
+    sdf: DataFrame,
+    key: str,
+    ts: str,
+    gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming session windows: per-key event counts over gap-merged
+    sessions (`F.session_window` — the state store merges/extends
+    sessions as events arrive; the watermark closes and emits them).
+    Batch twin: operators/windows.sessionize — identical session
+    boundaries by definition (new session iff the gap is exceeded), so
+    (key, session_start, n_events) agree exactly."""
+    return (
+        sdf.withWatermark(ts, watermark)
+        .groupBy(F.session_window(F.col(ts), gap).alias("w"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), key, "n_events")
+    )
+
+
 def stream_dedup_exact(
     sdf: DataFrame,
     text_col: str = "text",
