@@ -158,7 +158,10 @@ def encode_gif(arr: np.ndarray, levels: int = 6) -> bytes:
     if levels ** 3 > 256:
         raise ValueError("levels**3 must fit a gif palette")
     h, w = arr.shape[:2]
-    quant = (arr.astype(np.int64) * levels // 256) * (256 // levels)
+    # idempotent mapping: level k -> 255//(levels-1) * k, so re-encoding
+    # an already-quantized image is a no-op (the plain round-trip law)
+    step = 255 // (levels - 1) if levels > 1 else 0
+    quant = (arr.astype(np.int64) * levels // 256) * step
     flat = quant.reshape(-1, 3)
     colors, inverse = np.unique(flat, axis=0, return_inverse=True)
     bits = max(2, int(len(colors) - 1).bit_length())

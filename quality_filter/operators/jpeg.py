@@ -325,9 +325,13 @@ def _equal_length_table(symbols: set[int]) -> tuple[list[int], list[int], dict[i
     return counts, syms, enc
 
 
-def encode_jpeg(arr: np.ndarray, subsample: bool = False, q: int = 8) -> bytes:
+def encode_jpeg(
+    arr: np.ndarray, subsample: bool = False, q: int = 8,
+    restart_interval: int = 0,
+) -> bytes:
     """(H, W, 3) uint8 → baseline JPEG (flat quantization q, optional
-    2x2 chroma subsampling)."""
+    2x2 chroma subsampling, optional DRI restart markers every
+    ``restart_interval`` MCUs — exercises the decoder's restart path)."""
     h, w = arr.shape[:2]
     rgb = arr.astype(np.float64)
     y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
@@ -374,7 +378,14 @@ def encode_jpeg(arr: np.ndarray, subsample: bool = False, q: int = 8) -> bytes:
     ac_syms: dict[int, set] = {0: set(), 1: set()}
     preds = [0, 0, 0]
     sym_stream: list[tuple] = []
-    for ci, zz in blocks:
+    blocks_per_mcu = sum(fh * fv for fh, fv in factors)
+    mcu_starts: set[int] = set()  # indices into sym_stream where a new MCU begins
+    for bi, (ci, zz) in enumerate(blocks):
+        if bi % blocks_per_mcu == 0:
+            mcu_idx = bi // blocks_per_mcu
+            mcu_starts.add(len(sym_stream))
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                preds = [0, 0, 0]  # DC predictors reset at restart markers
         tcls = 0 if ci == 0 else 1
         t, bits = _encode_value(int(zz[0]) - preds[ci])
         preds[ci] = int(zz[0])
@@ -416,6 +427,8 @@ def encode_jpeg(arr: np.ndarray, subsample: bool = False, q: int = 8) -> bytes:
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xDB, bytes([0]) + bytes(int(x) for x in qtab))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sof = struct.pack(">BHHB", 8, h, w, 3)
     for ci, (fh, fv) in enumerate(factors):
         sof += bytes([ci + 1, (fh << 4) | fv, 0])
@@ -432,7 +445,13 @@ def encode_jpeg(arr: np.ndarray, subsample: bool = False, q: int = 8) -> bytes:
     out += seg(0xDA, sos)
 
     bw = _BitWriter()
-    for stream in sym_stream:
+    n_mcus = 0
+    for si, stream in enumerate(sym_stream):
+        if si in mcu_starts and si:
+            mcu_idx = n_mcus = n_mcus + 1
+            if restart_interval and mcu_idx % restart_interval == 0 and mcu_idx < mcux * mcuy:
+                bw.flush()  # byte-align (pad with 1s), then raw marker
+                bw.out += bytes([0xFF, 0xD0 + ((mcu_idx // restart_interval - 1) % 8)])
         for item in stream:
             if item[0] == "dc":
                 _, tcls, t, bits = item

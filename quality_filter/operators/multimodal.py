@@ -151,14 +151,14 @@ def decode_png(b: bytes) -> np.ndarray:
     """Pure numpy+zlib PNG decode → (H, W, 3) uint8 RGB.
 
     Supports the shapes that cover virtually all web PNGs: 8-bit depth,
-    color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), no
-    interlacing; all five scanline filters.  Palette (type 3),
-    16-bit, and Adam7 raise ValueError → quarantine.  Alpha is dropped
+    color types 0 (gray), 2 (RGB), 3 (palette/PLTE), 4 (gray+alpha),
+    6 (RGBA), no interlacing; all five scanline filters.  16-bit and
+    Adam7 raise ValueError → quarantine.  Alpha is dropped
     (the reference convert("RGB") behavior,
     /root/reference/opennsfw2/_image.py:30-31)."""
     if b[:8] != PNG_MAGIC:
         raise ValueError("not a png")
-    pos, ihdr, idat = 8, None, bytearray()
+    pos, ihdr, idat, plte = 8, None, bytearray(), None
     while pos + 8 <= len(b):
         (length,) = struct.unpack_from(">I", b, pos)
         ctype = b[pos + 4 : pos + 8]
@@ -167,6 +167,10 @@ def decode_png(b: bytes) -> np.ndarray:
             raise ValueError("truncated png chunk")
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("bad png palette")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -177,9 +181,11 @@ def decode_png(b: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = ihdr
     if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
         raise ValueError("png variant unsupported")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None or w <= 0 or h <= 0:
         raise ValueError("png color type unsupported")
+    if color == 3 and plte is None:
+        raise ValueError("palette png missing PLTE")
     raw = zlib.decompress(bytes(idat))
     stride = w * channels
     if len(raw) < h * (stride + 1):
@@ -224,6 +230,11 @@ def decode_png(b: bytes) -> np.ndarray:
         return np.repeat(px, 3, axis=2)
     if color == 2:
         return px
+    if color == 3:
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("png index out of palette")
+        return plte[idx]
     if color == 4:
         return np.repeat(px[:, :, :1], 3, axis=2)
     return px[:, :, :3]  # RGBA -> RGB

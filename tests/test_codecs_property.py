@@ -57,7 +57,7 @@ def test_gif_exact_to_quantized_palette(dim, seed):
     w, h = dim
     px = _img(w, h, seed)
     out = decode_gif(encode_gif(px, levels=6))
-    quant = ((px.astype(np.int64) * 6 // 256) * 42).astype(np.uint8)
+    quant = ((px.astype(np.int64) * 6 // 256) * 51).astype(np.uint8)
     assert (out == quant).all()
 
 
