@@ -54,3 +54,29 @@ def corpus_summary(scored: DataFrame) -> DataFrame:
             F.round(F.avg("ppl"), 4).alias("avg_ppl"),
         )
     )
+
+
+def sketch_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Approximate corpus statistics via Spark's built-in sketches — the
+    100-TB answer when exact distinct/quantile costs a full shuffle:
+
+      * vocab_approx:    HyperLogLog++ distinct token count
+                         (`approx_count_distinct`, rsd 0.01) — mergeable
+                         partial sketches, no term shuffle at all;
+      * len_p50/p90/p99: Greenwald-Khanna `percentile_approx` over doc
+                         lengths (accuracy 1/10000) — one pass, bounded
+                         memory, vs the exact sort-based `percentile`.
+
+    Accuracy is pinned against the exact computations by
+    tests/test_sampling_and_textagg.py (rsd-bounded), not by the DuckDB
+    oracle — the sketches are engine-specific by nature and are the one
+    deliberate approximate surface in the engine."""
+    vocab = docs.select(
+        F.explode(F.split(F.lower(F.trim(text_col)), "[ ]+")).alias("term")
+    ).agg(F.approx_count_distinct("term", rsd=0.01).alias("vocab_approx"))
+    lens = docs.agg(
+        F.percentile_approx(F.length(text_col), 0.5, 10000).alias("len_p50"),
+        F.percentile_approx(F.length(text_col), 0.9, 10000).alias("len_p90"),
+        F.percentile_approx(F.length(text_col), 0.99, 10000).alias("len_p99"),
+    )
+    return vocab.crossJoin(lens)  # two 1-row aggregates

@@ -35,6 +35,8 @@ def main() -> None:
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
     ap.add_argument("--no-resume", action="store_true",
                     help="ignore the manifest and reprocess every split")
+    ap.add_argument("--compact", action="store_true",
+                    help="after processing, compact small files per day-partition")
     args = ap.parse_args()
 
     from quality_filter.config import DEFAULT_ARTIFACT_DIR
@@ -50,6 +52,10 @@ def main() -> None:
     summary = run_with_resume(
         spark, args.input, args.output, args.manifest, artifact_dir=artifact_dir
     )
+    if args.compact and not args.output.startswith(("s3:", "gs:", "abfs", "hdfs:")):
+        from quality_filter.io.maintenance import compact_partitions
+
+        summary["compaction"] = compact_partitions(spark, args.output)
     summary["wall_sec"] = round(time.perf_counter() - t0, 3)
     spark.stop()
     print(json.dumps(summary))

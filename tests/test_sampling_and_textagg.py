@@ -144,3 +144,23 @@ def test_stream_dedup_matches_batch_first_seen(spark, tmp_path):
     assert got.count() == n_distinct
     # stream output carries no duplicate fingerprints
     assert got.select(fingerprint_col(F.col("text"))).distinct().count() == got.count()
+
+
+def test_sketch_summary_accuracy(spark, docs):
+    """The deliberate approximate surface: HLL distinct within its rsd
+    envelope of the exact distinct count; approx quantiles within one
+    rank-step of the exact percentile."""
+    from quality_filter.metrics import sketch_summary
+
+    got = sketch_summary(docs).head()
+    exact_vocab = (
+        docs.select(F.explode(F.split(F.lower(F.trim("text")), "[ ]+")).alias("t"))
+        .agg(F.countDistinct("t")).head()[0]
+    )
+    assert abs(got["vocab_approx"] - exact_vocab) / exact_vocab < 0.05
+    exact = docs.agg(
+        F.percentile("n_chars", 0.5).alias("p50"),
+        F.percentile("n_chars", 0.99).alias("p99"),
+    ).head()
+    assert abs(got["len_p50"] - exact["p50"]) <= max(2, 0.02 * exact["p50"])
+    assert abs(got["len_p99"] - exact["p99"]) <= max(2, 0.02 * exact["p99"])
