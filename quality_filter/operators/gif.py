@@ -74,13 +74,26 @@ _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 def decode_gif(b: bytes) -> np.ndarray:
     """First frame → (H, W, 3) uint8 RGB (transparency over white).
     Raises ValueError for any malformed/truncated input."""
+    return decode_gif_frames(b, max_frames=1)[0]
+
+
+def decode_gif_frames(b: bytes, max_frames: int | None = None) -> list[np.ndarray]:
+    """All frames of a (possibly animated) GIF → list of (H, W, 3)
+    uint8 RGB canvases.  Frames composite onto the running canvas
+    ("leave in place" semantics; disposal method 2 restores the region
+    to white).  The video-frame-source realization for the media stage:
+    explode_gif_frames turns these into rows that frame_sample and
+    decode_features consume."""
     try:
-        return _decode_gif(b)
+        frames = _decode_gif(b, max_frames)
     except (IndexError, struct.error) as e:
         raise ValueError(f"truncated gif: {e}") from e
+    if not frames:
+        raise ValueError("gif has no image frame")
+    return frames
 
 
-def _decode_gif(b: bytes) -> np.ndarray:
+def _decode_gif(b: bytes, max_frames: int | None = None) -> list[np.ndarray]:
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a gif")
     sw, sh, flags, bg, _ = struct.unpack_from("<HHBBB", b, 6)
@@ -91,6 +104,9 @@ def _decode_gif(b: bytes) -> np.ndarray:
         gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
     transparent = None
+    disposal = 0
+    canvas = None
+    frames: list[np.ndarray] = []
     while pos < len(b):
         block = b[pos]
         if block == 0x21:  # extension
@@ -98,8 +114,8 @@ def _decode_gif(b: bytes) -> np.ndarray:
             pos += 2
             if label == 0xF9 and b[pos] >= 4:  # graphic control
                 packed = b[pos + 1]
-                if packed & 1:
-                    transparent = b[pos + 4]
+                disposal = (packed >> 2) & 7
+                transparent = b[pos + 4] if packed & 1 else None
             while b[pos] != 0:  # skip sub-blocks
                 pos += 1 + b[pos]
             pos += 1
@@ -136,18 +152,97 @@ def _decode_gif(b: bytes) -> np.ndarray:
                         src += 1
                 frame = de
             rgb = ct[frame].astype(np.uint8)
+            if canvas is None:
+                canvas = np.full((sh or ih, sw or iw, 3), 255, dtype=np.uint8)
+            region = canvas[iy : iy + ih, ix : ix + iw]
             if transparent is not None and transparent < len(ct):
-                rgb = rgb.copy()
-                rgb[frame == transparent] = 255  # composite over white
-            # place into the logical screen (first frame: usually full)
-            canvas = np.full((sh or ih, sw or iw, 3), 255, dtype=np.uint8)
-            canvas[iy : iy + ih, ix : ix + iw] = rgb
-            return canvas
+                opaque = frame != transparent
+                region[opaque] = rgb[opaque]  # transparent pixels show through
+            else:
+                region[...] = rgb
+            frames.append(canvas.copy())
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
+            if disposal == 2:  # restore region to background (white)
+                canvas[iy : iy + ih, ix : ix + iw] = 255
+            transparent = None
+            disposal = 0
         elif block == 0x3B:  # trailer
             break
         else:
             raise ValueError("bad gif block")
-    raise ValueError("gif has no image frame")
+    return frames
+
+
+
+def _quantize(arr: np.ndarray, levels: int):
+    if levels ** 3 > 256:
+        raise ValueError("levels**3 must fit a gif palette")
+    step = 255 // (levels - 1) if levels > 1 else 0
+    quant = (arr.astype(np.int64) * levels // 256) * step
+    colors, inverse = np.unique(quant.reshape(-1, 3), axis=0, return_inverse=True)
+    bits = max(2, int(len(colors) - 1).bit_length())
+    palette = np.zeros((1 << bits, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    return palette, inverse, bits
+
+
+def _lzw_encode(inverse, min_code: int) -> bytes:
+    """Clear-code-per-pixel LZW stream (fixed code size) + sub-blocks."""
+    clear = 1 << min_code
+    code_size = min_code + 1
+    acc = nbits = 0
+    stream = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for v in inverse:
+        emit(int(v))
+        emit(clear)
+    emit(clear + 1)
+    if nbits:
+        stream.append(acc & 0xFF)
+    out = bytearray()
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00"
+    return bytes(out)
+
+
+def _frame_bytes(arr: np.ndarray, levels: int, local: bool) -> bytes:
+    """Image-descriptor block (with a local color table) for one frame."""
+    h, w = arr.shape[:2]
+    palette, inverse, bits = _quantize(arr, levels)
+    out = bytearray()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x80 | (bits - 1))
+    out += palette.tobytes()
+    out += bytes([bits])
+    out += _lzw_encode(inverse, bits)
+    return bytes(out)
+
+
+def encode_gif_animated(frames: list[np.ndarray], levels: int = 6) -> bytes:
+    """Full-size frames → animated GIF89a, one LOCAL color table per
+    frame (palettes may differ), leave-in-place disposal — so decoding
+    returns exactly the quantized per-frame images."""
+    h, w = frames[0].shape[:2]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0, 0, 0)  # no global color table
+    for arr in frames:
+        if arr.shape[:2] != (h, w):
+            raise ValueError("animated frames must share dimensions")
+        out += _frame_bytes(arr, levels, local=True)
+    out += b"\x3b"
+    return bytes(out)
 
 
 def encode_gif(arr: np.ndarray, levels: int = 6) -> bytes:

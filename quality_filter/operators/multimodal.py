@@ -577,6 +577,67 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("payload", T.BinaryType(), True),  # frame, PPM-encoded
+        T.StructField("frame_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def explode_frames(df: DataFrame, max_frames: int = 32) -> DataFrame:
+    """Video-frame SOURCE realized: one row per frame of an animated
+    container (GIF; the pattern extends to any multi-frame codec).
+    Static decodable images emit their single frame; opaque/malformed
+    payloads emit one frame_ok=false row (conservation + quarantine).
+    Output frames are PPM so the decode/featurize/resize stages consume
+    them unchanged — compose with frame_sample for decimation
+    (/root/reference/opennsfw2/_inference.py:169-205's decode-then-
+    sample video loop, as two relational stages)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from quality_filter.operators.gif import decode_gif_frames
+
+        pil = _try_real_decoder()
+        for pdf in batches:
+            mids, idxs, counts, payloads, oks = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    mids.append(mid); idxs.append(None); counts.append(None)
+                    payloads.append(None); oks.append(False)
+                    continue
+                b = bytes(payload)
+                try:
+                    if b[:6] in (b"GIF87a", b"GIF89a"):
+                        frames = decode_gif_frames(b, max_frames=max_frames)
+                    else:
+                        px = decode_pixels(b, pil)
+                        frames = [px] if px is not None else None
+                except ValueError:
+                    frames = None
+                if frames is None:
+                    mids.append(mid); idxs.append(None); counts.append(None)
+                    payloads.append(None); oks.append(False)
+                    continue
+                for i, fr in enumerate(frames):
+                    mids.append(mid); idxs.append(i); counts.append(len(frames))
+                    payloads.append(encode_ppm(fr)); oks.append(True)
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "frame_idx": pd.array(idxs, dtype="Int64"),
+                    "n_frames": pd.array(counts, dtype="Int64"),
+                    "payload": payloads,
+                    "frame_ok": oks,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_k: int = 8) -> DataFrame:
     """Video frame-sampling analog over media rows: keep every k-th row
     per url ordered by media_id — the frame_interval decimation
@@ -605,6 +666,16 @@ def generate_media(n: int, seed: int = 11, real_image_every: int = 0) -> pd.Data
         kind = kinds[i % 3]
         if rnd.random() < 0.05:
             payload = None
+        elif real_image_every and kind == "video" and i % (2 * real_image_every) == real_image_every - 1:
+            # real animated container: a short multi-frame gif
+            from quality_filter.operators.gif import encode_gif_animated
+
+            n_frames = 3 + (i // 3) % 4
+            frames = [
+                np.frombuffer(rnd.randbytes(6 * 4 * 3), dtype=np.uint8).reshape(4, 6, 3)
+                for _ in range(n_frames)
+            ]
+            payload = encode_gif_animated(frames)
         elif real_image_every and i % real_image_every == 0:
             codec = (i // real_image_every) % 6
             if codec == 3:  # real audio

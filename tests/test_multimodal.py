@@ -409,3 +409,34 @@ def test_frame_sample_decimation(spark, media):
     # structural: fewer rows out, at least one per url
     assert 0 < len(out) < len(full)
     assert set(out["url"]) == set(full["url"])
+
+
+def test_explode_frames_video_source(spark, media):
+    """Animated GIFs explode into one PPM row per frame; static images
+    emit a single frame; opaque payloads quarantine.  Composes with
+    frame_sample and decode_features (the two-stage video loop)."""
+    from quality_filter.operators.gif import decode_gif_frames
+    from quality_filter.operators.multimodal import explode_frames
+
+    frames = explode_frames(media).toPandas()
+    src = media.toPandas().set_index("media_id")
+    multi = frames[frames["n_frames"] > 1]
+    assert len(multi) > 0  # the generator planted animated gifs
+    for mid, grp in multi.groupby("media_id"):
+        want = decode_gif_frames(bytes(src.loc[mid, "payload"]))
+        assert sorted(grp["frame_idx"]) == list(range(len(want)))
+        for _, row in grp.iterrows():
+            got = decode_ppm(bytes(row["payload"]))
+            assert (got == want[int(row["frame_idx"])]).all()
+    # conservation: every media row appears (as frames or a false row)
+    assert set(frames["media_id"]) == set(src.index)
+
+    # frames flow into the decode/featurize stage unchanged
+    feat_in = spark.createDataFrame(
+        frames[frames["frame_ok"]].assign(
+            media_id=lambda d: d["media_id"] * 1000 + d["frame_idx"].astype(int),
+            kind="image",
+        )[["media_id", "kind", "payload"]]
+    )
+    feats = decode_features(feat_in).toPandas()
+    assert (feats["decoder"] == "ppm").all() and feats["decode_ok"].all()
