@@ -11,7 +11,7 @@ Decode capability ladder (strictly additive — an optional library can
 only ADD decodable formats, never degrade output):
 
   1. built-in pure-numpy decoders: PPM (P6), BMP (uncompressed
-     24/32-bit), PNG (8-bit gray/RGB/RGBA non-interlaced, stdlib zlib),
+     24/32-bit), PNG (8-bit gray/RGB/RGBA/palette, Adam7, stdlib zlib),
      baseline JPEG (operators/jpeg.py: full T.81 sequential DCT —
      generic DHT/DQT, subsampling, restarts), GIF (operators/gif.py:
      LZW, interlace, transparency), and WAV (PCM 8/16/32 + float32) —
@@ -147,52 +147,21 @@ def encode_ppm(arr: np.ndarray) -> bytes:
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def decode_png(b: bytes) -> np.ndarray:
-    """Pure numpy+zlib PNG decode → (H, W, 3) uint8 RGB.
 
-    Supports the shapes that cover virtually all web PNGs: 8-bit depth,
-    color types 0 (gray), 2 (RGB), 3 (palette/PLTE), 4 (gray+alpha),
-    6 (RGBA), no interlacing; all five scanline filters.  16-bit and
-    Adam7 raise ValueError → quarantine.  Alpha is dropped
-    (the reference convert("RGB") behavior,
-    /root/reference/opennsfw2/_image.py:30-31)."""
-    if b[:8] != PNG_MAGIC:
-        raise ValueError("not a png")
-    pos, ihdr, idat, plte = 8, None, bytearray(), None
-    while pos + 8 <= len(b):
-        (length,) = struct.unpack_from(">I", b, pos)
-        ctype = b[pos + 4 : pos + 8]
-        data = b[pos + 8 : pos + 8 + length]
-        if len(data) < length:
-            raise ValueError("truncated png chunk")
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"PLTE":
-            if length % 3:
-                raise ValueError("bad png palette")
-            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length  # len + type + data + crc
-    if ihdr is None or not idat:
-        raise ValueError("png missing IHDR/IDAT")
-    w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
-        raise ValueError("png variant unsupported")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    if channels is None or w <= 0 or h <= 0:
-        raise ValueError("png color type unsupported")
-    if color == 3 and plte is None:
-        raise ValueError("palette png missing PLTE")
-    raw = zlib.decompress(bytes(idat))
+PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, pos: int, w: int, h: int, channels: int):
+    """Un-filter h scanlines of w pixels starting at raw[pos]; returns
+    ((h, w*channels) uint8, new_pos).  All five filter types."""
     stride = w * channels
-    if len(raw) < h * (stride + 1):
+    if len(raw) - pos < h * (stride + 1):
         raise ValueError("truncated png raster")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    pos = 0
     for y in range(h):
         ftype = raw[pos]
         line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
@@ -225,7 +194,62 @@ def decode_png(b: bytes) -> np.ndarray:
             raise ValueError("bad png filter type")
         out[y] = cur
         prev = cur
-    px = out.reshape(h, w, channels)
+    return out, pos
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """Pure numpy+zlib PNG decode → (H, W, 3) uint8 RGB.
+
+    Supports the shapes that cover virtually all web PNGs: 8-bit depth,
+    color types 0 (gray), 2 (RGB), 3 (palette/PLTE), 4 (gray+alpha),
+    6 (RGBA); all five scanline filters; Adam7 interlacing.  16-bit
+    raises ValueError → quarantine.  Alpha is dropped
+    (the reference convert("RGB") behavior,
+    /root/reference/opennsfw2/_image.py:30-31)."""
+    if b[:8] != PNG_MAGIC:
+        raise ValueError("not a png")
+    pos, ihdr, idat, plte = 8, None, bytearray(), None
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated png chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("bad png palette")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("png missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise ValueError("png variant unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None or w <= 0 or h <= 0:
+        raise ValueError("png color type unsupported")
+    if color == 3 and plte is None:
+        raise ValueError("palette png missing PLTE")
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        sub, _ = _png_unfilter(raw, 0, w, h, channels)
+        px = sub.reshape(h, w, channels)
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, xs, ys in PNG_ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, pos = _png_unfilter(raw, pos, pw, ph, channels)
+            px[y0::ys, x0::xs] = sub.reshape(ph, pw, channels)
     if color == 0:
         return np.repeat(px, 3, axis=2)
     if color == 2:

@@ -137,6 +137,36 @@ def test_png_palette_color_type():
         decode_png(b_bad)
 
 
+def test_png_adam7_interlaced():
+    """Adam7: seven independently-filtered passes scatter back to the
+    original image, across awkward dimensions."""
+    import struct as st
+    import zlib as zl
+
+    from quality_filter.operators.multimodal import PNG_ADAM7
+
+    def chunk(t, d):
+        body = t + d
+        return st.pack(">I", len(d)) + body + st.pack(">I", zl.crc32(body) & 0xFFFFFFFF)
+
+    for w, h, seed in ((7, 11, 1), (8, 8, 2), (1, 1, 3), (17, 3, 4)):
+        px = _demo_pixels(w=w, h=h, seed=seed)
+        raw = bytearray()
+        for x0, y0, xs, ys in PNG_ADAM7:
+            sub = px[y0::ys, x0::xs]
+            if sub.size == 0:
+                continue
+            for y in range(sub.shape[0]):
+                raw += b"\x00" + sub[y].tobytes()
+        b = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+            + chunk(b"IDAT", zl.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        assert (decode_png(b) == px).all(), (w, h)
+
+
 def test_gif_interlaced():
     """Interlaced GIF: rows stored in the four Adam-style passes must
     reassemble to the original image (built by reordering a normal
