@@ -143,8 +143,11 @@ def gen_corpus(outdir: str, seed: int, n_docs: int = 300, n_events: int = 2000,
 
 
 def run_seed(seed: int) -> int:
+    n_docs = int(os.environ.get("QF_FUZZ_DOCS", "300"))
+    n_events = int(os.environ.get("QF_FUZZ_EVENTS", "2000"))
+    n_vecs = int(os.environ.get("QF_FUZZ_VECS", "250"))
     with tempfile.TemporaryDirectory(prefix=f"qf_fuzz_{seed}_") as d:
-        gen_corpus(d, seed)
+        gen_corpus(d, seed, n_docs=n_docs, n_events=n_events, n_vecs=n_vecs)
         env = dict(os.environ, QF_SF_DIR=d, PYTHONPATH=REPO)
         queries = DOC_QUERIES + EVENT_QUERIES + EMB_QUERIES
         out = subprocess.run(
