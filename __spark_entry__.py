@@ -1274,10 +1274,10 @@ SELECT c_custkey FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
         "salted_user_stats": """
 WITH dim AS (
-  SELECT user_id, round(sum(value), 4) AS total_value FROM events GROUP BY user_id
+  SELECT user_id, round(sum(value), 4) + 0.0 AS total_value FROM events GROUP BY user_id
 )
 SELECT e.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_events,
-  round(min(d.total_value), 4) AS total_value
+  round(min(d.total_value), 4) + 0.0 AS total_value
 FROM events e JOIN dim d USING (user_id)
 GROUP BY e.user_id""",
         "decimated_events": f"""
@@ -1290,13 +1290,13 @@ SELECT event_id, user_id FROM (
         "tumbling_agg_min": _tumbling_sql("round(min(value), 6)"),
         "hourly_event_stats": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-  CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
+  CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) + 0.0 AS sum_value
 FROM events GROUP BY 1, 2""",
         "forward_fill_purchase": """
 SELECT event_id, user_id,
   round(coalesce(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
     OVER (PARTITION BY user_id ORDER BY ts, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 6) AS filled
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 6) + 0.0 AS filled
 FROM events""",
         "sessionized_counts": """
 WITH flagged AS (
@@ -1440,7 +1440,7 @@ JOIN sig sa ON sa.doc_id = p.doc_a
 JOIN sig sb ON sb.doc_id = p.doc_b""",
         "purchase_last_view_asof": """
 SELECT p.event_id AS event_id, p.user_id AS user_id,
-  round(coalesce(v.value, 0.0), 6) AS last_view_value
+  round(coalesce(v.value, 0.0), 6) + 0.0 AS last_view_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON p.user_id = v.user_id AND v.ts < p.ts""",
@@ -1476,7 +1476,7 @@ FROM documents GROUP BY lang""",
         "running_value_sum": """
 SELECT event_id, user_id,
   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS run_sum,
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0 AS run_sum,
   lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
   lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
 FROM events""",
@@ -1518,7 +1518,7 @@ WITH contrib AS (
   SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start, value FROM events
 )
 SELECT window_start, CAST(count(*) AS BIGINT) AS n_events,
-  round(sum(value), 4) AS sum_value
+  round(sum(value), 4) + 0.0 AS sum_value
 FROM contrib GROUP BY 1""",
         "embedding_clusters": _embedding_clusters_sql(),
         "knn_lsh": _knn_lsh_sql(),
@@ -1590,6 +1590,6 @@ bucketed AS (
   SELECT user_id, ts, value, CAST((rn - 1) // {CFG.aggregation_size} AS BIGINT) AS bucket
   FROM numbered
 )
-SELECT user_id, bucket, {agg_expr} AS agg_value,
+SELECT user_id, bucket, {agg_expr} + 0.0 AS agg_value,
   CAST(count(*) AS BIGINT) AS n_rows, min(ts) AS bucket_start
 FROM bucketed GROUP BY user_id, bucket"""
