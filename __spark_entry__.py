@@ -779,7 +779,21 @@ def q_knn_ivf(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Order matters: the driver's correctness harness records at most the
+    # first ~50 entries, so queries that have not yet appeared in a driver
+    # CORRECTNESS report come FIRST (round-2 verdict item 1); the long-green
+    # legacy tail sits at the end.
     return {
+        "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+        "pii_scrub_docs": q_pii_scrub_docs,
+        "simhash_docs": q_simhash_docs,
+        "simhash_near_dup": q_simhash_near_dup,
+        "hopping_event_stats": q_hopping_event_stats,
+        "embedding_clusters": q_embedding_clusters,
+        "knn_lsh": q_knn_lsh,
+        "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
+        "knn_ivf": q_knn_ivf,
+        "knn_join": q_knn_join,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_suppliers_by_revenue": q_top_suppliers_by_revenue,
@@ -830,16 +844,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "supplier_part_breadth": q_supplier_part_breadth,
         "customer_order_cume": q_customer_order_cume,
-        "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
-        "pii_scrub_docs": q_pii_scrub_docs,
-        "simhash_docs": q_simhash_docs,
-        "simhash_near_dup": q_simhash_near_dup,
-        "hopping_event_stats": q_hopping_event_stats,
-        "embedding_clusters": q_embedding_clusters,
-        "knn_lsh": q_knn_lsh,
-        "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
-        "knn_ivf": q_knn_ivf,
-        "knn_join": q_knn_join,
     }
 
 

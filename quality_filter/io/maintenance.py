@@ -30,7 +30,9 @@ def partition_file_stats(path: str) -> dict[str, dict]:
     out = {}
     for entry in sorted(os.listdir(path)):
         full = os.path.join(path, entry)
-        if not os.path.isdir(full) or "=" not in entry:
+        # leading '_'/'.' entries are invisible to Spark/Hadoop listing
+        # (and to us): compaction scratch dirs live in that namespace
+        if not os.path.isdir(full) or "=" not in entry or entry.startswith(("_", ".")):
             continue
         files = [
             f for f in os.listdir(full)
@@ -52,7 +54,22 @@ def compact_partitions(
     """Rewrite every partition holding more than ``min_files`` files
     into ceil(bytes / target) files.  Returns a summary of what was
     rewritten.  Row-count-verified before the swap; idempotent (a
-    compacted partition is below min_files and is skipped next run)."""
+    compacted partition is below min_files and is skipped next run).
+
+    Scratch lives under `<root>/_compact/` — a '_'-prefixed, '='-free
+    directory name, which Spark/Hadoop listing prunes entirely (note:
+    a leading '_' alone is NOT enough — names containing '=' are
+    exempt from the underscore filter to allow partition values that
+    start with '_', so `_compact_tmp_<part>` would still be discovered
+    as a conflicting partition).  A reader of the table root
+    mid-compaction (or after a crash between the two renames) never
+    sees the scratch copy as a partition, and partition_file_stats
+    never mistakes a stale leftover for data.  Stale leftovers from a
+    crashed previous run are cleaned up front."""
+    scratch = os.path.join(path, "_compact")
+    # clear scratch left by a crashed earlier run before measuring
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
     stats = partition_file_stats(path)
     done = {}
     for part, st in stats.items():
@@ -62,8 +79,8 @@ def compact_partitions(
         n_out = max(1, -(-st["bytes"] // target_file_bytes))
         df = spark.read.parquet(src)
         n_rows = df.count()
-        tmp = src + "._compact_tmp"
-        old = src + "._compact_old"
+        tmp = os.path.join(scratch, "tmp_" + part)
+        old = os.path.join(scratch, "old_" + part)
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
         df.repartition(n_out).write.mode("overwrite").parquet(tmp)
@@ -80,4 +97,5 @@ def compact_partitions(
             ),
             "rows": n_rows,
         }
+    shutil.rmtree(scratch, ignore_errors=True)
     return {"compacted": done, "skipped": len(stats) - len(done)}

@@ -197,6 +197,14 @@ def simhash_near_dup(
     the default 4 bands of 16 bits, recall is EXACT for
     max_hamming <= 3 (pigeonhole), unlike the probabilistic MinHash
     banding."""
+    if 16 % band_chars != 0:
+        raise ValueError(f"band_chars={band_chars} must divide the 16 hex chars")
+    if max_hamming >= 16 // band_chars:
+        raise ValueError(
+            f"max_hamming={max_hamming} with {16 // band_chars} bands breaks the "
+            f"pigeonhole exactness guarantee (requires max_hamming < n_bands); "
+            f"use smaller band_chars or multiple hash tables"
+        )
     n_bands = 16 // band_chars
     entries = [
         F.struct(

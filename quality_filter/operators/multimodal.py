@@ -72,7 +72,9 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("payload_crc", T.LongType(), True),
         T.StructField("features", T.ArrayType(T.FloatType()), True),
         T.StructField("decode_ok", T.BooleanType(), False),
-        T.StructField("decoder", T.StringType(), True),  # ppm|bmp|png|jpeg|wav|pil|stub|null
+        # ppm|bmp|png|jpeg|gif|wav|pil|stub|null; on a malformed recognized
+        # container this is the SNIFFED container name (decode_ok=false)
+        T.StructField("decoder", T.StringType(), True),
     ]
 )
 
@@ -478,24 +480,55 @@ def _stub_features(payload: bytes, dim: int = IMAGE_FEATURE_DIM) -> np.ndarray:
     return (raw % 1000).astype(np.float32) / 1000.0
 
 
+# A malformed-but-recognized container can fail DEEP in a codec with an
+# exception class of the failing layer, not just ValueError: corrupt PNG
+# IDAT → zlib.error, short IHDR chunk → struct.error, JPEG truncated
+# mid-scan → IndexError.  Every decode seam normalizes these to
+# ValueError so the quarantine contract ("malformed decodes to
+# decode_ok=false, never fails the task") holds for any corruption.
+MALFORMED_ERRORS = (ValueError, zlib.error, struct.error, IndexError)
+
+
+def sniff_container(b: bytes) -> str | None:
+    """Magic-byte container sniff: the single dispatch the decode, the
+    decoder-label column, and the malformed-row label all share."""
+    if b[:2] == b"P6":
+        return "ppm"
+    if b[:2] == b"BM":
+        return "bmp"
+    if b[:8] == PNG_MAGIC:
+        return "png"
+    if b[:2] == b"\xff\xd8":
+        return "jpeg"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
 def decode_pixels(b: bytes, pil=None) -> np.ndarray | None:
     """Pixels for a recognized container, None for an opaque payload.
     Raises ValueError when a RECOGNIZED container is malformed — the
     caller quarantines that row; opaque payloads are not an error."""
-    if b[:2] == b"P6":
-        return decode_ppm(b)
-    if b[:2] == b"BM":
-        return decode_bmp(b)
-    if b[:8] == PNG_MAGIC:
-        return decode_png(b)
-    if b[:2] == b"\xff\xd8":
-        from quality_filter.operators.jpeg import decode_jpeg
+    kind = sniff_container(b)
+    try:
+        if kind == "ppm":
+            return decode_ppm(b)
+        if kind == "bmp":
+            return decode_bmp(b)
+        if kind == "png":
+            return decode_png(b)
+        if kind == "jpeg":
+            from quality_filter.operators.jpeg import decode_jpeg
 
-        return decode_jpeg(b)
-    if b[:6] in (b"GIF87a", b"GIF89a"):
-        from quality_filter.operators.gif import decode_gif
+            return decode_jpeg(b)
+        if kind == "gif":
+            from quality_filter.operators.gif import decode_gif
 
-        return decode_gif(b)
+            return decode_gif(b)
+    except MALFORMED_ERRORS as e:
+        raise ValueError(f"malformed {kind}: {e}") from e
     if pil is not None:
         try:
             img = pil.open(io.BytesIO(b))
@@ -528,27 +561,21 @@ def decode_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 b = bytes(payload)
                 sizes.append(len(b))
                 crcs.append(zlib.crc32(b))
+                container = sniff_container(b)
                 try:
-                    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    if container == "wav":
                         samples, rate = decode_wav(b)
                         feats.append(audio_features(samples, rate).tolist())
                         ok.append(True); decoders.append("wav")
                         continue
                     px = decode_pixels(b, pil)
-                except ValueError:
+                except MALFORMED_ERRORS:
                     feats.append(None); ok.append(False)
-                    decoders.append(b[:2].decode("latin1"))
+                    decoders.append(container or "malformed")
                     continue
                 if px is not None:
                     feats.append(image_features(px).tolist()); ok.append(True)
-                    decoders.append(
-                        "ppm" if b[:2] == b"P6"
-                        else "bmp" if b[:2] == b"BM"
-                        else "png" if b[:8] == PNG_MAGIC
-                        else "jpeg" if b[:2] == b"\xff\xd8"
-                        else "gif" if b[:6] in (b"GIF87a", b"GIF89a")
-                        else "pil"
-                    )
+                    decoders.append(container or "pil")
                 else:
                     feats.append(_stub_features(b).tolist()); ok.append(True)
                     decoders.append("stub")
@@ -581,7 +608,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 if payload is not None:
                     try:
                         px = decode_pixels(bytes(payload), pil)
-                    except ValueError:
+                    except MALFORMED_ERRORS:
                         px = None
                 if px is None:
                     outs.append(None); oks.append(False)
@@ -640,7 +667,7 @@ def explode_frames(df: DataFrame, max_frames: int = 32) -> DataFrame:
                     else:
                         px = decode_pixels(b, pil)
                         frames = [px] if px is not None else None
-                except ValueError:
+                except MALFORMED_ERRORS:
                     frames = None
                 if frames is None:
                     mids.append(mid); idxs.append(None); counts.append(None)

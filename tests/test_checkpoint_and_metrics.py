@@ -121,6 +121,41 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     assert not again["compacted"] and again["skipped"] == len(after)
 
 
+def test_compaction_scratch_dirs_invisible_to_readers(spark, tmp_path):
+    """Scratch dirs carry a leading '_' so Spark partition discovery and
+    partition_file_stats ignore them: a reader of the table root DURING
+    compaction (or after a crash between the renames) must never see
+    duplicated rows, and a stale leftover must be cleaned, not counted."""
+    import os
+    import shutil
+
+    from quality_filter.io.maintenance import compact_partitions, partition_file_stats
+
+    out = str(tmp_path / "sink")
+    pdf = generate_pages(120, seed=77, days=1).drop(columns=["cls"])
+    sdf = spark.createDataFrame(pdf, schema=pages_spark_schema())
+    sdf.withColumn("warc_dt", F.to_date("warc_ts")).repartition(10).write.partitionBy(
+        "warc_dt"
+    ).parquet(out)
+    (part,) = partition_file_stats(out).keys()
+    rows = spark.read.parquet(out).count()
+
+    # simulate a crashed previous run: stale scratch copies under _compact/
+    shutil.copytree(os.path.join(out, part), os.path.join(out, "_compact", "tmp_" + part))
+    shutil.copytree(os.path.join(out, part), os.path.join(out, "_compact", "old_" + part))
+
+    # Spark's reader and our stats both ignore the '_'-prefixed scratch
+    assert spark.read.parquet(out).count() == rows  # no duplicated rows
+    assert list(partition_file_stats(out).keys()) == [part]
+
+    summary = compact_partitions(spark, out, target_file_bytes=1 << 30, min_files=4)
+    assert part in summary["compacted"]
+    # stale scratch cleaned up; no scratch survives a clean run
+    leftovers = [e for e in os.listdir(out) if e.startswith("_compact")]
+    assert leftovers == []
+    assert spark.read.parquet(out).count() == rows
+
+
 def test_partition_lineage_conserves_rows(spark, pages_dir):
     scored = tiered_scored(spark.read.parquet(pages_dir).drop("warc_dt"))
     lin = partition_lineage(scored).toPandas()

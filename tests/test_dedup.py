@@ -115,6 +115,20 @@ def test_simhash_near_dup_recall_is_exact(spark):
     assert got == want and len(got) > 0
 
 
+def test_simhash_near_dup_rejects_unsound_parameters(spark):
+    """The pigeonhole exactness precondition (max_hamming < n_bands) is
+    validated at entry — a silent partial-recall configuration would
+    contradict the docstring's exactness promise."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(5)
+    sim = dedup.simhash_md5(docs, "text", "doc_id")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_dup(sim, "doc_id", max_hamming=4)  # 4 bands default
+    with pytest.raises(ValueError, match="divide"):
+        dedup.simhash_near_dup(sim, "doc_id", max_hamming=1, band_chars=3)
+    # boundary: max_hamming = n_bands - 1 stays legal
+    dedup.simhash_near_dup(sim, "doc_id", max_hamming=7, band_chars=2)
+
+
 def _py_simhash(text: str) -> str:
     toks = {t for t in text.strip(" ").split()} or {""}
     votes = [0] * 64

@@ -297,6 +297,63 @@ def test_gif_roundtrip_and_real_fixtures():
     assert arr.shape == (16, 16, 3) and arr.std() > 20
 
 
+def _deep_corrupt_payloads():
+    """Malformed recognized containers whose codecs fail DEEP with
+    non-ValueError classes (zlib.error / struct.error / IndexError) —
+    the quarantine-contract regressions from the round-2 advice."""
+    import numpy as np
+
+    from quality_filter.operators.jpeg import encode_jpeg
+    from quality_filter.operators.multimodal import encode_png
+
+    px = (np.arange(6 * 8 * 3, dtype=np.uint8).reshape(6, 8, 3) * 7) % 256
+    png = encode_png(px)
+    idx = png.find(b"IDAT")
+    bad_idat = png[: idx + 4] + b"\x00" * 8 + png[idx + 12 :]  # zlib.error
+    jp = encode_jpeg(px)
+    return {
+        "png": bad_idat,
+        "jpeg_mid_scan": jp[:75],  # IndexError inside the Huffman scan
+        "jpeg_mid_marker": jp[:76],  # struct.error on a split marker header
+    }
+
+
+def test_deep_corruption_normalized_to_valueerror():
+    """decode_pixels must raise ValueError (the quarantine class) no
+    matter which layer of the codec the corruption explodes in."""
+    for name, bad in _deep_corrupt_payloads().items():
+        with pytest.raises(ValueError):
+            decode_pixels(bad)
+
+
+def test_deep_corruption_quarantined_in_all_stages(spark):
+    """A corrupt-IDAT PNG / truncated JPEG must not fail the Spark task
+    in ANY decode stage; the decoder column records the sniffed
+    container name, not raw payload bytes."""
+    import pandas as pd
+
+    from quality_filter.operators.multimodal import explode_frames, resize_images
+
+    bads = _deep_corrupt_payloads()
+    pdf = pd.DataFrame(
+        {
+            "media_id": range(len(bads)),
+            "url": ["u"] * len(bads),
+            "kind": ["image"] * len(bads),
+            "payload": list(bads.values()),
+            "meta": [None] * len(bads),
+        }
+    )
+    df = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    feats = decode_features(df).toPandas()
+    assert (~feats["decode_ok"]).all()
+    assert sorted(feats["decoder"]) == ["jpeg", "jpeg", "png"]
+    resized = resize_images(df, 4, 4).toPandas()
+    assert (~resized["resize_ok"]).all()
+    frames = explode_frames(df).toPandas()
+    assert (~frames["frame_ok"]).all() and len(frames) == len(bads)
+
+
 def test_malformed_recognized_containers_raise():
     px = _demo_pixels()
     for bad in (
