@@ -490,7 +490,7 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
     b = emb.join(buckets, "vec_id").select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket"
     )
-    cos = similarity.cosine(F.col("va"), F.col("vb"))
+    cos = similarity.cosine_pair_col(F.col("va"), F.col("vb"))
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))

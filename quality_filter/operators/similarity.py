@@ -6,11 +6,24 @@ brute-force scan is a full-corpus map (fine for one query, embarrassingly
 parallel), while the LSH variant turns repeated queries into a bucket
 lookup — the buckets are the partition keys.
 
-All math uses native higher-order functions (zip_with/aggregate), JVM-side.
+Cosine spec: the higher-order-function expressions below (``dot`` /
+``norm`` / ``cosine``) are the NORMATIVE formulation — a sequential
+left fold over the element products, which is also what the DuckDB
+oracle's list_dot_product evaluates.  They are CodegenFallback
+(interpreted per element) in Spark, so the hot scan paths use the
+Arrow-vectorized EXACT-FOLD kernels (``cosine_to_query_col`` etc.):
+``np.cumsum`` reproduces the left fold's float64 operation order
+bit-for-bit (each prefix sum IS the fold's accumulator sequence), so
+kernel output is bit-identical to the expression output — pinned by
+tests/test_similarity_and_registry.py's kernel-vs-expression
+differential test.  Same defect class + fix as the round-2
+blocked_all_pairs cogroup/BLAS rewrite (52.1s -> 6.8s at sf0.1).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -37,20 +50,84 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# ---------------------------------------------------------------------------
+# exact-fold vectorized kernels (bit-identical fast path for the HOF spec)
+# ---------------------------------------------------------------------------
+
+def _fold_dots(X, Y):
+    """Per-row left-fold dot product: cumsum's last column is exactly the
+    sequence of ``acc + x_i*y_i`` float64 operations the HOF performs
+    (acc starts at 0.0; 0.0 + p0 == p0 exactly)."""
+    return np.cumsum(X * Y, axis=1)[:, -1]
+
+
+def _fold_norms(X):
+    return np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
+
+
+def _as_matrix(series):
+    return np.array(list(series), dtype=np.float64)
+
+
+def cosine_to_query_col(vec_col: Column, query_vec: list[float]) -> Column:
+    """Arrow-vectorized twin of ``cosine(vec_col, lit(query_vec))`` —
+    bit-identical output (exact-fold kernel), ~vectorized-C per batch
+    instead of interpreted per element."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt(np.cumsum(q * q)[-1]))
+
+    @F.pandas_udf("double")
+    def kernel(v: pd.Series) -> pd.Series:
+        X = _as_matrix(v)
+        return pd.Series(_fold_dots(X, q) / (_fold_norms(X) * qn))
+
+    return kernel(vec_col)
+
+
+def cosine_pair_col(a: Column, b: Column) -> Column:
+    """Arrow-vectorized twin of ``cosine(a, b)`` for two array columns —
+    bit-identical output (exact-fold kernel)."""
+    @F.pandas_udf("double")
+    def kernel(va: pd.Series, vb: pd.Series) -> pd.Series:
+        X, Y = _as_matrix(va), _as_matrix(vb)
+        return pd.Series(_fold_dots(X, Y) / (_fold_norms(X) * _fold_norms(Y)))
+
+    return kernel(a, b)
+
+
+def cosines_to_queries_col(vec_col: Column, query_vecs: list[list[float]]) -> Column:
+    """array<double> of exact-fold cosines to each query vector — one
+    Arrow crossing computes the whole query batch per corpus row (the
+    knn_join kernel).  Element i is bit-identical to
+    ``cosine(vec_col, lit(query_vecs[i]))``."""
+    Q = np.asarray(query_vecs, dtype=np.float64)  # (nq, dim)
+    qns = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])  # (nq,)
+
+    @F.pandas_udf("array<double>")
+    def kernel(v: pd.Series) -> pd.Series:
+        X = _as_matrix(v)
+        norms = _fold_norms(X)
+        cols = [_fold_dots(X, Q[i]) / (norms * qns[i]) for i in range(len(Q))]
+        out = np.stack(cols, axis=1) if len(Q) else np.zeros((len(X), 0))
+        return pd.Series(list(out))
+
+    return kernel(vec_col)
+
+
 def knn_bruteforce(
     df: DataFrame, vec_col: str, id_col: str, query_vec: list[float], k: int = 10
 ) -> DataFrame:
     """Exact top-k by cosine similarity to a constant query vector.
 
-    The query vector is a literal array folded into the plan (broadcast by
-    value); the scan is a single narrow map + a k-row ORDER BY (Spark
-    executes as TakeOrderedAndProject — no full sort materialization).
+    The query vector is a closure constant of the exact-fold Arrow
+    kernel (bit-identical to the HOF ``cosine`` spec); the scan is a
+    single narrow map + a k-row ORDER BY (Spark executes as
+    TakeOrderedAndProject — no full sort materialization).
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         df.select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+            F.round(cosine_to_query_col(F.col(vec_col), query_vec), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
@@ -62,12 +139,22 @@ def hyperplane_lsh_buckets(
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign-bit string over the planes.
     Deterministic given the plane list (caller derives planes from a seed).
-    At scale: repartition by bucket → queries probe one bucket."""
-    bits = [
-        F.when(dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p])) >= 0, "1").otherwise("0")
-        for p in planes
-    ]
-    return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+    At scale: repartition by bucket → queries probe one bucket.
+
+    One Arrow crossing computes every plane's sign from the exact-fold
+    dot (bit-identical to the HOF spec; sign decisions can only differ
+    from any other summation order on exact-zero boundaries anyway)."""
+    P = np.asarray(planes, dtype=np.float64)
+
+    @F.pandas_udf("string")
+    def bucket_kernel(v: pd.Series) -> pd.Series:
+        X = _as_matrix(v)
+        bits = np.stack(
+            [_fold_dots(X, P[i]) >= 0 for i in range(len(P))], axis=1
+        ).astype(np.uint8)
+        return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
+
+    return df.select(F.col(id_col), bucket_kernel(F.col(vec_col)).alias("bucket"))
 
 
 def knn_lsh(
@@ -126,34 +213,28 @@ def knn_join(
     queries: list[tuple[int, list[float]]], k: int = 10,
 ) -> DataFrame:
     """Exact batch KNN join: top-k corpus neighbors for EVERY query in a
-    (bounded) query set.  The queries ride into the plan as a literal
-    array of structs — one corpus scan, per-row explode over the query
-    set, partial top-k per task via the rank-limit window pushdown
-    (WindowGroupLimit) — no join operator at all, so nothing shuffles
+    (bounded) query set.  The queries are closure constants of ONE
+    exact-fold Arrow kernel that scores the whole query batch per
+    corpus row (array<double> out, posexploded to per-query rows) —
+    one corpus scan, no join operator, partial top-k per task via the
+    rank-limit window pushdown (WindowGroupLimit), so nothing shuffles
     but the per-query candidate heads.
 
-    For query sets too large to inline (>~1e3), chunk the calls or use
-    the LSH/IVF single-query paths per query; the scan cost amortizes
-    over all inlined queries either way."""
+    For query sets too large to ship in a closure (>~1e4), use
+    knn_join_broadcast (query set as a broadcast DataFrame); the scan
+    cost amortizes over all batched queries either way."""
     from pyspark.sql import Window as W
 
-    qarr = F.array(
-        *[
-            F.struct(
-                F.lit(int(qid)).alias("query_id"),
-                F.array(*[F.lit(float(x)) for x in qv]).alias("qv"),
-            )
-            for qid, qv in queries
-        ]
-    )
-    exploded = df.select(
-        F.col(id_col), F.col(vec_col).alias("_v"), F.explode(qarr).alias("_q")
-    )
-    cos = cosine(F.col("_v"), F.col("_q.qv"))
-    scored = exploded.select(
-        F.col("_q.query_id").alias("query_id"),
-        F.col(id_col),
-        F.round(cos, 6).alias("cos_sim"),
+    qids = F.array(*[F.lit(int(qid)) for qid, _ in queries])
+    cos_arr = cosines_to_queries_col(F.col(vec_col), [qv for _, qv in queries])
+    scored = (
+        df.select(F.col(id_col), cos_arr.alias("_cs"))
+        .select(F.col(id_col), F.posexplode("_cs").alias("_pos", "_cos"))
+        .select(
+            F.element_at(qids, F.col("_pos") + 1).alias("query_id"),
+            F.col(id_col),
+            F.round("_cos", 6).alias("cos_sim"),
+        )
     )
     rn = F.row_number().over(
         W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
@@ -255,7 +336,7 @@ def blocked_all_pairs(
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    cos = cosine(F.col("va"), F.col("vb"))
+    cos = cosine_pair_col(F.col("va"), F.col("vb"))
     return (
         candidates.join(va, "id_a").join(vb, "id_b")
         .withColumn("cos_sim", cos)
@@ -343,19 +424,23 @@ def train_ivf_centroids_local(
 
 
 def ivf_assign(df: DataFrame, vec_col: str, id_col: str, centroids: list[list[float]]) -> DataFrame:
-    """(id, cluster): nearest-centroid assignment, all native expressions.
+    """(id, cluster): nearest-centroid assignment — one Arrow crossing
+    computing every centroid similarity via the exact-fold kernel
+    (bit-identical to the former greatest()-over-HOF-dots when-chain:
+    sim_i = fold_dot(v, c_i) / (fold_norm(v) + 1e-12), winner = FIRST
+    index attaining the max, matching the when-chain's tie order).
     At scale the output is written bucketed/partitioned by cluster so a
     query probes one bucket (the inverted file)."""
-    sims = [
-        dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-        / (norm(F.col(vec_col)) + F.lit(1e-12))
-        for c in centroids
-    ]
-    best = F.greatest(*sims)
-    cluster = F.lit(-1)
-    for i in reversed(range(len(sims))):
-        cluster = F.when(sims[i] == best, F.lit(i)).otherwise(cluster)
-    return df.select(F.col(id_col), cluster.cast("int").alias("cluster"))
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+
+    @F.pandas_udf("int")
+    def assign_kernel(v: pd.Series) -> pd.Series:
+        X = _as_matrix(v)
+        denom = _fold_norms(X) + 1e-12
+        sims = np.stack([_fold_dots(X, C[i]) / denom for i in range(len(C))], axis=1)
+        return pd.Series(sims.argmax(axis=1).astype(np.int32))
+
+    return df.select(F.col(id_col), assign_kernel(F.col(vec_col)).alias("cluster"))
 
 
 def knn_ivf(

@@ -20,6 +20,94 @@ def qvec(emb):
     return list(emb.filter(F.col("vec_id") == 0).head()[0 if "embedding" == emb.columns[0] else emb.columns.index("embedding")])
 
 
+def test_exact_fold_kernels_bitwise_match_hof_spec(spark, emb):
+    """The Arrow kernels (cumsum left fold) must equal the normative
+    higher-order-function cosine expressions BIT-FOR-BIT — raw doubles
+    compared via their IEEE encoding, on real embeddings AND adversarial
+    vectors (zeros, duplicates, negatives, huge/tiny magnitudes).  This
+    is the license for the interpreted-HOF → vectorized-kernel swap in
+    every KNN path: same floats, so oracle hashes cannot move."""
+    import struct as st
+
+    # NOTE: no exact-zero vector here — under ANSI mode the HOF division
+    # throws DIVIDE_BY_ZERO for zero-norm input (so such vectors never
+    # survived the old path either); the zero vector is covered in the
+    # division-free bucket/assignment checks below.
+    adversarial = [
+        (1001, [1e-30] * 64),
+        (1002, [-1e30 if i % 2 else 1e30 for i in range(64)]),
+        (1003, [1.0] * 64),
+        (1004, [1.0] * 64),  # duplicate of 1003
+        (1005, [(-1.0) ** i * (i + 1) / 7.0 for i in range(64)]),
+    ]
+    extra = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in adversarial],
+        "vec_id long, embedding array<float>",
+    )
+    full = emb.select("vec_id", "embedding").unionByName(extra)
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+
+    def enc(x):
+        return st.pack("<d", x)
+
+    hof = {r[0]: enc(r[1]) for r in full.select(
+        "vec_id", similarity.cosine(F.col("embedding"), qlit)).collect()}
+    ker = {r[0]: enc(r[1]) for r in full.select(
+        "vec_id", similarity.cosine_to_query_col(F.col("embedding"), qvec)).collect()}
+    assert hof == ker and len(hof) > 500
+
+    pairs = full.limit(40).select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("va")
+    ).crossJoin(
+        full.limit(40).select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    )
+    hofp = {(r[0], r[1]): enc(r[2]) for r in pairs.select(
+        "ia", "ib", similarity.cosine(F.col("va"), F.col("vb"))).collect()}
+    kerp = {(r[0], r[1]): enc(r[2]) for r in pairs.select(
+        "ia", "ib", similarity.cosine_pair_col(F.col("va"), F.col("vb"))).collect()}
+    assert hofp == kerp
+
+    queries = [(0, qvec), (1005, adversarial[-1][1])]
+    karr = {r[0]: r[1] for r in full.select(
+        "vec_id", similarity.cosines_to_queries_col(F.col("embedding"), [v for _, v in queries])
+    ).collect()}
+    for i, (_, qv) in enumerate(queries):
+        ql = F.array(*[F.lit(float(x)) for x in qv])
+        hh = {r[0]: enc(r[1]) for r in full.select(
+            "vec_id", similarity.cosine(F.col("embedding"), ql)).collect()}
+        assert {k: enc(v[i]) for k, v in karr.items()} == hh
+
+    # bucket + IVF-assignment kernels vs their expression formulations
+    # (division-free / guarded: the exact-zero vector joins here)
+    full = full.unionByName(
+        spark.createDataFrame([(1000, [0.0] * 64)], "vec_id long, embedding array<float>")
+    )
+    planes = similarity.make_planes(len(qvec), n_planes=4, seed=1234)
+    bits = [
+        F.when(similarity.dot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in p])) >= 0, "1").otherwise("0")
+        for p in planes
+    ]
+    old_b = {r[0]: r[1] for r in full.select("vec_id", F.concat(*bits)).collect()}
+    new_b = {r[0]: r[1] for r in similarity.hyperplane_lsh_buckets(
+        full, "embedding", "vec_id", planes).collect()}
+    assert old_b == new_b
+
+    cents = similarity.train_ivf_centroids(emb, "embedding", "vec_id", n_clusters=8, seed=7)
+    sims = [
+        similarity.dot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in c]))
+        / (similarity.norm(F.col("embedding")) + F.lit(1e-12))
+        for c in cents
+    ]
+    best = F.greatest(*sims)
+    cl = F.lit(-1)
+    for i in reversed(range(len(sims))):
+        cl = F.when(sims[i] == best, F.lit(i)).otherwise(cl)
+    old_c = {r[0]: r[1] for r in full.select("vec_id", cl.cast("int")).collect()}
+    new_c = {r[0]: r[1] for r in similarity.ivf_assign(full, "embedding", "vec_id", cents).collect()}
+    assert old_c == new_c
+
+
 def test_bruteforce_topk_exact(spark, emb):
     qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
     top = similarity.knn_bruteforce(emb, "embedding", "vec_id", qvec, k=10).collect()
