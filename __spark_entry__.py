@@ -765,6 +765,21 @@ def q_knn_join(spark, sf_dir):
     return similarity.knn_join(emb, "embedding", "vec_id", queries, k=5)
 
 
+def q_knn_join_broadcast(spark, sf_dir):
+    """Same result set as knn_join, but the query set rides as a
+    broadcast DataFrame through an equi-join on a chunk key
+    (BroadcastHashJoin + WindowGroupLimit) — the form that scales to
+    query sets too large to inline.  Shares knn_join's oracle SQL:
+    identical rows by construction (exact-fold pair kernel)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < KNN_JOIN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return similarity.knn_join_broadcast(
+        emb, "embedding", "vec_id", qdf, k=5, n_chunks=2
+    )
+
+
 def q_knn_ivf(spark, sf_dir):
     """ANN via IVF coarse quantizer.  Centroids come from a
     deterministic hash-ordered sample + shared numpy k-means, so the
@@ -794,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
         "knn_ivf": q_knn_ivf,
         "knn_join": q_knn_join,
+        "knn_join_broadcast": q_knn_join_broadcast,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_suppliers_by_revenue": q_top_suppliers_by_revenue,
@@ -1243,7 +1259,7 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN h_{lang} = best AND best > 0 THEN '{lang}'" for lang in LANGS
     ) + " ELSE 'und' END"
 
-    return {
+    out = {
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
   round(sum(l_quantity), 4) AS sum_qty,
@@ -1548,6 +1564,9 @@ SELECT vec_id,
 FROM embeddings, q
 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
     }
+    # broadcast form is row-identical to the literal form by construction
+    out["knn_join_broadcast"] = out["knn_join"]
+    return out
 
 
 def _quality_contribs_sql() -> str:

@@ -155,6 +155,30 @@ def test_ivf_centroid_training_order_invariant(spark, emb):
     assert cents == local
 
 
+def test_knn_join_broadcast_matches_literal_form(spark, emb):
+    """Broadcast-query KNN join must produce IDENTICAL rows to the
+    plan-literal knn_join for every chunk count, and its physical plan
+    must be a BroadcastHashJoin (equi-join on the chunk key, never a
+    nested-loop) with the rank limit pushed below the window exchange."""
+    qrows = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    queries = [(int(r["vec_id"]), list(r["embedding"])) for r in qrows]
+    ref = sorted(map(tuple, similarity.knn_join(emb, "embedding", "vec_id", queries, k=5).collect()))
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    for n_chunks in (1, 2, 5):
+        got = similarity.knn_join_broadcast(
+            emb, "embedding", "vec_id", qdf, k=5, n_chunks=n_chunks
+        )
+        assert sorted(map(tuple, got.collect())) == ref, n_chunks
+    plan = (
+        similarity.knn_join_broadcast(emb, "embedding", "vec_id", qdf, k=5, n_chunks=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_blocked_all_pairs_matches_crossjoin_reference(spark, emb):
     """blocked_all_pairs (triangle block equi-join) must equal the
     crossJoin reference exactly — the cartesian formulation lives ONLY
