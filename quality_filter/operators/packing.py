@@ -37,12 +37,21 @@ PACK_SCHEMA = T.StructType(
 )
 
 
+# Each shard is one applyInPandas task holding the whole shard in memory:
+# the shard count must be derived from corpus size, not a constant.  At
+# ~8 bytes x 3 columns per doc and ~500 tokens/doc, 64M tokens/shard is
+# ~130k rows ≈ a few MB of pandas per task — comfortably inside an
+# executor, and >= cores x waves shards at any corpus that matters.
+DEFAULT_TARGET_TOKENS_PER_SHARD = 64 * 1024 * 1024
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
     tokens_col,
     capacity: int,
-    n_shards: int = 4,
+    n_shards: int | None = None,
+    target_tokens_per_shard: int = DEFAULT_TARGET_TOKENS_PER_SHARD,
 ) -> DataFrame:
     """(doc_id, shard, bin_idx, n_tokens): greedy sequential packing.
 
@@ -51,13 +60,31 @@ def pack_sequences(
     subsequent doc joins the current bin iff fill + n <= capacity,
     else opens the next bin.  A doc larger than the capacity occupies
     its bin alone (it still gets placed — truncation policy is the
-    caller's concern, row conservation is this operator's)."""
+    caller's concern, row conservation is this operator's).
+
+    ``n_shards`` omitted → derived as ceil(total_tokens /
+    target_tokens_per_shard) via one cheap aggregate pre-pass, so the
+    per-task shard memory is bounded by the target regardless of corpus
+    size (a fixed shard count means shards GROW with the corpus — the
+    100-TB failure mode).  Hash sharding keeps shards statistically
+    even; the id-hash fate makes the assignment — hence the whole
+    packing — invariant under input partitioning and retries.  Callers
+    pinning a contract (the registered oracle query) pass n_shards
+    explicitly."""
     import pandas as pd
 
     prepared = df.select(
         F.col(id_col).alias("doc_id"),
-        (hash_bucket(F.col(id_col)) % n_shards).cast("int").alias("shard"),
+        hash_bucket(F.col(id_col)).alias("_hb"),
         tokens_col.cast("long").alias("n_tokens"),
+    )
+    if n_shards is None:
+        total = prepared.agg(F.sum("n_tokens")).head()[0] or 0
+        n_shards = max(1, -(-int(total) // target_tokens_per_shard))
+    prepared = prepared.select(
+        "doc_id",
+        (F.col("_hb") % n_shards).cast("int").alias("shard"),
+        "n_tokens",
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -86,4 +113,15 @@ def bin_stats(packed: DataFrame, capacity: int) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("fill"),
         F.round(F.sum("n_tokens") / F.lit(float(capacity)), 6).alias("utilization"),
+    )
+
+
+def shard_stats(packed: DataFrame) -> DataFrame:
+    """Per-shard totals — the observability twin of the shard-sizing
+    derivation: shard_tokens should sit near target_tokens_per_shard
+    (each shard is one in-memory pandas task)."""
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("shard_tokens"),
+        (F.max("bin_idx") + 1).cast("long").alias("n_bins"),
     )

@@ -107,6 +107,50 @@ def test_sequence_packing_invariants(spark, docs):
     assert util[util["n_docs"] > 1]["utilization"].mean() > 0.5
 
 
+def test_sequence_packing_derived_shards_and_64_shard_invariants(spark, docs):
+    """Scale-safe sharding: with n_shards omitted, the count derives
+    from sum(n_tokens)/target so per-task memory is bounded regardless
+    of corpus size; at 64 shards every global invariant (row
+    conservation, capacity, contiguity, determinism) still holds."""
+    from quality_filter.operators import packing
+
+    cap = 256
+    n_tokens = F.size(F.split(F.trim("text"), "[ ]+"))
+
+    # derived shard count: sf0.01 docs total ~tens of thousands of
+    # tokens; a 4k-token target must derive multiple bounded shards
+    target = 4096
+    total = docs.select(F.sum(n_tokens.cast("long"))).head()[0]
+    expect = max(1, -(-int(total) // target))
+    packed = packing.pack_sequences(
+        docs, "doc_id", n_tokens, cap, target_tokens_per_shard=target
+    )
+    st = packing.shard_stats(packed).toPandas()
+    assert len(st) == expect > 1
+    # hash sharding is statistically even: no shard more than 3x target
+    assert (st["shard_tokens"] <= 3 * target).all()
+    assert st["n_docs"].sum() == 500
+
+    # 64 explicit shards: identical global invariants
+    p64 = packing.pack_sequences(docs, "doc_id", n_tokens, cap, 64).toPandas()
+    assert len(p64) == 500 and p64["doc_id"].is_unique
+    stats = (
+        p64.groupby(["shard", "bin_idx"])
+        .agg(n_docs=("doc_id", "size"), fill=("n_tokens", "sum"))
+        .reset_index()
+    )
+    assert (stats[stats["n_docs"] > 1]["fill"] <= cap).all()
+    assert (stats[stats["fill"] > cap]["n_docs"] == 1).all()
+    for _, grp in stats.groupby("shard"):
+        bins = sorted(grp["bin_idx"])
+        assert bins == list(range(len(bins)))
+    rep = packing.pack_sequences(docs.repartition(7), "doc_id", n_tokens, cap, 64).toPandas()
+    pd.testing.assert_frame_equal(
+        p64.sort_values("doc_id").reset_index(drop=True),
+        rep.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
 def test_stream_dedup_matches_batch_first_seen(spark, tmp_path):
     """Streaming dropDuplicatesWithinWatermark on the text fingerprint
     keeps exactly one row per distinct normalized text (all data within
