@@ -348,11 +348,96 @@ def connected_components(
     return labels
 
 
+def connected_components_altstar(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 25
+) -> DataFrame:
+    """Connected components by ALTERNATING large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    same (node, comp=min reachable id) contract as
+    ``connected_components``, different iteration algebra:
+
+      large-star(u): every neighbor v > u re-links to
+                     m = min(Γ(u) ∪ {u});
+      small-star(u): u and every smaller neighbor re-link to the
+                     neighborhood min.
+
+    Both operate on the EDGE list (no separate label table), and each
+    round both contracts label chains (like pointer jumping) AND shrinks
+    the edge set toward the final star form, so on adversarial long
+    chains it needs fewer rounds and moves less data per round than
+    label-propagation + pointer jumping (A/B'd on a 100k path+star mix;
+    see tests).  Convergence = edge set is a fixpoint of both steps,
+    detected by (count, order-free checksum) stability — one cheap
+    aggregate per round instead of a set-difference join.
+
+    Each round is 3 partial-aggregated shuffles on node ids; lineage is
+    truncated per round (localCheckpoint) so the plan stays flat."""
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("x")).union(e.select(F.col("v").alias("x"))).distinct()
+    )
+
+    def _checksum(df):
+        # bit_xor: order-free and overflow-free under ANSI (a 64-bit hash
+        # SUM overflows); (count, xor-of-hashes) equality across rounds
+        # is the fixpoint signal
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("chk"),
+        ).head()
+        return (r["n"], r["chk"])
+
+    prev = _checksum(e)
+    for _ in range(max_iters):
+        # large-star: bidirectional neighborhoods, larger neighbors → min
+        nbrs = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        e = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: canonical (u > v) edges; u and small neighbors → min
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        joined = e.join(mins, "u")
+        e = (
+            joined.select(F.col("u"), F.col("m").alias("v"))
+            .union(
+                joined.filter(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # star form: u → component min; roots get comp = self
+    lookup = e.groupBy("u").agg(F.min("v").alias("comp")).select(
+        F.col("u").alias("x"), "comp"
+    )
+    return nodes.join(lookup, "x", "left").select(
+        "x", F.coalesce("comp", F.col("x")).alias("comp")
+    )
+
+
 def near_dup_components(bands: DataFrame, id_col: str) -> DataFrame:
     """(id, comp) for every doc in a near-dup cluster: star edges from
-    band collisions → min-label components.  comp = the cluster's min
+    band collisions → min-label components (alternating-star algorithm;
+    ``connected_components`` is the label-propagation twin — identical
+    output, pinned by differential test).  comp = the cluster's min
     doc id (its representative/survivor)."""
-    comp = connected_components(star_edges(bands, id_col), "src", "dst")
+    comp = connected_components_altstar(star_edges(bands, id_col), "src", "dst")
     return comp.select(F.col("x").alias(id_col), "comp")
 
 
