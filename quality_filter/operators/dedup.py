@@ -83,6 +83,46 @@ def minhash_signature(
     return df.select(F.col(id_col)).join(sig, id_col, "left")
 
 
+def minhash_from_shingles(sh: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
+    """Per-ROW MinHash signature as array<string> [mh0..mh{k-1}] over a
+    staged shingle-array column — the stream-compatible twin of
+    ``minhash_signature`` (which explodes + aggregates and therefore
+    cannot run inside a streaming query before the stateful stage).
+    Element i is bit-identical to column mh{i} (array_min over md5 ==
+    aggregated MIN over exploded md5; NULL for shingle-less docs) —
+    pinned by differential test.  Caller stages the shingle array in a
+    withColumn so the O(tokens) shingle build runs once, not k times."""
+    def _mh(i: int) -> Column:
+        # NB: closure via factory, NOT a default arg — `lambda x, i=i`
+        # has two parameters, which F.transform reads as the
+        # (element, index) binary form and silently binds i to the
+        # ARRAY INDEX (caught by the differential test)
+        return F.array_min(
+            F.transform(sh, lambda x: F.md5(F.concat(F.lit(f"{i}|"), x)))
+        )
+
+    return F.array(*[_mh(i) for i in range(num_hashes)])
+
+
+def band_entries_from_signature(
+    mh: Column, num_hashes: int = DEFAULT_NUM_HASHES, band_size: int = DEFAULT_BAND_SIZE
+) -> Column:
+    """array<struct<band_idx,band_key>> from a per-row signature array —
+    the per-row twin of ``lsh_bands``'s entry construction (same concat
+    rule: a NULL minhash nulls the whole band key)."""
+    entries = []
+    for b in range(num_hashes // band_size):
+        pieces: list = []
+        for j in range(band_size):
+            if j:
+                pieces.append(F.lit("|"))
+            pieces.append(F.element_at(mh, b * band_size + j + 1))
+        entries.append(
+            F.struct(F.lit(b).alias("band_idx"), F.concat(*pieces).alias("band_key"))
+        )
+    return F.array(*entries)
+
+
 def lsh_bands(
     sig: DataFrame, id_col: str,
     num_hashes: int = DEFAULT_NUM_HASHES, band_size: int = DEFAULT_BAND_SIZE,

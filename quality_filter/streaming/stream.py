@@ -104,6 +104,102 @@ def stream_dedup_exact(
     )
 
 
+def stream_top_terms(
+    sdf: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming (window_start, term, n) term counts — the incremental
+    twin of textagg.top_terms (same lower/trim/space tokenization, so a
+    window's counts equal the batch aggregate over the same rows).  The
+    global top-k head stays a batch/sink-side concern: a streaming
+    global rank would need complete-mode state over the whole
+    vocabulary, while windowed counts are append-mode with watermark
+    eviction — bounded state, and the partial count still collapses the
+    explode before the shuffle."""
+    toks = F.explode(F.split(F.lower(F.trim(F.col(text_col))), "[ ]+")).alias("term")
+    return (
+        sdf.select(F.col(ts_col), toks)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col("term"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "term", "n")
+    )
+
+
+def stream_near_dup_survivors(
+    sdf: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+    ts_col: str = "warc_ts",
+    delay: str = "1 hour",
+    window: str = "1 hour",
+    num_hashes: int | None = None,
+    band_size: int | None = None,
+) -> DataFrame:
+    """Streaming near-dup suppression: first-seen-wins on LSH band keys.
+
+    Per-row MinHash signature (dedup.minhash_from_shingles — no
+    aggregation, so it runs before the stateful stage) → explode band
+    keys → ``dropDuplicatesWithinWatermark`` keyed on (band_idx,
+    band_key) claims each band bucket for its first-arriving doc, with
+    state evicted at the watermark — bounded by the band-key cardinality
+    of one horizon, never corpus size.  A doc survives iff it claimed
+    ALL its bands (windowed count == n_bands): any band already claimed
+    by an earlier doc marks it a near-dup, the streaming analog of a
+    band collision edge.  Shingle-less docs get a self-keyed band
+    (never collides → always survive), matching the batch rule that a
+    NULL band key never clusters.
+
+    Semantics note: greedy first-seen differs from the batch
+    min-id-survivor ONLY on bridge docs (a doc colliding with two
+    otherwise-separate earlier docs: batch merges all three into one
+    cluster transitively; the stream has already emitted both earlier
+    docs and drops just the bridge).  On transitively-closed clusters —
+    exact dups, boilerplate families — survivor COUNT and one-per-
+    cluster membership agree exactly (pinned by test).
+
+    Output: (window_start, id) of surviving docs, append-mode."""
+    from quality_filter.operators import dedup as D
+
+    num_hashes = num_hashes or D.DEFAULT_NUM_HASHES
+    band_size = band_size or D.DEFAULT_BAND_SIZE
+    n_bands = num_hashes // band_size
+
+    staged = sdf.withColumn("_sh", D.shingles(F.col(text_col))).withColumn(
+        "_mh", D.minhash_from_shingles(F.col("_sh"), num_hashes)
+    )
+    bands = (
+        staged.select(
+            F.col(id_col),
+            F.col(ts_col),
+            F.explode(
+                D.band_entries_from_signature(F.col("_mh"), num_hashes, band_size)
+            ).alias("_b"),
+        )
+        .select(
+            F.col(id_col),
+            F.col(ts_col),
+            F.col("_b.band_idx").alias("band_idx"),
+            F.coalesce(
+                F.col("_b.band_key"),
+                F.concat(F.lit("self|"), F.col(id_col).cast("string")),
+            ).alias("band_key"),
+        )
+    )
+    claimed = bands.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        ["band_idx", "band_key"]
+    )
+    return (
+        claimed.groupBy(F.window(ts_col, window).alias("w"), F.col(id_col))
+        .agg(F.count(F.lit(1)).alias("_n_claimed"))
+        .filter(F.col("_n_claimed") == n_bands)
+        .select(F.col("w.start").alias("window_start"), F.col(id_col))
+    )
+
+
 def run_stream_to_parquet(
     scored_stream: DataFrame, out_dir: str, checkpoint_dir: str, available_now: bool = True
 ):

@@ -153,6 +153,43 @@ def test_simhash_near_dup_recall_is_exact(spark):
     assert got == want and len(got) > 0
 
 
+def test_minhash_per_row_expr_matches_aggregated_signature(spark):
+    """The stream-compatible per-row signature (array_min over transform)
+    must equal the batch explode+groupBy signature column-for-column,
+    including NULLs for shingle-less docs — same md5 universe, same MIN."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    k = dedup.DEFAULT_NUM_HASHES
+    agg = {
+        r["doc_id"]: tuple(r[f"mh{i}"] for i in range(k))
+        for r in dedup.minhash_signature(docs, "text", "doc_id", k).collect()
+    }
+    sh = dedup.shingles(F.col("text"), 3)
+    per_row = {
+        r["doc_id"]: tuple(r["mh"])
+        for r in docs.select(
+            "doc_id", dedup.minhash_from_shingles(sh, k).alias("mh")
+        ).collect()
+    }
+    assert per_row == agg and len(agg) == 500
+
+    # band keys: per-row entries == lsh_bands rows
+    sig = dedup.minhash_signature(docs, "text", "doc_id", k)
+    want = {
+        (r["doc_id"], r["band_idx"], r["band_key"])
+        for r in dedup.lsh_bands(sig, "doc_id", k).collect()
+    }
+    got = {
+        (r["doc_id"], r["b"]["band_idx"], r["b"]["band_key"])
+        for r in docs.select(
+            "doc_id",
+            F.explode(
+                dedup.band_entries_from_signature(dedup.minhash_from_shingles(sh, k), k)
+            ).alias("b"),
+        ).collect()
+    }
+    assert got == want
+
+
 def test_simhash_near_dup_rejects_unsound_parameters(spark):
     """The pigeonhole exactness precondition (max_hamming < n_bands) is
     validated at entry — a silent partial-recall configuration would

@@ -65,6 +65,118 @@ def test_streaming_session_window_matches_batch_sessionize(spark, tmp_path):
     assert got == want and len(got) > 10
 
 
+def test_stream_top_terms_matches_batch_window_counts(spark, tmp_path):
+    """Every (window, term, n) the stream emits must equal the batch
+    explode+groupBy over the same rows (same tokenization as
+    textagg.top_terms)."""
+    from pyspark.sql import functions as F
+
+    from quality_filter.streaming.stream import stream_top_terms
+
+    pages = generate_pages(150, seed=31, days=2).drop(columns=["cls"])
+    sdf_b = spark.createDataFrame(pages, schema=pages_spark_schema()).filter(
+        F.col("text").isNotNull()
+    )
+    src = str(tmp_path / "tt_src")
+    sdf_b.write.parquet(src)
+
+    stream = read_pages_stream(spark, src, max_files=3).filter(F.col("text").isNotNull())
+    agg = stream_top_terms(stream, "text", "warc_ts", window="6 hours", watermark="0 seconds")
+    q = (
+        agg.writeStream.format("memory").queryName("topterms")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["window_start"], r["term"], r["n"])
+        for r in spark.sql("select * from topterms").collect()
+    }
+    want = {
+        (r["window_start"], r["term"], r["n"])
+        for r in sdf_b.select(
+            F.window("warc_ts", "6 hours").alias("w"),
+            F.explode(F.split(F.lower(F.trim("text")), "[ ]+")).alias("term"),
+        )
+        .groupBy(F.col("w.start").alias("window_start"), "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 100
+
+
+def test_stream_near_dup_survivors_matches_batch_clusters(spark, tmp_path):
+    """Streaming band-key near-dup vs batch LSH survivors on a corpus of
+    transitively-closed duplicate clusters: survivor COUNT matches and
+    exactly one survivor emerges per batch cluster; shingle-less docs
+    always survive (self-keyed bands)."""
+    import pandas as pd_
+    from pyspark.sql import functions as F
+
+    from quality_filter.operators import dedup
+    from quality_filter.streaming.stream import stream_near_dup_survivors
+
+    pages = generate_pages(80, seed=13, days=1).drop(columns=["cls"])
+    pages = pages[pages["text"].notna()].reset_index(drop=True)
+    # exact-duplicate clusters (identical signature -> all bands collide)
+    dup = pages.iloc[:20].copy()
+    dup["url"] = dup["url"] + "?copy=1"
+    dup2 = pages.iloc[:8].copy()
+    dup2["url"] = dup2["url"] + "?copy=2"
+    # shingle-less docs (< 3 tokens): must always survive
+    tiny = pages.iloc[:4].copy()
+    tiny["url"] = "tiny://" + tiny["url"]
+    tiny["text"] = "ok go"
+    corpus = pd_.concat([pages, dup, dup2, tiny], ignore_index=True)
+    sdf_b = spark.createDataFrame(corpus, schema=pages_spark_schema())
+    src = str(tmp_path / "nd_src")
+    sdf_b.coalesce(1).write.parquet(src)
+    # sentinel in a LATER file: append-mode windows emit once the
+    # watermark passes their end (excluded from the comparison)
+    import datetime
+    import time
+
+    time.sleep(0.3)
+    far = corpus["warc_ts"].max() + datetime.timedelta(days=30)
+    sentinel = corpus.iloc[:1].copy()
+    sentinel["url"] = "sentinel://flush"
+    sentinel["warc_ts"] = far
+    spark.createDataFrame(sentinel, schema=pages_spark_schema()).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = read_pages_stream(spark, src, max_files=1)
+    surv = stream_near_dup_survivors(
+        stream, "text", "url", "warc_ts", delay="0 seconds", window="24 hours"
+    )
+    q = (
+        surv.writeStream.format("memory").queryName("ndsurv")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["url"] for r in spark.sql("select url from ndsurv").collect()
+        if not r["url"].startswith("sentinel://")
+    }
+
+    # batch twin over the same corpus
+    sig = dedup.minhash_signature(sdf_b, "text", "url")
+    bands = dedup.lsh_bands(sig, "url")
+    comp = dedup.near_dup_components(bands, "url").toPandas()
+    batch_surv = {
+        r["url"]
+        for r in dedup.near_dup_survivors(sdf_b, "url", spark.createDataFrame(comp))
+        .collect()
+    }
+    assert len(got) == len(batch_surv)
+    # exactly one stream survivor per batch cluster; unclustered = same set
+    clusters = comp.groupby("comp")["url"].apply(set)
+    for members in clusters:
+        assert len(got & members) == 1
+    clustered = set(comp["url"])
+    assert got - clustered == batch_surv - clustered
+    assert all(u in got for u in corpus["url"] if u.startswith("tiny://") )
+
+
 def test_windowed_keep_rate_matches_batch(spark, tmp_path):
     pages = generate_pages(240, seed=55, days=2).drop(columns=["cls"])
     sdf_b = spark.createDataFrame(pages, schema=pages_spark_schema())
