@@ -156,6 +156,45 @@ def test_compaction_scratch_dirs_invisible_to_readers(spark, tmp_path):
     assert spark.read.parquet(out).count() == rows
 
 
+def test_drop_explanation_svgs(spark, tmp_path):
+    """Every non-kept doc gets a human-viewable SVG derived ONLY from its
+    already-verified contribs map: sigmoid(sum(contribs)) in the header
+    equals the doc's quality_score, every term gets a bar, reasons shown."""
+    import math
+    import re
+
+    from quality_filter.io.explain import render_contribs_svg, write_drop_explanations
+
+    pdf = generate_pages(120, seed=21, days=1).drop(columns=["cls"])
+    scored = tiered_scored(spark.createDataFrame(pdf, schema=pages_spark_schema()))
+    paths = write_drop_explanations(scored, str(tmp_path), max_docs=10)
+    assert len(paths) == 10
+    rows = {
+        r["url"]: r
+        for r in scored.filter(F.col("status") != "keep")
+        .filter(F.col("contribs").isNotNull())
+        .select("url", "quality_score", "contribs", "reasons").collect()
+    }
+    for p in paths:
+        svg = open(p).read()
+        assert svg.startswith("<svg") and svg.endswith("</svg>")
+        url = re.search(r"\[(?:drop|quarantine)\] (\S+)</text>", svg).group(1)
+        r = rows[url]
+        # header score == the doc's golden-pinned quality_score
+        score = float(re.search(r"= (\d\.\d+)</text>", svg).group(1))
+        want = 1.0 / (1.0 + math.exp(-sum(r["contribs"].values())))
+        assert abs(score - want) < 1e-6
+        assert abs(score - r["quality_score"]) < 1e-6
+        for term in r["contribs"]:
+            assert f">{term}</text>" in svg  # one labeled bar per term
+        for reason in r["reasons"]:
+            assert reason in svg
+
+    # direct renderer: deterministic and standalone
+    a = render_contribs_svg({"x": 0.5, "y": -1.0}, "t", ["low_quality"])
+    assert a == render_contribs_svg({"y": -1.0, "x": 0.5}, "t", ["low_quality"])
+
+
 def test_partition_lineage_conserves_rows(spark, pages_dir):
     scored = tiered_scored(spark.read.parquet(pages_dir).drop("warc_dt"))
     lin = partition_lineage(scored).toPandas()
