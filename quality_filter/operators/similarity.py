@@ -164,8 +164,6 @@ def knn_lsh(
     """ANN: restrict the exact scan to the query's LSH bucket.
     Recall < 1.0 by construction; the scale path for repeated queries."""
     bucketed = hyperplane_lsh_buckets(df, vec_col, id_col, planes)
-    import math
-
     qbits = "".join(
         "1" if sum(a * b for a, b in zip(p, query_vec)) >= 0 else "0" for p in planes
     )
