@@ -33,16 +33,22 @@ def run_oracle(
     pages: pd.DataFrame,
     cfg: RuleConfig | None = None,
     artifact_dir: str | None = None,
+    models: tuple[LangIdModel, CharLM] | None = None,
 ) -> pd.DataFrame:
     """Score every page row; returns OUTPUT_COLUMNS, one row per input row.
 
     status ∈ {keep, drop, quarantine}; reasons = list of failed-rule names
     (the grad-cam "why" analog, /root/reference/opennsfw2/_inspection.py:72-100).
-    """
+    ``models`` lets a warm caller (quality_filter/serve.py's singleton)
+    skip the per-call artifact load — the global-model reuse lesson,
+    /root/reference/opennsfw2/_inference.py:18-27."""
     artifact_dir = artifact_dir or DEFAULT_ARTIFACT_DIR
     cfg = cfg or load_config(artifact_dir)
-    lid = LangIdModel.load(f"{artifact_dir}/langid.npz")
-    lm = CharLM.load(f"{artifact_dir}/lm.npz")
+    if models is not None:
+        lid, lm = models
+    else:
+        lid = LangIdModel.load(f"{artifact_dir}/langid.npz")
+        lm = CharLM.load(f"{artifact_dir}/lm.npz")
 
     out_rows = []
     for row in pages.itertuples(index=False):

@@ -103,3 +103,36 @@ def test_oracle_deterministic(oracle_now):
     pd.testing.assert_frame_equal(
         oracle_now.reset_index(drop=True), again.reset_index(drop=True)
     )
+
+
+def test_serve_score_one_matches_oracle_and_is_warm():
+    """score_one must produce the oracle's labels exactly, reuse the
+    artifact singleton across calls (second call faster than first in
+    module-load terms: the runtime cache is populated once), and map
+    invalid input to an error envelope instead of raising."""
+    from quality_filter import serve
+    from quality_filter.corpus import generate_pages
+    from quality_filter.oracle import run_oracle
+
+    pages = generate_pages(30, seed=77).drop(columns=["cls"])
+    want = run_oracle(pages)
+    serve.warm_up()
+    assert len(serve._CACHE) == 1
+    for (_, page), (_, w) in zip(pages.iterrows(), want.iterrows()):
+        got = serve.score_one(
+            text=page["text"] if isinstance(page["text"], str) else None,
+            html=page["html"] if isinstance(page["html"], (bytes, bytearray)) else None,
+            url=page["url"],
+        )
+        assert "error" not in got
+        assert got["status"] == w["status"] and got["keep"] == bool(w["keep"])
+        assert got["reasons"] == list(w["reasons"] or [])
+        if w["quality_score"] is not None:
+            assert abs(got["quality_score"] - w["quality_score"]) < 1e-12
+            assert got["scrubbed_text"] == w["scrubbed_text"]
+        assert got["version"] and got["processing_time_ms"] >= 0
+    assert len(serve._CACHE) == 1  # singleton never rebuilt
+
+    assert serve.score_one()["error"] == "invalid_input"
+    assert serve.score_one(text=123)["error"] == "invalid_input"  # type: ignore
+    assert serve.score_one(html="notbytes")["error"] == "invalid_input"  # type: ignore
