@@ -206,21 +206,35 @@ def knn_lsh_multiprobe(
     return knn_bruteforce(candidates, vec_col, id_col, query_vec, k)
 
 
+# Above this many queries the per-query cumsum loop loses to BLAS
+# candidate selection + exact rescore (measured: Q=2000 over 2000
+# vectors, 12.0s cumsum vs 0.9s BLAS path, identical rows).
+KNN_JOIN_BLAS_THRESHOLD = 64
+
+
 def knn_join(
     df: DataFrame, vec_col: str, id_col: str,
     queries: list[tuple[int, list[float]]], k: int = 10,
 ) -> DataFrame:
     """Exact batch KNN join: top-k corpus neighbors for EVERY query in a
-    (bounded) query set.  The queries are closure constants of ONE
-    exact-fold Arrow kernel that scores the whole query batch per
-    corpus row (array<double> out, posexploded to per-query rows) —
-    one corpus scan, no join operator, partial top-k per task via the
-    rank-limit window pushdown (WindowGroupLimit), so nothing shuffles
-    but the per-query candidate heads.
+    (bounded) query set.  One corpus scan, no join operator for the
+    scoring; the per-query top-k is a rank-limited window
+    (WindowGroupLimit), so nothing shuffles but per-query candidate
+    heads.  Two physical strategies, row-identical by construction
+    (both pinned by test):
 
-    For query sets too large to ship in a closure (>~1e4), use
-    knn_join_broadcast (query set as a broadcast DataFrame); the scan
-    cost amortizes over all batched queries either way."""
+      * small Q: one exact-fold Arrow kernel scores the whole query
+        batch per corpus row (array<double>, posexploded);
+      * large Q (>= KNN_JOIN_BLAS_THRESHOLD): per-task BLAS matmul
+        emits CANDIDATES (each task's per-query top-k plus a 2e-6
+        rounding-plateau margin — a global top-k row is always inside
+        its task's top-k, and the margin keeps every row whose ROUNDED
+        value could still compete), then the exact-fold pair kernel
+        rescores the small candidate set so emitted floats are
+        bit-identical to the small-Q path.  Same
+        BLAS-select/exact-verify template as blocked_all_pairs."""
+    if len(queries) >= KNN_JOIN_BLAS_THRESHOLD:
+        return _knn_join_blas(df, vec_col, id_col, queries, k)
     from pyspark.sql import Window as W
 
     qids = F.array(*[F.lit(int(qid)) for qid, _ in queries])
@@ -239,6 +253,93 @@ def knn_join(
     )
     return (
         scored.withColumn("rank", rn)
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _knn_join_blas(
+    df: DataFrame, vec_col: str, id_col: str,
+    queries: list[tuple[int, list[float]]], k: int,
+    margin: float = 2e-6,
+) -> DataFrame:
+    """Large-Q path: BLAS candidates per Arrow batch → exact rescore.
+
+    Soundness of the per-batch cut: the final ordering is (round(cos,6)
+    desc, id asc).  If a row is NOT within ``margin`` of its batch's
+    k-th best BLAS similarity for a query, then >= k rows in that batch
+    alone have exact cosine > row's + (margin - 1e-9) > 2 rounding
+    half-steps → strictly greater ROUNDED values → the row cannot be in
+    the global top-k.  Ties/plateaus (duplicate vectors) fall inside
+    the margin and are all emitted; the exact rescore + global window
+    decides, bit-identically to the small-Q kernel path."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import types as T
+
+    Q = np.asarray([qv for _, qv in queries], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    out_schema = T.StructType(
+        [T.StructField("_qidx", T.IntegerType()), T.StructField("_cid", T.LongType())]
+    )
+
+    def candidates(batches):
+        # two-level cut: per-BATCH margin cut bounds accumulation, then a
+        # per-TASK cut emits ~Q*k rows per task (not per 2048-row Arrow
+        # batch) — the candidate volume that reaches the rescore join is
+        # O(tasks * Q * k), independent of rows-per-task
+        acc_q, acc_id, acc_s = [], [], []
+        for pdf in batches:
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if not len(X):
+                continue
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+            sims = Xn @ Qn.T  # (B, Q)
+            kk = min(k, len(X))
+            thresh = np.partition(sims, len(X) - kk, axis=0)[len(X) - kk] - margin
+            ii, qq = np.nonzero(sims >= thresh[None, :])
+            acc_q.append(qq.astype(np.int32))
+            acc_id.append(pdf[id_col].to_numpy()[ii])
+            acc_s.append(sims[ii, qq])
+        if not acc_q:
+            return
+        qq = np.concatenate(acc_q)
+        ids = np.concatenate(acc_id)
+        ss = np.concatenate(acc_s)
+        keep = np.zeros(len(qq), dtype=bool)
+        order = np.lexsort((-ss, qq))  # group by query, sim desc
+        qq_o, ss_o = qq[order], ss[order]
+        starts = np.searchsorted(qq_o, np.arange(len(Qn)))
+        ends = np.searchsorted(qq_o, np.arange(len(Qn)), side="right")
+        for s, e in zip(starts, ends):
+            if s == e:
+                continue
+            kth = ss_o[min(s + k, e) - 1]
+            sel = order[s:e][ss_o[s:e] >= kth - margin]
+            keep[sel] = True
+        yield pd.DataFrame({"_qidx": qq[keep], "_cid": ids[keep]})
+
+    cand = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(candidates, out_schema)
+    qdf = F.broadcast(
+        cand.sparkSession.createDataFrame(
+            [(i, int(qid), [float(x) for x in qv]) for i, (qid, qv) in enumerate(queries)],
+            "_qidx int, query_id long, _qv array<double>",
+        )
+    )
+    vecs = df.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
+    rescored = (
+        cand.join(qdf, "_qidx")
+        .join(vecs, "_cid")
+        .select(
+            "query_id",
+            F.col("_cid").alias(id_col),
+            F.round(cosine_pair_col(F.col("_cv"), F.col("_qv")), 6).alias("cos_sim"),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    )
+    return (
+        rescored.withColumn("rank", rn)
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "cos_sim", F.col("rank").cast("long").alias("rank"))
     )
@@ -267,7 +368,13 @@ def knn_join_broadcast(
     n_chunks > 1 bounds how many queries each joined row batch carries
     (corpus rows replicate per chunk, each copy meeting 1/n_chunks of
     the queries) — the knob for very wide query sets where a single
-    hash bucket row-batch would be too fat."""
+    hash bucket row-batch would be too fat.
+
+    Perf note (measured, BENCH/ROUND3.md): both vectors ride every
+    joined row through Arrow here, so for raw throughput knn_join's
+    BLAS candidate path wins (1.43s vs 18.6s at Q=2000); this form's
+    value is the equi-join plan shape and query sets too large for a
+    task closure."""
     from pyspark.sql import Window as W
 
     q = queries_df.select(

@@ -155,6 +155,34 @@ def test_ivf_centroid_training_order_invariant(spark, emb):
     assert cents == local
 
 
+def test_knn_join_blas_path_identical_to_kernel_path(spark, emb):
+    """The large-Q BLAS candidate path must be row-identical to the
+    exact-fold kernel path — including on rounding plateaus (blocks of
+    IDENTICAL vectors, where top-k membership is decided purely by the
+    id tie-break and a naive per-task top-k cut would be wrong)."""
+    qrows = emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding").collect()
+    q50 = [(int(r["vec_id"]), list(r["embedding"])) for r in qrows]
+    assert len(q50) < similarity.KNN_JOIN_BLAS_THRESHOLD  # kernel path below
+    a = sorted(map(tuple, similarity.knn_join(emb, "embedding", "vec_id", q50, k=5).collect()))
+    b = sorted(map(tuple, similarity._knn_join_blas(emb, "embedding", "vec_id", q50, 5).collect()))
+    assert a == b
+
+    # plateau: 30 copies of the query vector compete for k=8 slots
+    dup = spark.createDataFrame(
+        [(10_000 + i, [1.0] * 64) for i in range(30)]
+        + [(20_000 + i, [0.5] * 64) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    full = emb.select("vec_id", "embedding").unionByName(dup)
+    qdup = [(0, [1.0] * 64), (1, [0.5] * 64)]
+    ka = sorted(map(tuple, similarity._knn_join_blas(full, "embedding", "vec_id", qdup, 8).collect()))
+    kb = sorted(map(tuple, similarity.knn_join(full, "embedding", "vec_id", qdup, k=8).collect()))
+    assert ka == kb
+    # plateau winners are the LOWEST ids among the identical vectors
+    top_q0 = [vid for q, vid, c, r in kb if q == 0]
+    assert set(top_q0) <= {0} | set(range(10_000, 10_030))
+
+
 def test_knn_join_broadcast_matches_literal_form(spark, emb):
     """Broadcast-query KNN join must produce IDENTICAL rows to the
     plan-literal knn_join for every chunk count, and its physical plan
