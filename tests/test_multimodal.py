@@ -527,3 +527,71 @@ def test_explode_frames_video_source(spark, media):
     )
     feats = decode_features(feat_in).toPandas()
     assert (feats["decoder"] == "ppm").all() and feats["decode_ok"].all()
+
+
+# -- progressive JPEG --------------------------------------------------------
+
+def test_progressive_jpeg_roundtrip_exact_vs_baseline():
+    """decode(progressive(x)) must equal decode(baseline(x)) BIT-FOR-BIT:
+    both encoders quantize identically, so after all progressive scans
+    (spectral bands + DC/AC successive approximation) the accumulated
+    coefficients are the baseline coefficients, and the shared IDCT
+    yields identical pixels.  Covers EOB runs, ZRL-in-refinement,
+    correction bits, new-coefficient insertion, and band geometry."""
+    from quality_filter.operators.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(42)
+    cases = [
+        ((16, 16), False, ((1, 63),), 1, 1),       # single band
+        ((21, 34), False, ((1, 5), (6, 63)), 1, 1),  # two bands
+        ((24, 40), True, ((1, 5), (6, 63)), 1, 1),   # 2x2 subsampling
+        ((17, 9), False, ((1, 2), (3, 20), (21, 63)), 2, 2),  # deep SA
+        ((8, 8), False, ((1, 63),), 1, 1),           # single MCU
+    ]
+    for (h, w), sub, bands, dc_al, ac_al in cases:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(arr, subsample=sub))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(arr, subsample=sub, bands=bands, dc_al=dc_al, ac_al=ac_al)
+        )
+        assert (base == prog).all(), (h, w, sub, bands, dc_al, ac_al)
+
+    # smooth gradient (long EOB runs across blocks) + flat image (all-EOB)
+    yy, xx = np.mgrid[0:32, 0:48]
+    grad = np.stack([(yy * 3) % 256, (xx * 2) % 256, ((yy + xx)) % 256], axis=2).astype(np.uint8)
+    flat = np.full((24, 24, 3), 200, dtype=np.uint8)
+    for arr in (grad, flat):
+        base = decode_jpeg(encode_jpeg(arr))
+        prog = decode_jpeg(encode_jpeg_progressive(arr))
+        assert (base == prog).all()
+
+
+def test_progressive_jpeg_real_fixtures():
+    """Real libjpeg-progressive files from the host decode with correct
+    dimensions and real content; truncations quarantine as ValueError
+    through decode_pixels."""
+    import os
+
+    from quality_filter.operators.jpeg import decode_jpeg
+
+    fixtures = [
+        ("/usr/share/doc/nodejs/thin-white-stripe.jpg", (58, 493)),
+        ("/usr/share/doc/nodejs/full-white-stripe.jpg", (312, 493)),
+        (
+            "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/multi-channel/grayscale.jpg",
+            (215, 300),
+        ),
+    ]
+    found = [(p, d) for p, d in fixtures if os.path.exists(p)]
+    if not found:
+        pytest.skip("no progressive fixtures on this host")
+    for p, (h, w) in found:
+        b = open(p, "rb").read()
+        arr = decode_jpeg(b)
+        assert arr.shape == (h, w, 3)
+        assert arr.std() > 10  # decoded real content, not noise/zeros
+        with pytest.raises(ValueError):
+            decode_pixels(b[: len(b) // 2])
+        assert decode_pixels(b).shape == (h, w, 3)  # multimodal dispatch
