@@ -595,3 +595,30 @@ def test_progressive_jpeg_real_fixtures():
         with pytest.raises(ValueError):
             decode_pixels(b[: len(b) // 2])
         assert decode_pixels(b).shape == (h, w, 3)  # multimodal dispatch
+
+
+def test_baseline_jpeg_more_real_fixtures():
+    """Real camera/photo JPEGs shipped with Spark's mllib data and other
+    host packages (different encoders, subsamplings, APPn metadata) —
+    broader real-encoder validation than the tiny CPython logo."""
+    import glob
+    import os
+
+    from quality_filter.operators.jpeg import decode_jpeg
+
+    fixtures = sorted(
+        glob.glob("/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/*.jpg")
+    ) + [
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/multi-channel/chr30.4.184.jpg",
+        "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/requests/ext/flower-of-life.jpg",
+    ]
+    fixtures = [p for p in fixtures if os.path.exists(p)]
+    if not fixtures:
+        pytest.skip("no photo fixtures on this host")
+    ok = 0
+    for p in fixtures:
+        arr = decode_jpeg(open(p, "rb").read())
+        assert arr.ndim == 3 and arr.shape[2] == 3 and min(arr.shape[:2]) >= 100
+        assert arr.std() > 20  # real photographic content
+        ok += 1
+    assert ok >= 3
