@@ -780,6 +780,22 @@ def q_knn_join_broadcast(spark, sf_dir):
     )
 
 
+def q_embedding_centroids_by_label(spark, sf_dir):
+    """Per-label mean embedding (class prototypes — the op behind
+    nearest-class-mean classifiers and per-source drift monitoring),
+    emitted as (label, pos, avg_val) rows: posexplode → partial agg →
+    one shuffle of O(labels x dim) rows, never a collect of vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("pos", "val"),
+    )
+    return ex.groupBy("label", F.col("pos").cast("long").alias("pos")).agg(
+        (F.round(F.avg(F.col("val").cast("double")), 6) + F.lit(0.0)).alias("avg_val"),
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+    )
+
+
 def q_knn_ivf(spark, sf_dir):
     """ANN via IVF coarse quantizer.  Centroids come from a
     deterministic hash-ordered sample + shared numpy k-means, so the
@@ -810,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "knn_join": q_knn_join,
         "knn_join_broadcast": q_knn_join_broadcast,
+        "embedding_centroids_by_label": q_embedding_centroids_by_label,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_suppliers_by_revenue": q_top_suppliers_by_revenue,
@@ -1566,6 +1583,13 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
     }
     # broadcast form is row-identical to the literal form by construction
     out["knn_join_broadcast"] = out["knn_join"]
+    out["embedding_centroids_by_label"] = f"""
+WITH pos AS (SELECT unnest(range({_embedding_dim()})) AS i)
+SELECT CAST(e.label AS BIGINT) AS label, CAST(pos.i AS BIGINT) AS pos,
+  round(avg(e.embedding[pos.i + 1]::DOUBLE), 6) + 0.0 AS avg_val,
+  CAST(count(*) AS BIGINT) AS n_vecs
+FROM embeddings e, pos
+GROUP BY 1, 2"""
     return out
 
 

@@ -127,16 +127,32 @@ def extract_text_reference(html: str) -> str:
 
 
 def extract_text_from_bytes(html_bytes: bytes | None) -> str | None:
-    """Decode UTF-8 (strict) then extract.
+    """Decode (transparently un-gzipping) then extract.
 
-    Returns None for undecodable payloads → the row is routed to the
-    quarantine output instead of failing the job (the malformed-payload
-    dispatch analog, /root/reference/app/services/file_service.py:125-156).
+    Common-Crawl-style payloads frequently arrive gzip-compressed (WARC
+    record bodies); a leading 1F 8B magic triggers stdlib gunzip before
+    the strict UTF-8 decode.  This lives HERE — the one shared module —
+    so oracle and Spark stay byte-identical by construction; clean-text
+    goldens are unaffected (no golden payload is compressed).
+
+    Returns None for undecodable/corrupt payloads → the row is routed to
+    the quarantine output instead of failing the job (the
+    malformed-payload dispatch analog,
+    /root/reference/app/services/file_service.py:125-156).
     """
     if html_bytes is None:
         return None
+    raw = bytes(html_bytes)
+    if raw[:2] == b"\x1f\x8b":
+        import gzip
+        import zlib
+
+        try:
+            raw = gzip.decompress(raw)
+        except (OSError, EOFError, zlib.error):
+            return None  # recognized-but-corrupt container → quarantine
     try:
-        html = bytes(html_bytes).decode("utf-8", errors="strict")
+        html = raw.decode("utf-8", errors="strict")
     except (UnicodeDecodeError, ValueError):
         return None
     try:

@@ -68,3 +68,23 @@ def test_fast_matches_reference_on_corpus():
             except UnicodeDecodeError:
                 continue
             assert extract_text(txt) == extract_text_reference(txt)
+
+
+def test_gzip_payloads_transparently_decompressed():
+    """WARC-style gzip-wrapped payloads (1F 8B magic) extract to the
+    SAME text as their uncompressed twin; corrupt gzip quarantines
+    (None) instead of raising.  Lives in the shared module, so oracle
+    and Spark inherit it identically by construction."""
+    import gzip
+
+    html = "<html><body><p>Fælles tekst &amp; more</p></body></html>".encode()
+    want = extract_text_from_bytes(html)
+    assert want and "Fælles" in want
+    assert extract_text_from_bytes(gzip.compress(html)) == want
+
+    gz = gzip.compress(html)
+    assert extract_text_from_bytes(gz[: len(gz) // 2]) is None  # truncated
+    corrupt = gz[:10] + bytes([gz[10] ^ 0xFF]) + gz[11:]
+    assert extract_text_from_bytes(corrupt) is None  # corrupt deflate/crc
+    # a NON-gzip payload starting with neither magic is unaffected
+    assert extract_text_from_bytes(html) == want
