@@ -796,6 +796,59 @@ def q_embedding_centroids_by_label(spark, sf_dir):
     )
 
 
+DECONTAM_NGRAM = 8
+DECONTAM_MOD = 97
+
+
+def q_benchmark_decontamination(spark, sf_dir):
+    """Benchmark decontamination — the eval-leak guard every pretraining
+    corpus needs: flag documents sharing any word-8-gram with a
+    benchmark set (stand-in: every 97th doc).  The benchmark n-gram set
+    is a dimension table (bounded by benchmark size) → broadcast into
+    the probe join; the corpus side explodes per-doc DISTINCT shingles
+    and partial-aggregates hit counts before the one shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    ng = F.array_distinct(dedup.shingles(F.col("text"), DECONTAM_NGRAM))
+    bench = (
+        docs.filter(F.col("doc_id") % DECONTAM_MOD == 0)
+        .select(F.explode(ng).alias("ng"))
+        .distinct()
+    )
+    probe = docs.select("doc_id", F.explode(ng).alias("ng"))
+    hits = probe.join(F.broadcast(bench), "ng").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    return docs.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+MIX_TARGET_UNIFORM = True
+
+
+def q_source_mixing_rates(spark, sf_dir):
+    """Domain-mixing rate table: per-source keep probability that
+    rebalances the corpus toward a uniform source mix —
+    rate_s = min(1, (total/n_sources) / count_s).  Post-aggregation
+    cardinality is #sources, so the unpartitioned window runs over a
+    dimension-sized frame, not the corpus."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = Window.partitionBy()
+    total = F.sum("n_docs").over(w)
+    n_sources = F.count(F.lit(1)).over(w)
+    rate = F.least(
+        F.lit(1.0),
+        (total.cast("double") / n_sources.cast("double"))
+        / F.col("n_docs").cast("double"),
+    )
+    return counts.select("source", "n_docs", F.round(rate, 6).alias("rate"))
+
+
 def q_knn_ivf(spark, sf_dir):
     """ANN via IVF coarse quantizer.  Centroids come from a
     deterministic hash-ordered sample + shared numpy k-means, so the
@@ -827,6 +880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "knn_join_broadcast": q_knn_join_broadcast,
         "embedding_centroids_by_label": q_embedding_centroids_by_label,
+        "benchmark_decontamination": q_benchmark_decontamination,
+        "source_mixing_rates": q_source_mixing_rates,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_suppliers_by_revenue": q_top_suppliers_by_revenue,
@@ -1215,14 +1270,20 @@ ratios AS (
 )"""
 
 
-def _ngram_expr() -> str:
-    """Positional word-3-gram list — SQL twin of dedup.shingles(text, 3)."""
-    return (
-        f"CASE WHEN len({_SIMPLE_TOKS}) >= 3 THEN "
-        f"list_transform(generate_series(1, len({_SIMPLE_TOKS}) - 2), "
-        f"i -> {_SIMPLE_TOKS}[i] || ' ' || {_SIMPLE_TOKS}[i+1] || ' ' || {_SIMPLE_TOKS}[i+2]) "
-        f"ELSE [] END"
+def _ngram_expr_n(n: int) -> str:
+    """Positional word-n-gram list — SQL twin of dedup.shingles(text, n)."""
+    join = " || ' ' || ".join(
+        f"{_SIMPLE_TOKS}[i]" if j == 0 else f"{_SIMPLE_TOKS}[i+{j}]" for j in range(n)
     )
+    return (
+        f"CASE WHEN len({_SIMPLE_TOKS}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({_SIMPLE_TOKS}) - {n - 1}), "
+        f"i -> {join}) ELSE [] END"
+    )
+
+
+def _ngram_expr() -> str:
+    return _ngram_expr_n(3)
 
 
 def _minhash_sig_cte(src: str = "documents") -> str:
@@ -1590,6 +1651,30 @@ SELECT CAST(e.label AS BIGINT) AS label, CAST(pos.i AS BIGINT) AS pos,
   CAST(count(*) AS BIGINT) AS n_vecs
 FROM embeddings e, pos
 GROUP BY 1, 2"""
+    out["benchmark_decontamination"] = f"""
+WITH ng AS (
+  SELECT doc_id, unnest(list_distinct({_ngram_expr_n(DECONTAM_NGRAM)})) AS ng
+  FROM documents
+),
+bench AS (SELECT DISTINCT ng FROM ng WHERE doc_id % {DECONTAM_MOD} = 0),
+hits AS (
+  SELECT n.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM ng n JOIN bench USING (ng) GROUP BY 1
+)
+SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+  coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)"""
+    out["source_mixing_rates"] = """
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n_docs) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS ns
+  FROM counts
+)
+SELECT source, n_docs,
+  round(least(1.0, (total / ns) / CAST(n_docs AS DOUBLE)), 6) AS rate
+FROM counts, tot"""
     return out
 
 
