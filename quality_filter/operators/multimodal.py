@@ -728,12 +728,12 @@ def generate_media(n: int, seed: int = 11, real_image_every: int = 0) -> pd.Data
             ]
             payload = encode_gif_animated(frames)
         elif real_image_every and i % real_image_every == 0:
-            codec = (i // real_image_every) % 6
+            codec = (i // real_image_every) % 7
             if codec == 3:  # real audio
                 t = np.arange(1600) / 16000.0
                 freq = 200 + 50 * (i % 7)
                 payload = encode_wav(0.5 * np.sin(2 * np.pi * freq * t), 16000)
-            else:  # real image in one of the three container formats
+            else:  # real image in one of the container formats
                 w, h = rnd.choice(((8, 6), (16, 9), (5, 7)))
                 arr = np.frombuffer(
                     rnd.randbytes(w * h * 3), dtype=np.uint8
@@ -746,6 +746,10 @@ def generate_media(n: int, seed: int = 11, real_image_every: int = 0) -> pd.Data
                     from quality_filter.operators.gif import encode_gif
 
                     payload = encode_gif(arr)
+                elif codec == 6:  # progressive JPEG through the same stage
+                    from quality_filter.operators.jpeg import encode_jpeg_progressive
+
+                    payload = encode_jpeg_progressive(arr, subsample=bool(i % 2))
                 else:
                     payload = (encode_ppm, _to_bmp, encode_png)[codec](arr)
         else:
