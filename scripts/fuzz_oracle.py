@@ -42,7 +42,7 @@ DOC_QUERIES = [
     "simhash_docs", "simhash_near_dup", "docs_hash_sample",
     "docs_stratified_sample", "corpus_top_terms", "tfidf_top_docs",
     "dup_ngram_ratio_docs", "packed_docs", "corpus_curation",
-    "doc_quality_deciles",
+    "doc_quality_deciles", "benchmark_decontamination", "source_mixing_rates",
 ]
 EVENT_QUERIES = [
     "decimated_events", "tumbling_agg_mean", "tumbling_agg_median",
@@ -54,7 +54,7 @@ EVENT_QUERIES = [
 EMB_QUERIES = [
     "embedding_near_dup_pairs", "embedding_near_dup_lsh",
     "embedding_clusters", "knn_bruteforce", "knn_lsh", "knn_lsh_multiprobe",
-    "knn_ivf", "knn_join",
+    "knn_ivf", "knn_join", "knn_join_broadcast", "embedding_centroids_by_label",
 ]
 
 WORD_POOLS = (
