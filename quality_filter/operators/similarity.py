@@ -599,6 +599,37 @@ def ivf_assign(df: DataFrame, vec_col: str, id_col: str, centroids: list[list[fl
     return df.select(F.col(id_col), assign_kernel(F.col(vec_col)).alias("cluster"))
 
 
+def write_ivf_index(
+    df: DataFrame, vec_col: str, id_col: str, centroids: list[list[float]],
+    path: str,
+) -> None:
+    """Materialize the INVERTED FILE: vectors written hive-partitioned
+    by their coarse cluster (`cluster=<i>/`), so a query's n_probe
+    restriction becomes PARTITION PRUNING at the scan — the probed
+    clusters' files are the only bytes read, which is the entire point
+    of IVF at corpus scale (ivf_assign alone computes the key; this
+    writes the layout that makes the key useful)."""
+    assigned = ivf_assign(df, vec_col, id_col, centroids)
+    df.join(assigned, id_col).write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+
+def knn_ivf_indexed(
+    spark, path: str, vec_col: str, id_col: str, query_vec: list[float],
+    centroids: list[list[float]], n_probe: int = 2, k: int = 10,
+) -> DataFrame:
+    """ANN over a written IVF index: the cluster filter lands in the
+    scan's PartitionFilters (pruned before any file is opened), then
+    the exact-fold kernel scores only the probed clusters' rows.
+    Same results as knn_ivf over the source table by construction
+    (same centroids → same assignment → same candidate set)."""
+    q = np.array(query_vec, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    cent = np.array(centroids, dtype=np.float64)
+    order = (cent @ q).argsort()[::-1][:n_probe].tolist()
+    scan = spark.read.parquet(path).filter(F.col("cluster").isin(order))
+    return knn_bruteforce(scan, vec_col, id_col, query_vec, k)
+
+
 def knn_ivf(
     df: DataFrame, vec_col: str, id_col: str, query_vec: list[float],
     centroids: list[list[float]], n_probe: int = 2, k: int = 10,

@@ -273,6 +273,35 @@ def test_no_registered_query_plans_a_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_ivf_index_partition_pruning(spark, emb, tmp_path):
+    """The written inverted file must (a) return exactly knn_ivf's rows
+    and (b) plan the probe as PartitionFilters on the cluster key — the
+    scan reads only the probed clusters' files."""
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    cents = similarity.train_ivf_centroids(emb, "embedding", "vec_id", n_clusters=8, seed=7)
+    path = str(tmp_path / "ivf_index")
+    similarity.write_ivf_index(emb, "embedding", "vec_id", cents, path)
+
+    import os
+
+    parts = sorted(d for d in os.listdir(path) if d.startswith("cluster="))
+    assert len(parts) > 1  # really partitioned by cluster
+
+    got = similarity.knn_ivf_indexed(
+        spark, path, "embedding", "vec_id", qvec, cents, n_probe=2, k=10
+    )
+    want = similarity.knn_ivf(emb, "embedding", "vec_id", qvec, cents, n_probe=2, k=10)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    # the pruning is real: no Filter on cluster survives above the scan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "cluster" in pf
+
+
 def test_ivf_recall_and_determinism(spark, emb):
     qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
     cents = similarity.train_ivf_centroids(emb, "embedding", "vec_id", n_clusters=8, seed=7)
