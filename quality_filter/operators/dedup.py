@@ -411,7 +411,12 @@ def connected_components_altstar(
     aggregate per round instead of a set-difference join.
 
     Each round is 3 partial-aggregated shuffles on node ids; lineage is
-    truncated per round (localCheckpoint) so the plan stays flat."""
+    truncated per round via LAZY localCheckpoint — the fixpoint
+    checksum is the action that materializes it, so each round costs
+    ONE job, not a checkpoint job plus a checksum job (1.11x on the
+    bench survivors query; identity pinned).  The large-star output
+    skips its own distinct — multiplicity is bounded by the edge count
+    and small-star's distinct collapses it one shuffle later."""
     e = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("u"),
@@ -419,7 +424,7 @@ def connected_components_altstar(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("u").alias("x")).union(e.select(F.col("v").alias("x"))).distinct()
@@ -444,7 +449,6 @@ def connected_components_altstar(
             nbrs.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
         # small-star: canonical (u > v) edges; u and small neighbors → min
         mins = e.groupBy("u").agg(F.min("v").alias("m"))
@@ -456,7 +460,7 @@ def connected_components_altstar(
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur = _checksum(e)
         if cur == prev:
