@@ -636,7 +636,10 @@ def knn_ivf(
 ) -> DataFrame:
     """ANN via IVF: exact scan restricted to the ``n_probe`` clusters
     nearest to the query.  Recall grows with n_probe; n_probe = n_clusters
-    degrades gracefully to the exact scan."""
+    degrades gracefully to the exact scan.  Query-time form over a source
+    table; for repeated queries materialize the inverted file once with
+    ``write_ivf_index`` and probe via ``knn_ivf_indexed`` (partition
+    pruning reads only the probed clusters' files)."""
     import numpy as np
 
     q = np.array(query_vec, dtype=np.float64)

@@ -177,6 +177,40 @@ def test_stream_near_dup_survivors_matches_batch_clusters(spark, tmp_path):
     assert all(u in got for u in corpus["url"] if u.startswith("tiny://") )
 
 
+def test_stream_decontamination_static_join(spark, tmp_path):
+    """Decontamination is stream-compatible as-is: the benchmark n-gram
+    set is a STATIC broadcast dimension, so a streaming probe side is a
+    plain stream-static join — flagged ids must equal the batch query's
+    contaminated set over the same rows."""
+    from pyspark.sql import functions as F
+
+    from quality_filter.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "dc_src")
+    docs.write.parquet(src)
+
+    ng = F.array_distinct(dedup.shingles(F.col("text"), 8))
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(F.explode(ng).alias("ng")).distinct()
+
+    stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 3).parquet(src)
+    probe = stream.select("doc_id", F.explode(ng).alias("ng"))
+    flagged = probe.join(F.broadcast(bench), "ng").select("doc_id").dropDuplicates()
+    q = (
+        flagged.writeStream.format("memory").queryName("contam")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {r["doc_id"] for r in spark.sql("select doc_id from contam").collect()}
+
+    batch = (
+        docs.select("doc_id", F.explode(ng).alias("ng"))
+        .join(F.broadcast(bench), "ng").select("doc_id").distinct()
+    )
+    want = {r["doc_id"] for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+
 def test_windowed_keep_rate_matches_batch(spark, tmp_path):
     pages = generate_pages(240, seed=55, days=2).drop(columns=["cls"])
     sdf_b = spark.createDataFrame(pages, schema=pages_spark_schema())
