@@ -502,6 +502,8 @@ def sniff_container(b: bytes) -> str | None:
         return "jpeg"
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
     return None
@@ -527,6 +529,10 @@ def decode_pixels(b: bytes, pil=None) -> np.ndarray | None:
             from quality_filter.operators.gif import decode_gif
 
             return decode_gif(b)
+        if kind == "tiff":
+            from quality_filter.operators.tiff import decode_tiff
+
+            return decode_tiff(b)
     except MALFORMED_ERRORS as e:
         raise ValueError(f"malformed {kind}: {e}") from e
     if pil is not None:

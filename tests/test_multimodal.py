@@ -622,3 +622,136 @@ def test_baseline_jpeg_more_real_fixtures():
         assert arr.std() > 20  # real photographic content
         ok += 1
     assert ok >= 3
+
+
+# -- TIFF --------------------------------------------------------------------
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Minimal TIFF-LZW encoder (MSB-first, EarlyChange) for test input."""
+    out = bytearray()
+    acc, nbits = 0, 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(256, width)  # clear
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        # EarlyChange: encoder bumps width when next_code+1 would overflow
+        if next_code + 1 > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur], width)
+    emit(257, width)  # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _build_tiff(px, comp_id, body, extra_entries=()):
+    import struct as st
+
+    h, w = px.shape[:2]
+    data_off = 8
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (259, 3, 1, comp_id), (262, 3, 1, 2),
+        (273, 4, 1, data_off), (277, 3, 1, 3), (278, 3, 1, h),
+        (279, 4, 1, len(body)),
+    ] + list(extra_entries)
+    entries.sort()
+    ifd_off = data_off + len(body)
+    out = bytearray(b"II*\x00") + st.pack("<I", ifd_off) + body
+    out += st.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += st.pack("<HHII", tag, typ, cnt, val)
+    out += st.pack("<I", 0)
+    return bytes(out)
+
+
+def test_tiff_roundtrips_and_real_fixture():
+    """Round-trips for none/PackBits/Deflate, TIFF-LZW (MSB-first,
+    EarlyChange) against a hand-rolled encoder, horizontal-differencing
+    predictor, gray + white-is-zero photometrics — plus the real
+    CPython test fixture (uncompressed RGBA, alpha dropped)."""
+    import glob
+    import os
+
+    from quality_filter.operators.tiff import decode_tiff, encode_tiff
+
+    px = _demo_pixels(w=7, h=11, seed=9)
+    for comp in ("none", "packbits", "deflate"):
+        assert (decode_tiff(encode_tiff(px, comp)) == px).all(), comp
+
+    # LZW strip
+    body = _tiff_lzw_encode(px.tobytes())
+    assert (decode_tiff(_build_tiff(px, 5, body)) == px).all()
+
+    # predictor 2 (horizontal differencing): body carries per-channel diffs
+    diff = px.astype(np.int64).copy()
+    diff[:, 1:] = (px[:, 1:].astype(np.int64) - px[:, :-1].astype(np.int64)) % 256
+    b = _build_tiff(px, 1, diff.astype(np.uint8).tobytes(), [(317, 3, 1, 2)])
+    assert (decode_tiff(b) == px).all()
+
+    # real fixture: CPython's uncompressed RGBA python.tiff
+    fixtures = glob.glob(
+        "/root/.pyenv/versions/3.*/lib/python3.*/test/imghdrdata/python.tiff"
+    )
+    if fixtures:
+        arr = decode_tiff(open(fixtures[0], "rb").read())
+        assert arr.shape == (16, 16, 3) and arr.std() > 20
+    else:
+        pytest.skip("no tiff fixture")
+
+    # malformed: truncated strip / bad magic quarantine as ValueError
+    with pytest.raises(ValueError):
+        decode_tiff(encode_tiff(px)[:40])
+    with pytest.raises(ValueError):
+        decode_tiff(b"II+\x00" + b"\x00" * 32)
+    # unsupported compression id quarantines, never crashes
+    with pytest.raises(ValueError):
+        decode_tiff(_build_tiff(px, 7, px.tobytes()))  # JPEG-in-TIFF
+
+
+def test_tiff_flows_through_decode_features(spark):
+    import pandas as pd
+
+    from quality_filter.operators.tiff import encode_tiff
+
+    px = _demo_pixels(w=6, h=4, seed=12)
+    pdf = pd.DataFrame(
+        {
+            "media_id": [0, 1],
+            "url": ["u"] * 2,
+            "kind": ["image"] * 2,
+            "payload": [encode_tiff(px), encode_tiff(px)[:30]],
+            "meta": [None] * 2,
+        }
+    )
+    out = (
+        decode_features(spark.createDataFrame(pdf, schema=MEDIA_SCHEMA))
+        .toPandas().set_index("media_id")
+    )
+    assert bool(out.loc[0, "decode_ok"]) and out.loc[0, "decoder"] == "tiff"
+    assert np.allclose(out.loc[0, "features"], image_features(px), atol=0)
+    assert not bool(out.loc[1, "decode_ok"]) and out.loc[1, "decoder"] == "tiff"
