@@ -734,7 +734,7 @@ def generate_media(n: int, seed: int = 11, real_image_every: int = 0) -> pd.Data
             ]
             payload = encode_gif_animated(frames)
         elif real_image_every and i % real_image_every == 0:
-            codec = (i // real_image_every) % 7
+            codec = (i // real_image_every) % 8
             if codec == 3:  # real audio
                 t = np.arange(1600) / 16000.0
                 freq = 200 + 50 * (i % 7)
@@ -756,6 +756,10 @@ def generate_media(n: int, seed: int = 11, real_image_every: int = 0) -> pd.Data
                     from quality_filter.operators.jpeg import encode_jpeg_progressive
 
                     payload = encode_jpeg_progressive(arr, subsample=bool(i % 2))
+                elif codec == 7:
+                    from quality_filter.operators.tiff import encode_tiff
+
+                    payload = encode_tiff(arr, ("none", "packbits", "deflate")[i % 3])
                 else:
                     payload = (encode_ppm, _to_bmp, encode_png)[codec](arr)
         else:

@@ -81,3 +81,27 @@ def test_resize_shape_and_value_domain(dim_in, dim_out, seed):
     assert out.shape == (oh, ow, 3)
     # every output pixel is an input pixel (nearest neighbor)
     assert set(np.unique(out)) <= set(np.unique(px))
+
+
+@settings(max_examples=15, deadline=None)
+@given(dims, st.sampled_from(["none", "packbits", "deflate"]), st.integers(0, 2**31 - 1))
+def test_tiff_roundtrip_exact(dim, comp, seed):
+    from quality_filter.operators.tiff import decode_tiff, encode_tiff
+
+    w, h = dim
+    px = _img(w, h, seed)
+    assert (decode_tiff(encode_tiff(px, comp)) == px).all()
+
+
+@settings(max_examples=10, deadline=None)
+@given(dims, st.integers(0, 2**31 - 1))
+def test_progressive_jpeg_equals_baseline(dim, seed):
+    from quality_filter.operators.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive,
+    )
+
+    w, h = dim
+    px = _img(w, h, seed)
+    assert (
+        decode_jpeg(encode_jpeg_progressive(px)) == decode_jpeg(encode_jpeg(px))
+    ).all()

@@ -424,8 +424,8 @@ def test_real_pixel_decode_end_to_end(spark, media):
     image_features computation exactly."""
     out = decode_features(media).toPandas().set_index("media_id")
     src = media.toPandas().set_index("media_id")
-    real = out[out["decoder"].isin(["ppm", "bmp", "png", "jpeg", "gif"])]
-    assert len(real) > 5 and set(real["decoder"]) == {"ppm", "bmp", "png", "jpeg", "gif"}
+    real = out[out["decoder"].isin(["ppm", "bmp", "png", "jpeg", "gif", "tiff"])]
+    assert len(real) > 5 and set(real["decoder"]) == {"ppm", "bmp", "png", "jpeg", "gif", "tiff"}
     assert real["decode_ok"].all()
     for mid, row in real.iterrows():
         px = decode_pixels(bytes(src.loc[mid, "payload"]))
