@@ -126,8 +126,70 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
-def decode_jpeg(b: bytes) -> np.ndarray:
-    """Baseline JPEG → (H, W, 3) uint8 RGB (grayscale replicated)."""
+def exif_orientation(b: bytes) -> int:
+    """EXIF orientation tag (1-8) from a JPEG's APP1 segment, 1 if
+    absent/unreadable.  The EXIF payload IS a TIFF stream — reuses the
+    TIFF IFD parser."""
+    pos = 2
+    while pos + 4 <= len(b) and b[pos] == 0xFF:
+        marker = b[pos + 1]
+        if marker in (0xDA, 0xD9):
+            break
+        (seglen,) = struct.unpack_from(">H", b, pos + 2)
+        if marker == 0xE1 and b[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            tiff = b[pos + 10 : pos + 2 + seglen]
+            try:
+                from quality_filter.operators.tiff import _read_ifd
+
+                if tiff[:4] == b"II*\x00":
+                    fmt = "<"
+                elif tiff[:4] == b"MM\x00*":
+                    fmt = ">"
+                else:
+                    return 1
+                (ifd_off,) = struct.unpack_from(fmt + "I", tiff, 4)
+                tags = _read_ifd(tiff, fmt, ifd_off)
+                o = tags.get(274, [1])[0]
+                return o if 1 <= o <= 8 else 1
+            except (ValueError, struct.error, IndexError):
+                return 1
+        pos += 2 + seglen
+    return 1
+
+
+def apply_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
+    """Upright the pixel array per the EXIF orientation value (the
+    PIL exif_transpose operation table)."""
+    if orientation == 2:
+        return arr[:, ::-1]
+    if orientation == 3:
+        return arr[::-1, ::-1]
+    if orientation == 4:
+        return arr[::-1]
+    if orientation == 5:
+        return arr.transpose(1, 0, 2)
+    if orientation == 6:
+        return np.rot90(arr, 3)
+    if orientation == 7:
+        return arr[::-1, ::-1].transpose(1, 0, 2)
+    if orientation == 8:
+        return np.rot90(arr, 1)
+    return arr
+
+
+def decode_jpeg(b: bytes, upright: bool = True) -> np.ndarray:
+    """JPEG → (H, W, 3) uint8 RGB (grayscale replicated); EXIF
+    orientation applied by default (no-op for orientation 1 / no EXIF,
+    so all non-oriented pinned outputs are unchanged)."""
+    px = _decode_jpeg_pixels(b)
+    if upright:
+        o = exif_orientation(b)
+        if o != 1:
+            px = np.ascontiguousarray(apply_orientation(px, o))
+    return px
+
+
+def _decode_jpeg_pixels(b: bytes) -> np.ndarray:
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a jpeg")
     qt: dict[int, np.ndarray] = {}

@@ -755,3 +755,40 @@ def test_tiff_flows_through_decode_features(spark):
     assert bool(out.loc[0, "decode_ok"]) and out.loc[0, "decoder"] == "tiff"
     assert np.allclose(out.loc[0, "features"], image_features(px), atol=0)
     assert not bool(out.loc[1, "decode_ok"]) and out.loc[1, "decoder"] == "tiff"
+
+
+def test_jpeg_exif_orientation():
+    """EXIF-oriented JPEGs decode upright: all 8 orientation values
+    (APP1 is a TIFF stream — parsed by the shared IFD reader), with
+    no-EXIF and upright=False behavior unchanged."""
+    import struct as st
+
+    from quality_filter.operators.jpeg import (
+        apply_orientation, decode_jpeg, encode_jpeg, exif_orientation,
+    )
+
+    def with_exif(jpg, orientation):
+        tiff = b"II*\x00" + st.pack("<I", 8)
+        tiff += (
+            st.pack("<H", 1)
+            + st.pack("<HHIHH", 274, 3, 1, orientation, 0)
+            + st.pack("<I", 0)
+        )
+        payload = b"Exif\x00\x00" + tiff
+        return jpg[:2] + b"\xff\xe1" + st.pack(">H", len(payload) + 2) + payload + jpg[2:]
+
+    px = _demo_pixels(w=14, h=9, seed=4)
+    jpg = encode_jpeg(px)
+    raw = decode_jpeg(jpg)
+    for o in range(1, 9):
+        j = with_exif(jpg, o)
+        assert exif_orientation(j) == o
+        got = decode_jpeg(j)
+        want = apply_orientation(raw, o)
+        assert got.shape == want.shape and (got == want).all(), o
+    assert (decode_jpeg(jpg) == raw).all()  # no EXIF → unchanged
+    assert (decode_jpeg(with_exif(jpg, 6), upright=False) == raw).all()
+    # corrupt EXIF degrades to orientation 1, never raises
+    bad = with_exif(jpg, 6)
+    bad = bad[:10] + b"\xff" * 4 + bad[14:]
+    assert decode_jpeg(bad).shape == raw.shape
