@@ -289,9 +289,10 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 
 def decode_bmp(b: bytes) -> np.ndarray:
-    """Uncompressed 24/32-bit BMP (BITMAPINFOHEADER) → (H, W, 3) uint8
-    RGB.  Bottom-up or top-down rows, 4-byte row padding.  Raises
-    ValueError on anything else."""
+    """BMP (BITMAPINFOHEADER) → (H, W, 3) uint8 RGB: uncompressed
+    24/32-bit, 8-bit palette (BI_RGB), and RLE8 (BI_RLE8, incl. delta
+    and absolute runs).  Bottom-up or top-down rows, 4-byte padding.
+    Raises ValueError on anything else."""
     if b[:2] != b"BM" or len(b) < 54:
         raise ValueError("not a bmp")
     data_off = struct.unpack_from("<I", b, 10)[0]
@@ -301,11 +302,30 @@ def decode_bmp(b: bytes) -> np.ndarray:
     w, h_signed = struct.unpack_from("<ii", b, 18)
     planes, bpp = struct.unpack_from("<HH", b, 26)
     compression = struct.unpack_from("<I", b, 30)[0]
-    if planes != 1 or bpp not in (24, 32) or compression not in (0, 3):
-        raise ValueError("bmp variant unsupported")
+    clr_used = struct.unpack_from("<I", b, 46)[0]
     h = abs(h_signed)
-    if w <= 0 or h == 0:
-        raise ValueError("bad bmp dimensions")
+    if planes != 1 or w <= 0 or h == 0:
+        raise ValueError("bad bmp header")
+    if bpp == 8 and compression in (0, 1):  # palette, raw or RLE8
+        n_colors = clr_used or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(b, np.uint8, n_colors * 4, pal_off).reshape(-1, 4)
+        lut = pal[:, 2::-1].copy()  # BGRX → RGB
+        if compression == 0:
+            stride = (w + 3) & ~3
+            need = stride * h
+            body = b[data_off : data_off + need]
+            if len(body) < need:
+                raise ValueError("truncated bmp raster")
+            idx = np.frombuffer(body, np.uint8).reshape(h, stride)[:, :w]
+        else:
+            idx = _bmp_rle8(b[data_off:], w, h)
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("bmp palette index out of range")
+        px = lut[idx]
+        return px[::-1] if h_signed > 0 else px
+    if bpp not in (24, 32) or compression not in (0, 3):
+        raise ValueError("bmp variant unsupported")
     bytes_pp = bpp // 8
     stride = (w * bytes_pp + 3) & ~3
     need = stride * h
@@ -317,6 +337,40 @@ def decode_bmp(b: bytes) -> np.ndarray:
     if h_signed > 0:  # bottom-up storage
         px = px[::-1]
     return px[:, :, 2::-1]  # BGR(A) → RGB, drop alpha
+
+
+def _bmp_rle8(data: bytes, w: int, h: int) -> np.ndarray:
+    """RLE8 decode → (h, w) palette indices in STORAGE row order
+    (caller flips for bottom-up): encoded runs, absolute runs with
+    word alignment, end-of-line (0,0), end-of-bitmap (0,1), and
+    delta (0,2,dx,dy) escapes."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = i = 0
+    while i + 1 < len(data) and y < h:
+        n, v = data[i], data[i + 1]
+        i += 2
+        if n > 0:  # encoded run
+            end = min(x + n, w)
+            out[y, x:end] = v
+            x = end
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            return out
+        elif v == 2:  # delta
+            if i + 2 > len(data):
+                raise ValueError("truncated bmp rle delta")
+            x = min(x + data[i], w)
+            y += data[i + 1]
+            i += 2
+        else:  # absolute run of v literal indices, word-aligned
+            if i + v > len(data):
+                raise ValueError("truncated bmp rle absolute run")
+            end = min(x + v, w)
+            out[y, x:end] = np.frombuffer(data, np.uint8, end - x, i)
+            x = end
+            i += v + (v & 1)
+    return out
 
 
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:

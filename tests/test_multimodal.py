@@ -792,3 +792,62 @@ def test_jpeg_exif_orientation():
     bad = with_exif(jpg, 6)
     bad = bad[:10] + b"\xff" * 4 + bad[14:]
     assert decode_jpeg(bad).shape == raw.shape
+
+
+def test_bmp_palette_and_rle8():
+    """8-bit palette BMPs (BI_RGB and BI_RLE8 with encoded/absolute/
+    delta/EOL/EOB escapes), both row orders — the classic web/legacy
+    BMP shapes beyond 24/32-bit."""
+    import struct as st
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9), (200, 100, 50)]
+    pal_bytes = b"".join(bytes([b_, g, r, 0]) for r, g, b_ in palette)
+
+    def build(idx, comp, body, bottom_up):
+        h, w = idx.shape
+        data_off = 14 + 40 + len(pal_bytes)
+        hdr = st.pack("<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off)
+        info = st.pack(
+            "<IiiHHIIiiII", 40, w, h if bottom_up else -h, 1, 8, comp,
+            len(body), 0, 0, len(palette), 0,
+        )
+        return hdr + info + pal_bytes + body
+
+    rng = np.random.default_rng(6)
+    idx = rng.integers(0, 5, (9, 7), dtype=np.uint8)
+    want = np.array(palette, dtype=np.uint8)[idx]
+    for bottom_up in (True, False):
+        rows = idx[::-1] if bottom_up else idx
+        stride = (7 + 3) & ~3
+        raw = b"".join(rows[y].tobytes() + b"\x00" * (stride - 7) for y in range(9))
+        assert (decode_bmp(build(idx, 0, raw, bottom_up)) == want).all()
+        rle = bytearray()
+        for y in range(9):
+            x = 0
+            while x < 7:
+                run = 1
+                while x + run < 7 and rows[y][x + run] == rows[y][x]:
+                    run += 1
+                rle += bytes([run, rows[y][x]])
+                x += run
+            rle += bytes([0, 0])
+        rle += bytes([0, 1])
+        assert (decode_bmp(build(idx, 1, bytes(rle), bottom_up)) == want).all()
+
+    # absolute run (word-aligned), delta, EOL, EOB escapes
+    body = (
+        bytes([0, 3, 1, 2, 3, 0]) + bytes([0, 0]) + bytes([0, 2, 1, 1])
+        + bytes([2, 4]) + bytes([0, 1])
+    )
+    exp_idx = np.zeros((3, 4), dtype=np.uint8)
+    exp_idx[0, :3] = [1, 2, 3]
+    exp_idx[2, 1:3] = 4
+    got = decode_bmp(build(exp_idx, 1, body, bottom_up=False))
+    assert (got == np.array(palette, dtype=np.uint8)[exp_idx]).all()
+
+    # out-of-palette index quarantines
+    bad = idx.copy()
+    bad[0, 0] = 99
+    raw_bad = b"".join((bad[::-1])[y].tobytes() + b"\x00" for y in range(9))
+    with pytest.raises(ValueError):
+        decode_bmp(build(bad, 0, raw_bad, True))
