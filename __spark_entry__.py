@@ -865,9 +865,24 @@ def q_knn_ivf(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness harness records at most the
     # first ~50 entries, so queries that have not yet appeared in a driver
-    # CORRECTNESS report come FIRST (round-2 verdict item 1); the long-green
-    # legacy tail sits at the end.
+    # CORRECTNESS report come FIRST (round-3 verdict item 1): the 14 registry
+    # entries that rotated out of the r3 window lead, followed by queries new
+    # in round 4, then the r3-green set.
     return {
+        "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "knn_bruteforce": q_knn_bruteforce,
+        "purchase_last_view_asof": q_purchase_last_view_asof,
+        "orders_grouping_sets": q_orders_grouping_sets,
+        "event_type_pivot": q_event_type_pivot,
+        "event_counts_unpivot": q_event_counts_unpivot,
+        "doc_quality_deciles": q_doc_quality_deciles,
+        "doc_length_quantiles": q_doc_length_quantiles,
+        "running_value_sum": q_running_value_sum,
+        "active_positive_custkeys": q_active_positive_custkeys,
+        "shipping_priority": q_shipping_priority,
+        "supplier_part_breadth": q_supplier_part_breadth,
+        "customer_order_cume": q_customer_order_cume,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "pii_scrub_docs": q_pii_scrub_docs,
         "simhash_docs": q_simhash_docs,
@@ -918,20 +933,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_survivors": q_near_dup_survivors,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
-        "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "knn_bruteforce": q_knn_bruteforce,
-        "purchase_last_view_asof": q_purchase_last_view_asof,
-        "orders_grouping_sets": q_orders_grouping_sets,
-        "event_type_pivot": q_event_type_pivot,
-        "event_counts_unpivot": q_event_counts_unpivot,
-        "doc_quality_deciles": q_doc_quality_deciles,
-        "doc_length_quantiles": q_doc_length_quantiles,
-        "running_value_sum": q_running_value_sum,
-        "active_positive_custkeys": q_active_positive_custkeys,
-        "shipping_priority": q_shipping_priority,
-        "supplier_part_breadth": q_supplier_part_breadth,
-        "customer_order_cume": q_customer_order_cume,
     }
 
 
