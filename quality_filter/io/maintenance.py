@@ -25,6 +25,40 @@ from pyspark.sql import functions as F
 TARGET_FILE_BYTES = 128 * 1024 * 1024
 
 
+def _recover_crashed_swap(path: str, scratch: str) -> dict[str, str]:
+    """Restore partitions lost to a crash between compaction's two renames.
+
+    After ``os.rename(src, old)`` but before ``os.rename(tmp, src)`` the
+    live partition dir is absent and the ONLY copies of its data are the
+    scratch entries ``old_<part>`` (the original) and ``tmp_<part>`` (the
+    row-count-verified rewrite).  Blindly clearing scratch at the start of
+    the next run would permanently destroy that partition.  So: for every
+    scratch entry whose live partition is missing, rename one complete
+    copy back — prefer ``tmp_`` (completes the interrupted compaction),
+    fall back to ``old_``.  Entries whose live partition exists are mere
+    stale copies and are left for the caller's rmtree.
+
+    Returns {partition: restored_scratch_entry}."""
+    recovered: dict[str, str] = {}
+    if not os.path.isdir(scratch):
+        return recovered
+    for entry in sorted(os.listdir(scratch)):
+        if not entry.startswith(("old_", "tmp_")):
+            continue
+        part = entry[4:]
+        if part in recovered:
+            continue
+        live = os.path.join(path, part)
+        if os.path.isdir(live):
+            continue  # live partition intact: entry is a stale copy
+        tmp = os.path.join(scratch, "tmp_" + part)
+        old = os.path.join(scratch, "old_" + part)
+        src = tmp if os.path.isdir(tmp) else old
+        os.rename(src, live)
+        recovered[part] = os.path.basename(src)
+    return recovered
+
+
 def partition_file_stats(path: str) -> dict[str, dict]:
     """{partition_dir: {n_files, bytes}} for a hive-partitioned sink."""
     out = {}
@@ -64,10 +98,15 @@ def compact_partitions(
     as a conflicting partition).  A reader of the table root
     mid-compaction (or after a crash between the two renames) never
     sees the scratch copy as a partition, and partition_file_stats
-    never mistakes a stale leftover for data.  Stale leftovers from a
-    crashed previous run are cleaned up front."""
+    never mistakes a stale leftover for data.  Leftovers from a crashed
+    previous run are handled up front: if the crash hit the window between
+    the two renames (live partition gone, only scratch copies remain) the
+    partition is restored from scratch first; only then is scratch — by
+    now holding nothing but redundant stale copies — cleared."""
     scratch = os.path.join(path, "_compact")
-    # clear scratch left by a crashed earlier run before measuring
+    # restore any partition whose ONLY copies live in crashed-run scratch,
+    # then clear the (now purely redundant) scratch before measuring
+    recovered = _recover_crashed_swap(path, scratch)
     shutil.rmtree(scratch, ignore_errors=True)
     os.makedirs(scratch, exist_ok=True)
     stats = partition_file_stats(path)
@@ -98,4 +137,4 @@ def compact_partitions(
             "rows": n_rows,
         }
     shutil.rmtree(scratch, ignore_errors=True)
-    return {"compacted": done, "skipped": len(stats) - len(done)}
+    return {"compacted": done, "skipped": len(stats) - len(done), "recovered": recovered}

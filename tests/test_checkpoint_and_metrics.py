@@ -156,6 +156,49 @@ def test_compaction_scratch_dirs_invisible_to_readers(spark, tmp_path):
     assert spark.read.parquet(out).count() == rows
 
 
+def test_compaction_recovers_partition_lost_mid_swap(spark, tmp_path):
+    """Crash BETWEEN the two renames: the live partition dir is gone and
+    _compact/old_<part> + tmp_<part> hold the only copies.  The next run
+    must restore the partition (preferring the verified tmp_ rewrite),
+    not rmtree the sole surviving data (round-3 ADVICE, medium)."""
+    import os
+    import shutil
+
+    from quality_filter.io.maintenance import compact_partitions, partition_file_stats
+
+    out = str(tmp_path / "sink")
+    pdf = generate_pages(120, seed=78, days=1).drop(columns=["cls"])
+    sdf = spark.createDataFrame(pdf, schema=pages_spark_schema())
+    sdf.withColumn("warc_dt", F.to_date("warc_ts")).repartition(10).write.partitionBy(
+        "warc_dt"
+    ).parquet(out)
+    (part,) = partition_file_stats(out).keys()
+    rows = spark.read.parquet(out).count()
+
+    # simulate the mid-swap crash: src renamed to old_, tmp_ written+verified,
+    # but the tmp_ -> src rename never happened
+    live = os.path.join(out, part)
+    scratch = os.path.join(out, "_compact")
+    shutil.copytree(live, os.path.join(scratch, "tmp_" + part))
+    os.rename(live, os.path.join(scratch, "old_" + part))
+    assert not os.path.isdir(live)
+
+    summary = compact_partitions(spark, out, target_file_bytes=1 << 30, min_files=4)
+    # partition restored from the verified rewrite, data intact
+    assert summary["recovered"] == {part: "tmp_" + part}
+    assert os.path.isdir(live)
+    assert spark.read.parquet(out).count() == rows
+    assert [e for e in os.listdir(out) if e.startswith("_compact")] == []
+
+    # crash variant where only old_ survives (crash before tmp_ verified,
+    # after src was renamed — or tmp_ was already swapped in and re-lost)
+    os.makedirs(scratch, exist_ok=True)
+    os.rename(live, os.path.join(scratch, "old_" + part))
+    summary = compact_partitions(spark, out, target_file_bytes=1 << 30, min_files=4)
+    assert summary["recovered"] == {part: "old_" + part}
+    assert spark.read.parquet(out).count() == rows
+
+
 def test_drop_explanation_svgs(spark, tmp_path):
     """Every non-kept doc gets a human-viewable SVG derived ONLY from its
     already-verified contribs map: sigmoid(sum(contribs)) in the header
