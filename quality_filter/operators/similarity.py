@@ -123,12 +123,16 @@ def knn_bruteforce(
     kernel (bit-identical to the HOF ``cosine`` spec); the scan is a
     single narrow map + a k-row ORDER BY (Spark executes as
     TakeOrderedAndProject — no full sort materialization).
+
+    Zero-norm vectors (no cosine direction → NaN, which Spark sorts
+    ABOVE all reals descending) are excluded, as in every knn_* path.
     """
     return (
         df.select(
             F.col(id_col),
             F.round(cosine_to_query_col(F.col(vec_col), query_vec), 6).alias("cos_sim"),
         )
+        .filter(F.col("cos_sim").isNotNull() & ~F.isnan("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -232,7 +236,15 @@ def knn_join(
         value could still compete), then the exact-fold pair kernel
         rescores the small candidate set so emitted floats are
         bit-identical to the small-Q path.  Same
-        BLAS-select/exact-verify template as blocked_all_pairs."""
+        BLAS-select/exact-verify template as blocked_all_pairs.
+
+    Zero-norm corpus vectors have no cosine direction: their similarity
+    is NaN under the fold spec (NULL once the kernel output crosses
+    Arrow, which maps float NaN to null) — so both paths explicitly drop
+    NULL/NaN-scored rows (the filter below / the rescore filter in the
+    BLAS twin),
+    keeping the two paths row-identical and the top-k meaningful.  A
+    zero-norm QUERY vector likewise yields no rows for that query_id."""
     if len(queries) >= KNN_JOIN_BLAS_THRESHOLD:
         return _knn_join_blas(df, vec_col, id_col, queries, k)
     from pyspark.sql import Window as W
@@ -242,6 +254,7 @@ def knn_join(
     scored = (
         df.select(F.col(id_col), cos_arr.alias("_cs"))
         .select(F.col(id_col), F.posexplode("_cs").alias("_pos", "_cos"))
+        .filter(F.col("_cos").isNotNull() & ~F.isnan("_cos"))
         .select(
             F.element_at(qids, F.col("_pos") + 1).alias("query_id"),
             F.col(id_col),
@@ -278,8 +291,13 @@ def _knn_join_blas(
 
     Q = np.asarray([qv for _, qv in queries], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    # candidate id field mirrors the caller's id column type (string ids
+    # work on both paths; hardcoding LongType silently broke them at Q>=64)
     out_schema = T.StructType(
-        [T.StructField("_qidx", T.IntegerType()), T.StructField("_cid", T.LongType())]
+        [
+            T.StructField("_qidx", T.IntegerType()),
+            T.StructField("_cid", df.schema[id_col].dataType),
+        ]
     )
 
     def candidates(batches):
@@ -334,6 +352,9 @@ def _knn_join_blas(
             F.col("_cid").alias(id_col),
             F.round(cosine_pair_col(F.col("_cv"), F.col("_qv")), 6).alias("cos_sim"),
         )
+        # zero-norm rows that survive the BLAS cut rescore to NaN (NULL
+        # after the Arrow crossing) — drop them, matching the small-Q path
+        .filter(F.col("cos_sim").isNotNull() & ~F.isnan("cos_sim"))
     )
     rn = F.row_number().over(
         W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
@@ -391,7 +412,7 @@ def knn_join_broadcast(
         "query_id",
         F.col(id_col),
         F.round(cosine_pair_col(F.col("_v"), F.col("_qv")), 6).alias("cos_sim"),
-    )
+    ).filter(F.col("cos_sim").isNotNull() & ~F.isnan("cos_sim"))  # zero-norm rows excluded, matching knn_join
     rn = F.row_number().over(
         W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     )

@@ -757,6 +757,49 @@ def test_tiff_flows_through_decode_features(spark):
     assert not bool(out.loc[1, "decode_ok"]) and out.loc[1, "decoder"] == "tiff"
 
 
+def test_exif_orientation_table_pinned_independently():
+    """apply_orientation's 8-entry table pinned against hand-computed
+    literals and independent numpy transforms (round-3 ADVICE: the
+    round-trip test below validates decode_jpeg against
+    apply_orientation itself, so a swapped table entry — e.g. 5/7 —
+    could never regress it)."""
+    from quality_filter.operators.jpeg import apply_orientation
+
+    # hand-computed literals on a 2x2 where orientations 5..8 all differ
+    A, B, C, D = [1, 1, 1], [2, 2, 2], [3, 3, 3], [4, 4, 4]
+    sq = np.array([[A, B], [C, D]], dtype=np.uint8)
+    literal = {
+        1: [[A, B], [C, D]],
+        2: [[B, A], [D, C]],          # mirror left-right
+        3: [[D, C], [B, A]],          # rotate 180
+        4: [[C, D], [A, B]],          # mirror top-bottom
+        5: [[A, C], [B, D]],          # transpose (main diagonal)
+        6: [[C, A], [D, B]],          # stored = upright rotated 90 CCW -> fix: 90 CW
+        7: [[D, B], [C, A]],          # transverse (anti-diagonal)
+        8: [[B, D], [A, C]],          # fix: 90 CCW
+    }
+    for o, want in literal.items():
+        got = apply_orientation(sq, o)
+        assert (got == np.array(want, dtype=np.uint8)).all(), o
+
+    # full-table check on a non-square image: shapes + values against
+    # independent numpy transforms (PIL exif_transpose equivalents)
+    a = np.arange(2 * 5 * 3, dtype=np.uint8).reshape(2, 5, 3)
+    spec = {
+        1: a,
+        2: a[:, ::-1],
+        3: a[::-1, ::-1],
+        4: a[::-1, :],
+        5: a.transpose(1, 0, 2),
+        6: np.rot90(a, -1),
+        7: a[::-1, ::-1].transpose(1, 0, 2),
+        8: np.rot90(a, 1),
+    }
+    for o, want in spec.items():
+        got = apply_orientation(a, o)
+        assert got.shape == want.shape and (got == want).all(), o
+
+
 def test_jpeg_exif_orientation():
     """EXIF-oriented JPEGs decode upright: all 8 orientation values
     (APP1 is a TIFF stream — parsed by the shared IFD reader), with

@@ -183,6 +183,57 @@ def test_knn_join_blas_path_identical_to_kernel_path(spark, emb):
     assert set(top_q0) <= {0} | set(range(10_000, 10_030))
 
 
+def test_knn_join_blas_path_preserves_string_ids(spark):
+    """The BLAS path's candidate schema must mirror the caller's id
+    column type — a hardcoded LongType _cid silently broke string ids
+    at Q >= KNN_JOIN_BLAS_THRESHOLD (round-3 ADVICE, low)."""
+    rows = [(f"doc-{i:03d}", [float((i * 7 + j * 3) % 11) for j in range(16)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, embedding array<float>")
+    queries = [(i, rows[i][1]) for i in range(6)]
+    a = sorted(map(tuple, similarity.knn_join(df, "embedding", "doc_id", queries, k=4).collect()))
+    b = sorted(map(tuple, similarity._knn_join_blas(df, "embedding", "doc_id", queries, 4).collect()))
+    assert a == b
+    assert all(isinstance(t[1], str) for t in b)
+
+
+def test_knn_zero_norm_vectors_excluded_consistently(spark):
+    """Zero-norm corpus vectors score NaN under the fold spec; NaN sorts
+    above all reals in Spark's DESC order and would enter top-k on the
+    kernel path while the BLAS path's norm guard cut them — both paths
+    (and knn_bruteforce / knn_join_broadcast) now drop them (round-3
+    ADVICE, low)."""
+    dim = 8
+    rows = [(i, [float((i + j) % 5 + 1) for j in range(dim)]) for i in range(20)]
+    rows += [(100, [0.0] * dim), (101, [0.0] * dim)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = [(0, rows[0][1]), (1, rows[1][1])]
+
+    a = sorted(map(tuple, similarity.knn_join(df, "embedding", "vec_id", queries, k=5).collect()))
+    b = sorted(map(tuple, similarity._knn_join_blas(df, "embedding", "vec_id", queries, 5).collect()))
+    assert a == b
+    ids_seen = {t[1] for t in a}
+    assert not ids_seen & {100, 101}
+    assert len([t for t in a if t[0] == 0]) == 5  # real rows fill all k slots
+
+    bf = similarity.knn_bruteforce(df, "embedding", "vec_id", rows[0][1], k=5).collect()
+    assert {r["vec_id"] for r in bf} & {100, 101} == set()
+
+    qdf = spark.createDataFrame(
+        [(qid, qv) for qid, qv in queries], "query_id long, qv array<float>"
+    )
+    bc = sorted(map(tuple, similarity.knn_join_broadcast(
+        df, "embedding", "vec_id", qdf, k=5
+    ).collect()))
+    assert bc == a
+
+    # a zero-norm QUERY yields no rows for that query_id on either path
+    zq = [(0, [0.0] * dim), (1, rows[1][1])]
+    za = similarity.knn_join(df, "embedding", "vec_id", zq, k=5).collect()
+    zb = similarity._knn_join_blas(df, "embedding", "vec_id", zq, 5).collect()
+    assert {r["query_id"] for r in za} == {1}
+    assert sorted(map(tuple, za)) == sorted(map(tuple, zb))
+
+
 def test_knn_join_broadcast_matches_literal_form(spark, emb):
     """Broadcast-query KNN join must produce IDENTICAL rows to the
     plan-literal knn_join for every chunk count, and its physical plan
