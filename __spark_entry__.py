@@ -585,11 +585,75 @@ def q_doc_quality_deciles(spark, sf_dir):
 
 
 def q_doc_length_quantiles(spark, sf_dir):
+    """Exact per-group percentiles — TEST-SCALE oracle of record only:
+    Spark's exact `percentile` buffers every group value in the agg
+    buffer (O(group size) memory).  The registered 100-TB form is
+    q_doc_length_quantiles_approx (mergeable sketch, bounded buffer)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         *[
             F.round(F.percentile("n_chars", q), 6).alias(f"q{int(q * 100)}")
             for q in (0.25, 0.5, 0.75)
+        ],
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+
+
+def q_doc_quality_decile_bounds(spark, sf_dir):
+    """Scale-safe decile twin (round-3 verdict item 2): phase 1 computes
+    the 9 exact decile BOUNDARIES once (`percentile` — tree-aggregated
+    partials, one 9-double driver result; same bounded-O(1)-result
+    pattern as the IVF probe-order extraction), phase 2 assigns buckets
+    in a NARROW MAP comparing against the boundary literals — no global
+    sort, no single-task window, survives 1000 executors unchanged.
+
+    Boundary ties are defined as ``score >= b_i`` in BOTH engines, so
+    bucket membership is deterministic without global-rank tie-breaks;
+    q_doc_quality_deciles keeps the exact single-window ntile form as
+    the test-scale oracle of record for exact ranks.  decile 1 = top
+    scores, matching that form's ORDER BY score DESC."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = R.feature_columns(F.col("text"), CFG)
+    feats["ppl_norm"] = F.lit(0.0)
+    q = F.round(R.quality_score_col(feats, CFG), 6)
+    scored = docs.select("doc_id", q.alias("quality_score"))
+    bounds = scored.agg(
+        F.transform(
+            F.percentile(
+                "quality_score", F.array(*[F.lit(i / 10) for i in range(1, 10)])
+            ),
+            lambda x: F.round(x, 6),
+        ).alias("bs")
+    ).head()["bs"]
+    promoted = sum(
+        (F.col("quality_score") >= F.lit(float(b))).cast("int") for b in bounds
+    )
+    return scored.select(
+        "doc_id",
+        "quality_score",
+        (F.lit(10) - promoted).cast("long").alias("decile"),
+    )
+
+
+def q_doc_length_quantiles_approx(spark, sf_dir):
+    """Scale-safe quantile twin (round-3 verdict item 3): per-lang
+    ``percentile_approx`` — a MERGEABLE sketch with an accuracy-bounded
+    buffer (O(accuracy), not O(group size)), so per-lang groups at
+    100 TB aggregate in constant executor memory where the exact
+    `percentile` form would buffer every value.
+
+    Oracle exactness: percentile_approx returns actual data values
+    (discrete quantiles), and below `accuracy` observations per group
+    the sketch never compresses — at driver scale it IS the exact
+    discrete quantile, which DuckDB's quantile_disc reproduces
+    (verified hash-identical); at corpus scale the same query degrades
+    gracefully to rsd-bounded estimates (pytest-pinned pattern in
+    metrics.sketch_summary)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        *[
+            F.percentile_approx("n_chars", p, 10000).alias(f"q{int(p * 100)}")
+            for p in (0.25, 0.5, 0.75)
         ],
         F.count(F.lit(1)).cast("long").alias("n_docs"),
     )
@@ -883,6 +947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "supplier_part_breadth": q_supplier_part_breadth,
         "customer_order_cume": q_customer_order_cume,
+        "doc_quality_decile_bounds": q_doc_quality_decile_bounds,
+        "doc_length_quantiles_approx": q_doc_length_quantiles_approx,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "pii_scrub_docs": q_pii_scrub_docs,
         "simhash_docs": q_simhash_docs,
@@ -1570,6 +1636,27 @@ SELECT lang,
   round(quantile_cont(n_chars, 0.25), 6) AS q25,
   round(quantile_cont(n_chars, 0.50), 6) AS q50,
   round(quantile_cont(n_chars, 0.75), 6) AS q75,
+  CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang""",
+        "doc_quality_decile_bounds": f"""
+WITH {_features_cte()},
+scored AS (
+  SELECT doc_id, round(1.0 / (1.0 + exp(-{qz})), 6) AS quality_score FROM ratios
+),
+bounds AS (
+  SELECT list_transform(
+    quantile_cont(quality_score, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+    x -> round(x, 6)) AS bs
+  FROM scored
+)
+SELECT s.doc_id, s.quality_score,
+  CAST(10 - len(list_filter(b.bs, x -> s.quality_score >= x)) AS BIGINT) AS decile
+FROM scored s, bounds b""",
+        "doc_length_quantiles_approx": """
+SELECT lang,
+  quantile_disc(n_chars, 0.25) AS q25,
+  quantile_disc(n_chars, 0.50) AS q50,
+  quantile_disc(n_chars, 0.75) AS q75,
   CAST(count(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY lang""",
         "running_value_sum": """

@@ -313,6 +313,25 @@ def test_new_operator_plan_shapes(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
+def test_decile_bounds_assignment_plan_is_narrow(spark):
+    """The scale-safe decile twin's assignment phase must be a pure
+    narrow map — no Exchange, no Sort, no Window node: the global sort
+    in the exact-ntile form is exactly what this twin exists to avoid
+    (round-3 verdict item 2).  Same check for the percentile_approx
+    quantile twin: one partial-agg exchange, no sort, bounded buffers."""
+    import __spark_entry__ as E
+
+    df = E.queries()["doc_quality_decile_bounds"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Sort" not in plan and "Window" not in plan
+    assert df.filter(F.col("decile") == 1).count() > 0  # top bucket populated
+
+    qdf = E.queries()["doc_length_quantiles_approx"](spark, SF)
+    qplan = qdf._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in qplan and "Window" not in qplan
+    assert "approx_percentile" in qplan or "percentile_approx" in qplan
+
+
 def test_no_registered_query_plans_a_cartesian(spark):
     """Registry-wide guard: every queries() plan is free of cartesian /
     nested-loop join nodes (the 100-TB scale-killer class)."""
