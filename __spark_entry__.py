@@ -732,6 +732,50 @@ def q_embedding_near_dup_pairs(spark, sf_dir):
     return similarity.blocked_all_pairs(emb, "embedding", "vec_id", 0.46, n_blocks=8)
 
 
+MEDIA_ND_GROUPS = 12
+MEDIA_ND_SEED = 23
+MEDIA_ND_PLANES = 8
+
+
+def q_media_near_dup(spark, sf_dir):
+    """Composed multimodal → ANN pipeline (round-3 verdict item 4):
+    deterministic near-duplicate image corpus → REAL pixel decode +
+    featurize in executors (mapInPandas over the pure-numpy codecs;
+    the reference's decode→score path, _inference.py:64-84) →
+    hyperplane-LSH buckets over the DECODED features → near-dup pairs
+    via a bucket EQUI-join (never a cartesian).  Lossless re-encodes
+    (PPM/PNG/BMP of one base image) decode to identical pixels →
+    identical features → guaranteed same-bucket pairs; the JPEG
+    variant is the realistic lossy near-dup.  The DuckDB oracle's
+    engine-free twin re-decodes the same corpus driver-side with the
+    same codecs and exact-fold sign bits (train_ivf_centroids_local
+    pattern), so the hash check pins the full
+    decode→feature→bucket→pair composition.  sf_dir unused: the corpus
+    is generated, not read (media is not a driver table)."""
+    from quality_filter.operators import multimodal as M
+
+    pdf = M.generate_near_dup_media(MEDIA_ND_GROUPS, seed=MEDIA_ND_SEED)
+    sdf = spark.createDataFrame(pdf, schema=M.MEDIA_SCHEMA)
+    # center the [0,1] features before hashing: uncentered, every image
+    # sits in the all-positive orthant and random hyperplanes assign one
+    # bucket to the whole corpus (the pair join degenerates quadratic)
+    feats = M.decode_features(sdf).filter(F.col("decode_ok")).select(
+        "media_id",
+        F.transform("features", lambda x: x.cast("double") - 0.5).alias("cfeat"),
+    )
+    planes = similarity.make_planes(
+        M.IMAGE_FEATURE_DIM, MEDIA_ND_PLANES, seed=MEDIA_ND_SEED
+    )
+    buckets = similarity.hyperplane_lsh_buckets(feats, "cfeat", "media_id", planes)
+    a = buckets.select(F.col("media_id").alias("id_a"), "bucket")
+    b = buckets.select(F.col("media_id").alias("id_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "bucket")
+    )
+
+
 def q_pii_scrub_docs(spark, sf_dir):
     """Regex-parity probe: augment each doc with synthetic PII, run the
     production scrub chain, compare against DuckDB's RE2 on identical
@@ -949,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_cume": q_customer_order_cume,
         "doc_quality_decile_bounds": q_doc_quality_decile_bounds,
         "doc_length_quantiles_approx": q_doc_length_quantiles_approx,
+        "media_near_dup": q_media_near_dup,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "pii_scrub_docs": q_pii_scrub_docs,
         "simhash_docs": q_simhash_docs,
@@ -1311,6 +1356,35 @@ _SIMPLE_TOKS = f"regexp_split_to_array({_SPACE_TRIM}, '[ ]+')"
 _EV_RN = "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)"
 
 
+def _media_bucket_values() -> str:
+    """Engine-free twin for media_near_dup: decode the generated
+    near-dup media corpus driver-side with the same pure-numpy codecs
+    and compute each row's hyperplane bucket with the same exact-fold
+    dot (sign bits), emitting a VALUES table for the oracle's pair
+    join — the train_ivf_centroids_local pattern."""
+    import numpy as np
+
+    from quality_filter.operators import multimodal as M
+    from quality_filter.operators.similarity import make_planes
+
+    pdf = M.generate_near_dup_media(MEDIA_ND_GROUPS, seed=MEDIA_ND_SEED)
+    P = np.asarray(
+        make_planes(M.IMAGE_FEATURE_DIM, MEDIA_ND_PLANES, seed=MEDIA_ND_SEED),
+        dtype=np.float64,
+    )
+    vals = []
+    for _, r in pdf.iterrows():
+        px = M.decode_pixels(bytes(r["payload"]), None)
+        # same centering as the Spark query: float32 feature widened to
+        # float64, minus 0.5 (exact ops in both engines)
+        f = M.image_features(px).astype(np.float64) - 0.5
+        bits = "".join(
+            "1" if np.cumsum(f * P[i])[-1] >= 0 else "0" for i in range(len(P))
+        )
+        vals.append(f"(CAST({int(r['media_id'])} AS BIGINT), '{bits}')")
+    return ", ".join(vals)
+
+
 def _features_cte() -> str:
     """Shared feature CTE mirroring quality_filter.features.text_features."""
     stop = _sql_list(CFG.stopwords)
@@ -1659,6 +1733,10 @@ SELECT lang,
   quantile_disc(n_chars, 0.75) AS q75,
   CAST(count(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY lang""",
+        "media_near_dup": f"""
+WITH mb(media_id, bucket) AS (VALUES {_media_bucket_values()})
+SELECT a.media_id AS id_a, b.media_id AS id_b, a.bucket AS bucket
+FROM mb a JOIN mb b ON a.bucket = b.bucket AND a.media_id < b.media_id""",
         "running_value_sum": """
 SELECT event_id, user_id,
   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -832,6 +832,41 @@ def generate_media(n: int, seed: int = 11, real_image_every: int = 0) -> pd.Data
     )
 
 
+def generate_near_dup_media(n_groups: int, seed: int = 23) -> pd.DataFrame:
+    """Deterministic NEAR-DUPLICATE media corpus for the composed
+    decode→featurize→LSH near-dup query: each group is one base image
+    emitted as lossless PPM / PNG / BMP re-encodes (identical pixels →
+    identical features → identical LSH bucket, guaranteed pairs) plus a
+    lossy JPEG variant (near-identical features — the realistic
+    re-encoded-web-image case) and one unrelated decoy image of the same
+    dimensions.  Pure python/numpy: the DuckDB oracle twin re-runs this
+    exact function driver-side (the train_ivf_centroids_local pattern)."""
+    import random
+
+    from quality_filter.operators.jpeg import encode_jpeg
+
+    rnd = random.Random(seed)
+    rows = []
+    mid = 0
+    for g in range(n_groups):
+        w, h = rnd.choice(((12, 8), (16, 9), (9, 11)))
+        base = np.frombuffer(rnd.randbytes(w * h * 3), dtype=np.uint8).reshape(h, w, 3)
+        decoy = np.frombuffer(rnd.randbytes(w * h * 3), dtype=np.uint8).reshape(h, w, 3)
+        variants = [
+            encode_ppm(base),
+            encode_png(base),
+            _to_bmp(base),
+            encode_jpeg(base, subsample=bool(g % 2)),
+            encode_ppm(decoy),
+        ]
+        for payload in variants:
+            rows.append(
+                (mid, f"https://imgs.example.com/g/{g}", "image", payload, (w, h, None, None))
+            )
+            mid += 1
+    return pd.DataFrame(rows, columns=["media_id", "url", "kind", "payload", "meta"])
+
+
 def _to_bmp(arr: np.ndarray) -> bytes:
     """(H, W, 3) uint8 RGB → uncompressed 24-bit bottom-up BMP."""
     h, w = arr.shape[:2]

@@ -894,3 +894,27 @@ def test_bmp_palette_and_rle8():
     raw_bad = b"".join((bad[::-1])[y].tobytes() + b"\x00" for y in range(9))
     with pytest.raises(ValueError):
         decode_bmp(build(bad, 0, raw_bad, True))
+
+
+def test_media_near_dup_composition(spark):
+    """Composed decode→featurize→hyperplane-LSH near-dup (verdict r3 #4):
+    lossless re-encodes (PPM/PNG/BMP of one base image) decode to
+    identical pixels → identical features → the SAME bucket, so every
+    group's lossless triple must appear as pairs; a decoy only pairs by
+    hash collision, never by construction."""
+    import __spark_entry__ as E
+    from quality_filter.operators.multimodal import generate_near_dup_media
+
+    pdf = generate_near_dup_media(E.MEDIA_ND_GROUPS, seed=E.MEDIA_ND_SEED)
+    # 5 variants per group: ppm, png, bmp, jpeg, decoy — in that order
+    assert len(pdf) == 5 * E.MEDIA_ND_GROUPS
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in E.q_media_near_dup(spark, "/root/testdata/sf0.001").collect()
+    }
+    for g in range(E.MEDIA_ND_GROUPS):
+        base = 5 * g
+        lossless = (base, base + 1, base + 2)
+        for i, a in enumerate(lossless):
+            for b in lossless[i + 1 :]:
+                assert (a, b) in pairs, f"lossless pair {(a, b)} missing"
