@@ -237,3 +237,46 @@ def test_simhash_md5_matches_python_twin(spark):
 
     # one-character edit stays close; different content is far
     assert ham(got[0], got[2]) < ham(got[0], got[3])
+
+
+def test_reliable_checkpoint_mode_identical_labels(spark):
+    """Cluster-mode checkpoint seam (round-3 verdict item 7): with a
+    spark.checkpoint dir configured, both component algorithms switch
+    from executor-local to RELIABLE checkpointing (state written to the
+    fault-tolerant dir, surviving executor loss) and must emit labels
+    identical to local mode; auto-detect (reliable=None) must pick
+    reliable iff the dir is set; reliable=True without a dir raises."""
+    import glob
+    import tempfile
+
+    sc = spark.sparkContext
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sig = dedup.minhash_signature(docs, "text", "doc_id")
+    edges = dedup.star_edges(dedup.lsh_bands(sig, "doc_id"), "doc_id")
+
+    local_lp = sorted(map(tuple, dedup.connected_components(
+        edges, reliable_checkpoint=False).collect()))
+    local_as = sorted(map(tuple, dedup.connected_components_altstar(
+        edges, reliable_checkpoint=False).collect()))
+
+    assert sc.getCheckpointDir() is None
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        dedup.connected_components_altstar(edges, reliable_checkpoint=True)
+
+    with tempfile.TemporaryDirectory(prefix="qf_ckpt_") as d:
+        sc.setCheckpointDir(d)
+        try:
+            # auto-detect: dir set -> reliable; labels identical both algos
+            rel_lp = sorted(map(tuple, dedup.connected_components(edges).collect()))
+            rel_as = sorted(map(tuple, dedup.connected_components_altstar(
+                edges, reliable_checkpoint=True).collect()))
+            assert rel_lp == local_lp and rel_as == local_as
+            # reliable mode really wrote checkpoint state to the dir
+            assert glob.glob(f"{d}/*/rdd-*"), "no reliable checkpoint written"
+        finally:
+            # leave the shared session in executor-local mode for the rest
+            # of the suite (checkpointDir is private[spark]: reset via JVM)
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                sc._jvm.scala.Option.apply(None)
+            )
+            assert sc.getCheckpointDir() is None
