@@ -933,6 +933,33 @@ def q_benchmark_decontamination(spark, sf_dir):
     )
 
 
+DECONTAM_BLOOM_BITS = 1 << 18
+DECONTAM_BLOOM_HASHES = 5
+
+
+def q_benchmark_decontamination_bloom(spark, sf_dir):
+    """Bloom-candidate decontamination (round-3 verdict item 5):
+    BIT-IDENTICAL output to q_benchmark_decontamination, computed as a
+    distributed Bloom filter over the benchmark n-grams (only the bit
+    array ships, never the string set) → vectorized Arrow bit-probe →
+    exact verify join on the fpr-bounded candidate rows — the
+    candidates+rescore pattern from knn_join applied to set membership.
+    Same oracle SQL as the exact form (no false negatives)."""
+    from quality_filter.operators import decontam
+
+    docs = _t(spark, sf_dir, "documents")
+    ng = F.array_distinct(dedup.shingles(F.col("text"), DECONTAM_NGRAM))
+    bench = (
+        docs.filter(F.col("doc_id") % DECONTAM_MOD == 0)
+        .select(F.explode(ng).alias("ng"))
+        .distinct()
+    )
+    return decontam.decontaminate_bloom(
+        docs, ng, "doc_id", bench,
+        n_bits=DECONTAM_BLOOM_BITS, n_hashes=DECONTAM_BLOOM_HASHES,
+    )
+
+
 MIX_TARGET_UNIFORM = True
 
 
@@ -1007,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_broadcast": q_knn_join_broadcast,
         "embedding_centroids_by_label": q_embedding_centroids_by_label,
         "benchmark_decontamination": q_benchmark_decontamination,
+        "benchmark_decontamination_bloom": q_benchmark_decontamination_bloom,
         "source_mixing_rates": q_source_mixing_rates,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1830,6 +1858,9 @@ hits AS (
 SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
   coalesce(h.n_hits, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)"""
+    # Bloom candidates + exact verify has no false negatives, so its
+    # output equals the exact form's — same oracle SQL by construction
+    out["benchmark_decontamination_bloom"] = out["benchmark_decontamination"]
     out["source_mixing_rates"] = """
 WITH counts AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source

@@ -280,3 +280,35 @@ def test_reliable_checkpoint_mode_identical_labels(spark):
                 sc._jvm.scala.Option.apply(None)
             )
             assert sc.getCheckpointDir() is None
+
+
+def test_bloom_decontamination_bitwise_matches_exact(spark):
+    """Bloom candidates + exact verify must equal the exact broadcast
+    form ROW-FOR-ROW (no false negatives), and the filter itself must
+    be sound: every inserted value probes maybe-member, and the fpr on
+    fresh values stays near the design point."""
+    from pyspark.sql import Row
+
+    import __spark_entry__ as E
+    from quality_filter.operators import decontam
+
+    exact = sorted(
+        map(tuple, E.q_benchmark_decontamination(spark, SF).collect())
+    )
+    bloom = sorted(
+        map(tuple, E.q_benchmark_decontamination_bloom(spark, SF).collect())
+    )
+    assert exact == bloom and any(r[2] for r in exact)
+
+    members = spark.createDataFrame([Row(ng=f"member {i}") for i in range(500)])
+    bits = decontam.build_bloom(members, "ng", n_bits=1 << 14, n_hashes=5)
+    probe = spark.createDataFrame(
+        [Row(ng=f"member {i}") for i in range(500)]
+        + [Row(ng=f"fresh {i}") for i in range(2000)]
+    )
+    got = probe.withColumn(
+        "hit", decontam.bloom_maybe_member(bits, 1 << 14, 5, F.col("ng"))
+    ).collect()
+    assert all(r.hit for r in got if r.ng.startswith("member"))  # no false negatives
+    fpr = sum(r.hit for r in got if r.ng.startswith("fresh")) / 2000
+    assert fpr < 0.05, fpr  # 500 keys in 16k bits, k=5 -> design fpr ~0.4%
