@@ -960,6 +960,39 @@ def q_benchmark_decontamination_bloom(spark, sf_dir):
     )
 
 
+SEGMENT_WORDS = dedup.SEGMENT_WORDS
+INCR_NEW_MOD = 5  # doc_id % 5 == 0 -> today's batch; rest -> accepted corpus
+
+
+def q_segment_dedup_docs(spark, sf_dir):
+    """C4/CCNet-style corpus-wide segment dedup: split every doc into
+    deterministic 10-word segments, keep each distinct segment only at
+    its first occurrence (min (doc_id, seg_idx)), reassemble docs from
+    surviving segments.  Two map-side-combined shuffles, no join/window
+    on the occurrence stream — the kept occurrence IS the min-struct
+    aggregate, so a boilerplate segment repeated 10^9 times collapses in
+    the partial agg (see dedup.segment_dedup)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.segment_dedup(docs, "text", "doc_id", SEGMENT_WORDS)
+
+
+def q_incremental_near_dup(spark, sf_dir):
+    """Daily-increment near-dup: docs with doc_id % 5 != 0 model the
+    already-accepted corpus (its persisted LSH band index — see
+    dedup.write_band_index for the partitioned artifact), docs with
+    doc_id % 5 == 0 are the new batch.  A new doc is flagged when its
+    bands collide with the index (hit_index) and/or with a smaller-id
+    doc in its own batch (hit_batch).  At 10^12 docs the corpus is never
+    re-signed: the increment joins the parquet index on
+    (band_idx, band_key), shuffle bounded by the batch."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(docs, "text", "doc_id", NUM_HASHES)
+    bands = dedup.lsh_bands(sig, "doc_id", NUM_HASHES, BAND_SIZE)
+    new_b = bands.filter(F.col("doc_id") % INCR_NEW_MOD == 0)
+    idx_b = bands.filter(F.col("doc_id") % INCR_NEW_MOD != 0)
+    return dedup.incremental_near_dup_flags(new_b, idx_b, "doc_id")
+
+
 MIX_TARGET_UNIFORM = True
 
 
@@ -1035,6 +1068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids_by_label": q_embedding_centroids_by_label,
         "benchmark_decontamination": q_benchmark_decontamination,
         "benchmark_decontamination_bloom": q_benchmark_decontamination_bloom,
+        "segment_dedup_docs": q_segment_dedup_docs,
+        "incremental_near_dup": q_incremental_near_dup,
         "source_mixing_rates": q_source_mixing_rates,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1675,6 +1710,44 @@ WHERE a.doc_id < b.doc_id""",
         "near_dup_survivors": _components_sql() + """
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> comp)""",
+        "segment_dedup_docs": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text, ' '), '[ ]+') AS t FROM documents
+),
+occ0 AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(0, CAST(ceil(len(t) / {SEGMENT_WORDS}.0) AS BIGINT) - 1),
+    i -> struct_pack(seg_idx := i,
+                     seg := array_to_string(t[i*{SEGMENT_WORDS}+1 : i*{SEGMENT_WORDS}+{SEGMENT_WORDS}], ' ')))) AS u
+  FROM toks
+),
+occ AS (SELECT doc_id, u.seg_idx AS seg_idx, u.seg AS seg FROM occ0),
+kept AS (
+  SELECT doc_id, seg_idx, seg FROM occ
+  QUALIFY row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1
+),
+agg AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+base AS (SELECT doc_id, CAST(ceil(len(t) / {SEGMENT_WORDS}.0) AS BIGINT) AS n_segs FROM toks)
+SELECT b.doc_id AS doc_id, coalesce(a.text_dedup, '') AS text_dedup,
+       b.n_segs AS n_segs, coalesce(a.n_kept, CAST(0 AS BIGINT)) AS n_kept
+FROM base b LEFT JOIN agg a USING (doc_id)""",
+        "incremental_near_dup": f"""
+WITH {_minhash_sig_cte()},
+bands AS ({_bands_sql()}),
+newb AS (SELECT * FROM bands WHERE doc_id % {INCR_NEW_MOD} = 0),
+idx AS (SELECT * FROM bands WHERE doc_id % {INCR_NEW_MOD} <> 0),
+hi AS (SELECT DISTINCT n.doc_id FROM newb n JOIN idx i
+       ON n.band_idx = i.band_idx AND n.band_key = i.band_key),
+hb AS (SELECT DISTINCT a.doc_id FROM newb a JOIN newb b
+       ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND b.doc_id < a.doc_id)
+SELECT coalesce(hi.doc_id, hb.doc_id) AS doc_id,
+       hi.doc_id IS NOT NULL AS hit_index,
+       hb.doc_id IS NOT NULL AS hit_batch
+FROM hi FULL JOIN hb ON hi.doc_id = hb.doc_id""",
         "ngram_jaccard_dups": f"""
 WITH toks AS (SELECT doc_id, source, {_SIMPLE_TOKS} AS t FROM documents),
 ng AS (

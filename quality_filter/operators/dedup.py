@@ -540,3 +540,145 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level dedup (C4/CCNet-style paragraph dedup over k-word segments)
+# ---------------------------------------------------------------------------
+
+SEGMENT_WORDS = 10
+
+
+def segments_col(text: Column, k: int = SEGMENT_WORDS) -> Column:
+    """Deterministic k-word segments of a document (the paragraph analog
+    for newline-free corpora).  Segment i covers tokens [i*k, i*k+k); the
+    last segment may be short.  C4 dedups on lines / three-sentence spans
+    (reference pattern: corpus-level repeated-span removal); k-word
+    windows give the same operator a delimiter-free segmentation that
+    both engines compute identically."""
+    toks = _tokens(text)
+    n_seg = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_seg - F.lit(1)),
+        lambda i: F.array_join(F.slice(toks, i * F.lit(k) + F.lit(1), k), " "),
+    )
+
+
+def segment_occurrences(
+    df: DataFrame, text_col: str, id_col: str, k: int = SEGMENT_WORDS
+) -> DataFrame:
+    """(id, seg_idx, seg) — one row per segment occurrence."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(segments_col(F.col(text_col), k)).alias("seg_idx", "seg"),
+    )
+
+
+def segment_dedup(
+    df: DataFrame, text_col: str, id_col: str, k: int = SEGMENT_WORDS
+) -> DataFrame:
+    """Corpus-wide segment dedup: every segment survives only at its FIRST
+    occurrence (min (id, seg_idx) over all docs); docs are reassembled
+    from their surviving segments in order.
+
+    Scale shape (100 TB): two map-side-combined hash shuffles and NO
+    join/window —
+      1. groupBy(seg).agg(min(struct(id, seg_idx))): the kept occurrence
+         IS the aggregate result, so duplicate segments collapse in the
+         map-side partial agg (a boilerplate segment repeated 10^9 times
+         ships one row per map task, not 10^9 rows — the skew hot-spot
+         self-mitigates);
+      2. groupBy(id) to reassemble surviving segments.
+    The row_number()-window formulation shuffles every occurrence and
+    sorts; the min-struct form shuffles O(distinct segments) after
+    combine.  Output: (doc_id, text_dedup, n_segs, n_kept); text_dedup
+    is '' when every segment of the doc was seen earlier."""
+    occ = segment_occurrences(df, text_col, id_col, k)
+    kept = (
+        occ.groupBy("seg")
+        .agg(F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("_f"))
+        .select(
+            F.col(f"_f.{id_col}").alias(id_col),
+            F.col("_f.seg_idx").alias("seg_idx"),
+            "seg",
+        )
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.ceil(F.size(_tokens(F.col(text_col))) / F.lit(float(k)))
+        .cast("long")
+        .alias("n_segs"),
+    )
+    return base.join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        "n_segs",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup: persisted band index + new-batch probe
+# ---------------------------------------------------------------------------
+
+
+def write_band_index(bands: DataFrame, path: str, id_col: str = "doc_id") -> None:
+    """Persist LSH band keys as the corpus near-dup index, hive-partitioned
+    by band_idx so a probe that touches one band prunes the others at the
+    scan (PartitionFilters).  At 10^12 docs this is the artifact a daily
+    increment joins against instead of re-signing the whole corpus."""
+    (
+        bands.select(F.col(id_col), "band_idx", "band_key")
+        .write.mode("overwrite")
+        .partitionBy("band_idx")
+        .parquet(path)
+    )
+
+
+def read_band_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def incremental_near_dup_flags(
+    new_bands: DataFrame, index_bands: DataFrame, id_col: str
+) -> DataFrame:
+    """Greedy batch-incremental near-dup: a new doc is flagged when its
+    bands collide with the accepted corpus (hit_index) and/or with a
+    smaller-id doc inside its own batch (hit_batch).  Conservative vs
+    sequential insertion — if b is dropped for an index hit and c only
+    collides with b, sequential insertion would keep c, the greedy batch
+    drops it — i.e. the parallel form removes a superset, never a false
+    keep of a known duplicate.
+
+    Scale shape: both probes are equi-joins on (band_idx, band_key) —
+    shuffle bounded by the NEW BATCH's band rows; the index side is the
+    partitioned parquet artifact, read once, never re-signed.  The
+    left_semi keeps index rows out of the output entirely."""
+    key = ["band_idx", "band_key"]
+    hit_index = (
+        new_bands.join(index_bands.select(*key), key, "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("hit_index", F.lit(True))
+    )
+    hit_batch = (
+        near_dup_pairs(new_bands, id_col)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("hit_batch", F.lit(True))
+    )
+    return hit_index.join(hit_batch, id_col, "full").select(
+        F.col(id_col),
+        F.coalesce("hit_index", F.lit(False)).alias("hit_index"),
+        F.coalesce("hit_batch", F.lit(False)).alias("hit_batch"),
+    )

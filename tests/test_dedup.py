@@ -312,3 +312,97 @@ def test_bloom_decontamination_bitwise_matches_exact(spark):
     assert all(r.hit for r in got if r.ng.startswith("member"))  # no false negatives
     fpr = sum(r.hit for r in got if r.ng.startswith("fresh")) / 2000
     assert fpr < 0.05, fpr  # 500 keys in 16k bits, k=5 -> design fpr ~0.4%
+
+
+def test_segment_dedup_first_occurrence_and_reassembly(spark):
+    """Hand-built corpus with known duplicate 10-word segments: the
+    surviving copy is always the min (doc_id, seg_idx) occurrence, docs
+    reassemble in segment order, and a fully-duplicated doc empties."""
+    seg_a = "a b c d e f g h i j"          # one exact 10-word segment
+    seg_b = "k l m n o p q r s t"
+    tail = "unique tail words"
+    rows = [
+        (1, f"{seg_a} {seg_b}"),           # both segments first seen here
+        (2, f"{seg_b} {seg_a}"),           # both already seen -> empty
+        (3, f"{seg_a} {tail}"),            # seg_a dup, short tail survives
+        (4, tail),                          # dup of doc 3's tail segment
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.segment_dedup(docs, "text", "doc_id").collect()}
+    assert out[1]["text_dedup"] == f"{seg_a} {seg_b}"
+    assert (out[1]["n_segs"], out[1]["n_kept"]) == (2, 2)
+    assert out[2]["text_dedup"] == "" and out[2]["n_kept"] == 0
+    assert out[3]["text_dedup"] == tail  # seg_a removed, tail kept
+    assert out[4]["text_dedup"] == "" and out[4]["n_segs"] == 1
+
+
+def test_segment_dedup_within_doc_repeats(spark):
+    """A segment repeated INSIDE one doc keeps only its first position."""
+    seg = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = spark.createDataFrame([(7, f"{seg} {seg} {seg}")], ["doc_id", "text"])
+    r = dedup.segment_dedup(docs, "text", "doc_id").collect()[0]
+    assert r["text_dedup"] == seg
+    assert (r["n_segs"], r["n_kept"]) == (3, 1)
+
+
+def test_segment_dedup_plan_has_no_join_or_window_on_occurrences(spark):
+    """Scale-shape pin: the first-occurrence selection is a partial-agg
+    min(struct), NOT a window sort or an occurrence self-join — the plan
+    between the scan and the reassembly agg must contain no Window node,
+    and its only join is the final doc-level left join against `base`
+    (broadcast/shuffle of one row per doc, not per segment)."""
+    docs = spark.createDataFrame([(1, "a b c"), (2, "d e f")], ["doc_id", "text"])
+    plan = dedup.segment_dedup(docs, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("Join") <= 1
+
+
+def test_incremental_near_dup_flags_match_full_recompute(spark):
+    """Persisted-index path == in-memory path: write the accepted
+    corpus's bands with write_band_index, read them back, and flag the
+    new batch — identical rows either way, and the index parquet scan
+    with a band_idx predicate shows PartitionFilters (per-band pruning)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bands = _bands(docs)
+    new_b = bands.filter(F.col("doc_id") % 5 == 0)
+    idx_b = bands.filter(F.col("doc_id") % 5 != 0)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/band_index"
+        dedup.write_band_index(idx_b, path)
+        persisted = dedup.read_band_index(spark, path)
+        mem = sorted(map(tuple, dedup.incremental_near_dup_flags(new_b, idx_b, "doc_id").collect()))
+        dsk = sorted(map(tuple, dedup.incremental_near_dup_flags(new_b, persisted, "doc_id").collect()))
+        assert mem == dsk and len(mem) > 0
+        pruned = persisted.filter(F.col("band_idx") == 0)
+        explained = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in explained and "band_idx" in explained
+
+
+def test_incremental_near_dup_greedy_semantics(spark):
+    """The documented conservative contract: b hits the index; c collides
+    only with b (batch hit).  Greedy flags BOTH b and c — c is dropped
+    even though sequential insertion (which never indexes the dropped b)
+    would keep it."""
+    t_idx = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    t_c = "nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    rows = [
+        (10, t_idx),           # accepted corpus
+        (20, t_idx),           # new: index hit
+        (21, t_c),             # new: first of the c-pair
+        (25, t_c),             # new: batch hit vs 21 only
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bands = _bands(docs)
+    flags = {
+        r["doc_id"]: (r["hit_index"], r["hit_batch"])
+        for r in dedup.incremental_near_dup_flags(
+            bands.filter(F.col("doc_id") >= 20),
+            bands.filter(F.col("doc_id") < 20),
+            "doc_id",
+        ).collect()
+    }
+    assert flags[20] == (True, False)
+    assert flags[25] == (False, True)
+    assert 21 not in flags  # first occurrence in batch, no index hit
