@@ -43,6 +43,11 @@ DOC_QUERIES = [
     "docs_stratified_sample", "corpus_top_terms", "tfidf_top_docs",
     "dup_ngram_ratio_docs", "packed_docs", "corpus_curation",
     "doc_quality_deciles", "benchmark_decontamination", "source_mixing_rates",
+    # round 4: scale twins + segment/incremental dedup (media_near_dup is
+    # excluded only because it generates its own media table, not fuzzed)
+    "benchmark_decontamination_bloom", "doc_quality_decile_bounds",
+    "doc_length_quantiles_approx", "segment_dedup_docs",
+    "incremental_near_dup",
 ]
 EVENT_QUERIES = [
     "decimated_events", "tumbling_agg_mean", "tumbling_agg_median",
