@@ -78,6 +78,13 @@ _SKIP_BLOCK_RE = _re.compile(
 # html.parser's tag-start rule: '<' opens markup only before letter / '/' / '!' / '?'
 _TAG_RE = _re.compile(r"</?[A-Za-z][^>]*>|<![^>]*>|<\?[^>]*>")
 _STRAY_LT_RE = _re.compile(r"<(?![A-Za-z/!?])")
+# Fast convergence gate for the skip-block fixed point: BOTH block
+# regexes above require a '<tagname' opener, so if no opener remains
+# neither can match and another sub round is provably a no-op.  A
+# search() is far cheaper than two full sub() scans; profiled, the
+# confirm round was ~28% of extract_text on corpus html (every doc
+# converges in one real round — nesting is rare).
+_SKIP_SNIFF_RE = _re.compile(r"<(" + "|".join(sorted(_SKIP_TAGS)) + r")\b", _re.I)
 
 
 def extract_text(html: str) -> str:
@@ -102,12 +109,20 @@ def extract_text(html: str) -> str:
     pipeline is the defined behavior and is ~7x faster (the extraction
     stage dominates per-doc cost at scale).
     """
-    s = _COMMENT_RE.sub(" ", html)
-    prev = None
-    while prev != s:
+    # "<!--" absent -> _COMMENT_RE cannot match (pattern starts with the
+    # literal); C-level substring test beats the no-op regex scan.
+    s = _COMMENT_RE.sub(" ", html) if "<!--" in html else html
+    # Fixed point with a sniff gate: run sub rounds only while a skip-tag
+    # opener remains (no opener -> both subs provably no-op -> converged);
+    # an unclosed opener that no sub can consume exits via prev == s.
+    # Output-identical to the unconditional prev != s loop by the
+    # implication documented at _SKIP_SNIFF_RE.
+    while _SKIP_SNIFF_RE.search(s):
         prev = s
         s = _RAWTEXT_RE.sub(" ", s)
         s = _SKIP_BLOCK_RE.sub(" ", s)
+        if s == prev:
+            break
     s = _STRAY_LT_RE.sub(" < ", s)
     s = _TAG_RE.sub(" ", s)
     s = _htmllib.unescape(s)
