@@ -81,8 +81,12 @@ class CharLM:
         starts = np.zeros(len(arrs), dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
 
-        h5 = ngram_hashes(big, ORDER, DIM)
-        h4 = ngram_hashes(big, ORDER - 1, DIM)[: len(h5)]
+        # one uint64 cast shared by both hash orders (ngram_hashes takes
+        # any integer dtype; pre-casting avoids the second copy — bitwise
+        # identical, the cast is value-preserving)
+        big64 = big.astype(np.uint64)
+        h5 = ngram_hashes(big64, ORDER, DIM)
+        h4 = ngram_hashes(big64, ORDER - 1, DIM)[: len(h5)]
         logp = self._log_hi[h5] - self._log_lo[h4]
 
         # valid 5-gram positions for text j: [starts[j], starts[j]+lens[j]-ORDER]

@@ -108,3 +108,44 @@ def test_lm_batch_matches_single(lm):
     batch = lm.perplexity_batch(cases)
     single = np.array([lm.perplexity(t) for t in cases])
     assert np.allclose(batch, single, rtol=1e-12)
+
+
+def test_ngram_hashes_bitwise_match_allocating_spec():
+    """The in-place multiply/add kernel must reproduce the allocating
+    ``acc = acc * M + slice.astype(u64)`` spec EXACTLY (uint64 wrap
+    arithmetic — same values in the same order, only allocator traffic
+    differs).  Template: bitwise differential per the vectorization
+    invariant; covers wrap-heavy codepoints, both orders, and the
+    pre-cast uint64 input path used by the LM batch."""
+    import numpy as np
+
+    from quality_filter.models.hashing import _MULT, _SEED, char_codes, ngram_hashes
+
+    def spec(codes, n, dim):
+        m = len(codes) - n + 1
+        if m <= 0:
+            return np.empty(0, dtype=np.int64)
+        acc = np.full(m, _SEED + np.uint64(n), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(n):
+                acc = acc * _MULT + codes[j : j + m].astype(np.uint64)
+        return (acc & np.uint64(dim - 1)).astype(np.int64)
+
+    rng = np.random.default_rng(20260817)
+    cases = [
+        char_codes("the quick brown fox jumps over the lazy dog"),
+        char_codes("héllo wörld \U0001f600 ￿ mixed unicode"),
+        rng.integers(0, 0x110000, size=4096).astype(np.uint32),  # wrap-heavy
+        np.array([0xFFFFFFFF] * 64, dtype=np.uint32),            # max uint32
+        char_codes("abcd"),                                       # shorter than 5
+        np.empty(0, dtype=np.uint32),
+    ]
+    for codes in cases:
+        for n in (4, 5):
+            for dim in (1 << 20, 1 << 16):
+                a = ngram_hashes(codes, n, dim)
+                b = spec(codes, n, dim)
+                assert a.dtype == b.dtype and np.array_equal(a, b)
+                # pre-cast uint64 input (the LM batch path) — same bits
+                c = ngram_hashes(codes.astype(np.uint64), n, dim)
+                assert np.array_equal(c, b)
