@@ -993,6 +993,41 @@ def q_incremental_near_dup(spark, sf_dir):
     return dedup.incremental_near_dup_flags(new_b, idx_b, "doc_id")
 
 
+def q_incremental_curation(spark, sf_dir):
+    """Day-2 curation composition — the daily-increment pipeline as ONE
+    plan: gate today's batch (doc_id % 5 == 0) on the heuristic quality
+    score, sign ONLY the gated survivors, probe the accepted corpus's
+    band index (doc_id % 5 != 0 — the write_band_index artifact at
+    scale) plus the batch itself, and emit the de-duplicated accepted
+    docs with their scores.  Composes quality_gate_docs →
+    incremental_near_dup → anti-join; every stage shuffles on batch-
+    bounded keys, the corpus side is only ever read as its band index."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = R.feature_columns(F.col("text"), CFG)
+    feats["ppl_norm"] = F.lit(0.0)
+    q = R.quality_score_col(feats, CFG)
+    fail_any = None
+    for _, cond in R.hard_rule_reasons(feats, CFG):
+        fail_any = cond if fail_any is None else (fail_any | cond)
+    keep = ~fail_any & (q >= CFG.quality_threshold)
+    new_kept = docs.filter(F.col("doc_id") % INCR_NEW_MOD == 0).filter(keep).select(
+        "doc_id", "text", F.round(q, 6).alias("quality_score")
+    )
+    idx_docs = docs.filter(F.col("doc_id") % INCR_NEW_MOD != 0)
+    b_new = dedup.lsh_bands(
+        dedup.minhash_signature(new_kept, "text", "doc_id", NUM_HASHES),
+        "doc_id", NUM_HASHES, BAND_SIZE,
+    )
+    b_idx = dedup.lsh_bands(
+        dedup.minhash_signature(idx_docs, "text", "doc_id", NUM_HASHES),
+        "doc_id", NUM_HASHES, BAND_SIZE,
+    )
+    flags = dedup.incremental_near_dup_flags(b_new, b_idx, "doc_id")
+    return new_kept.join(flags, "doc_id", "left_anti").select(
+        "doc_id", "quality_score"
+    )
+
+
 MIX_TARGET_UNIFORM = True
 
 
@@ -1070,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_decontamination_bloom": q_benchmark_decontamination_bloom,
         "segment_dedup_docs": q_segment_dedup_docs,
         "incremental_near_dup": q_incremental_near_dup,
+        "incremental_curation": q_incremental_curation,
         "source_mixing_rates": q_source_mixing_rates,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1748,6 +1784,27 @@ SELECT coalesce(hi.doc_id, hb.doc_id) AS doc_id,
        hi.doc_id IS NOT NULL AS hit_index,
        hb.doc_id IS NOT NULL AS hit_batch
 FROM hi FULL JOIN hb ON hi.doc_id = hb.doc_id""",
+        "incremental_curation": f"""
+WITH {_features_cte().lstrip()},
+kept_new AS (
+  SELECT doc_id, round(1.0 / (1.0 + exp(-{qz})), 6) AS quality_score
+  FROM ratios
+  WHERE doc_id % {INCR_NEW_MOD} = 0 AND NOT {hard_fail}
+    AND 1.0 / (1.0 + exp(-{qz})) >= {CFG.quality_threshold}
+),
+{_minhash_sig_cte().lstrip()},
+bands AS ({_bands_sql()}),
+newb AS (SELECT b.* FROM bands b JOIN kept_new k ON b.doc_id = k.doc_id),
+idx AS (SELECT * FROM bands WHERE doc_id % {INCR_NEW_MOD} <> 0),
+flagged AS (
+  SELECT DISTINCT n.doc_id FROM newb n JOIN idx i
+    ON n.band_idx = i.band_idx AND n.band_key = i.band_key
+  UNION
+  SELECT DISTINCT a.doc_id FROM newb a JOIN newb b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND b.doc_id < a.doc_id
+)
+SELECT doc_id, quality_score FROM kept_new
+WHERE doc_id NOT IN (SELECT doc_id FROM flagged)""",
         "ngram_jaccard_dups": f"""
 WITH toks AS (SELECT doc_id, source, {_SIMPLE_TOKS} AS t FROM documents),
 ng AS (

@@ -47,7 +47,7 @@ DOC_QUERIES = [
     # excluded only because it generates its own media table, not fuzzed)
     "benchmark_decontamination_bloom", "doc_quality_decile_bounds",
     "doc_length_quantiles_approx", "segment_dedup_docs",
-    "incremental_near_dup",
+    "incremental_near_dup", "incremental_curation",
 ]
 EVENT_QUERIES = [
     "decimated_events", "tumbling_agg_mean", "tumbling_agg_median",
