@@ -129,6 +129,92 @@ def stream_top_terms(
     )
 
 
+def _dedup():
+    from quality_filter.operators import dedup as D
+
+    return D
+
+
+def _per_row_band_stream(
+    sdf: DataFrame, text_col: str, id_col: str, ts_col: str,
+    num_hashes: int, band_size: int,
+) -> DataFrame:
+    """(id, ts, band_idx, band_key) rows from a page stream: per-row
+    MinHash signature (no aggregation — runs before any stateful stage)
+    → band-key explode; shingle-less docs get a self-keyed band that can
+    never collide (matches the batch rule that a NULL band key never
+    clusters).  Shared by the within-stream and stream-vs-index
+    near-dup operators."""
+    D = _dedup()
+    staged = sdf.withColumn("_sh", D.shingles(F.col(text_col))).withColumn(
+        "_mh", D.minhash_from_shingles(F.col("_sh"), num_hashes)
+    )
+    return (
+        staged.select(
+            F.col(id_col),
+            F.col(ts_col),
+            F.explode(
+                D.band_entries_from_signature(F.col("_mh"), num_hashes, band_size)
+            ).alias("_b"),
+        )
+        .select(
+            F.col(id_col),
+            F.col(ts_col),
+            F.col("_b.band_idx").alias("band_idx"),
+            F.coalesce(
+                F.col("_b.band_key"),
+                F.concat(F.lit("self|"), F.col(id_col).cast("string")),
+            ).alias("band_key"),
+        )
+    )
+
+
+def stream_incremental_near_dup(
+    sdf: DataFrame,
+    index_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+    ts_col: str = "warc_ts",
+    delay: str = "1 hour",
+    window: str = "1 hour",
+    num_hashes: int | None = None,
+    band_size: int | None = None,
+) -> DataFrame:
+    """Streaming daily-increment near-dup: the new-page stream probes the
+    accepted corpus's PERSISTED band index (dedup.write_band_index /
+    read_band_index) via a stream-static LEFT ANTI join, then claims the
+    surviving band keys within the stream — the streaming twin of
+    dedup.incremental_near_dup_flags.
+
+    A doc survives iff (a) none of its bands exists in the static index
+    (any hit removes that band row, so the all-bands-claimed count test
+    fails) and (b) it claimed all its bands first within the stream
+    (arrival order replacing doc-id order in the greedy batch
+    semantics).  The static side is read per micro-batch straight from
+    the partitioned parquet index — never re-signed, never shuffled as
+    state; streaming state is only the one-watermark-horizon band-claim
+    set.  Output: (window_start, id) of accepted new docs, append-mode."""
+    num_hashes = num_hashes or _dedup().DEFAULT_NUM_HASHES
+    band_size = band_size or _dedup().DEFAULT_BAND_SIZE
+    n_bands = num_hashes // band_size
+
+    bands = _per_row_band_stream(sdf, text_col, id_col, ts_col, num_hashes, band_size)
+    fresh = bands.join(
+        index_bands.select("band_idx", "band_key"),
+        ["band_idx", "band_key"],
+        "left_anti",
+    )
+    claimed = fresh.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        ["band_idx", "band_key"]
+    )
+    return (
+        claimed.groupBy(F.window(ts_col, window).alias("w"), F.col(id_col))
+        .agg(F.count(F.lit(1)).alias("_n_claimed"))
+        .filter(F.col("_n_claimed") == n_bands)
+        .select(F.col("w.start").alias("window_start"), F.col(id_col))
+    )
+
+
 def stream_near_dup_survivors(
     sdf: DataFrame,
     text_col: str = "text",
@@ -162,33 +248,11 @@ def stream_near_dup_survivors(
     cluster membership agree exactly (pinned by test).
 
     Output: (window_start, id) of surviving docs, append-mode."""
-    from quality_filter.operators import dedup as D
-
-    num_hashes = num_hashes or D.DEFAULT_NUM_HASHES
-    band_size = band_size or D.DEFAULT_BAND_SIZE
+    num_hashes = num_hashes or _dedup().DEFAULT_NUM_HASHES
+    band_size = band_size or _dedup().DEFAULT_BAND_SIZE
     n_bands = num_hashes // band_size
 
-    staged = sdf.withColumn("_sh", D.shingles(F.col(text_col))).withColumn(
-        "_mh", D.minhash_from_shingles(F.col("_sh"), num_hashes)
-    )
-    bands = (
-        staged.select(
-            F.col(id_col),
-            F.col(ts_col),
-            F.explode(
-                D.band_entries_from_signature(F.col("_mh"), num_hashes, band_size)
-            ).alias("_b"),
-        )
-        .select(
-            F.col(id_col),
-            F.col(ts_col),
-            F.col("_b.band_idx").alias("band_idx"),
-            F.coalesce(
-                F.col("_b.band_key"),
-                F.concat(F.lit("self|"), F.col(id_col).cast("string")),
-            ).alias("band_key"),
-        )
-    )
+    bands = _per_row_band_stream(sdf, text_col, id_col, ts_col, num_hashes, band_size)
     claimed = bands.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         ["band_idx", "band_key"]
     )

@@ -245,3 +245,84 @@ def test_windowed_keep_rate_matches_batch(spark, tmp_path):
     assert (got["n_docs"].values == want["n_docs"].values).all()
     assert (got["n_keep"].values == want["n_keep"].values).all()
     assert ((got["n_keep"] <= got["n_docs"]).all())
+
+
+def test_stream_incremental_near_dup_probes_static_index(spark, tmp_path):
+    """Stream-vs-index twin of dedup.incremental_near_dup_flags: new docs
+    colliding with the PERSISTED corpus band index never survive; unique
+    new docs always do; a within-batch duplicate cluster yields exactly
+    one survivor (arrival order replaces doc-id order, so membership is
+    free but the count is pinned).  The index side is the parquet
+    artifact written by write_band_index — read back, never re-signed."""
+    import datetime
+    import time
+
+    import pandas as pd_
+    from pyspark.sql import functions as F
+
+    from quality_filter.operators import dedup
+    from quality_filter.streaming.stream import stream_incremental_near_dup
+
+    pages = generate_pages(120, seed=29, days=1).drop(columns=["cls"])
+    pages = pages[pages["text"].notna()].reset_index(drop=True)
+    accepted = pages.iloc[:60].copy()          # the corpus behind the index
+    fresh_unique = pages.iloc[60:90].copy()    # new, no collisions
+    fresh_unique["url"] = "new://" + fresh_unique["url"]
+    index_hits = accepted.iloc[:15].copy()     # new docs duplicating the corpus
+    index_hits["url"] = index_hits["url"] + "?resubmit=1"
+    batch_dups = fresh_unique.iloc[:6].copy()  # within-batch duplicate cluster x6
+    batch_dups["url"] = batch_dups["url"] + "?copy=1"
+    new_batch = pd_.concat([fresh_unique, index_hits, batch_dups], ignore_index=True)
+
+    # persisted index artifact
+    acc_sdf = spark.createDataFrame(accepted, schema=pages_spark_schema())
+    idx_bands = dedup.lsh_bands(
+        dedup.minhash_signature(acc_sdf, "text", "url"), "url"
+    )
+    idx_path = str(tmp_path / "band_index")
+    dedup.write_band_index(idx_bands, idx_path, id_col="url")
+    index_static = dedup.read_band_index(spark, idx_path)
+
+    src = str(tmp_path / "incr_src")
+    spark.createDataFrame(new_batch, schema=pages_spark_schema()).coalesce(1).write.parquet(src)
+    time.sleep(0.3)
+    far = new_batch["warc_ts"].max() + datetime.timedelta(days=30)
+    sentinel = new_batch.iloc[:1].copy()
+    sentinel["url"] = "sentinel://flush"
+    sentinel["warc_ts"] = far
+    spark.createDataFrame(sentinel, schema=pages_spark_schema()).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = read_pages_stream(spark, src, max_files=1)
+    surv = stream_incremental_near_dup(
+        stream, index_static, "text", "url", "warc_ts",
+        delay="0 seconds", window="24 hours",
+    )
+    q = (
+        surv.writeStream.format("memory").queryName("incrnd")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["url"] for r in spark.sql("select url from incrnd").collect()
+        if not r["url"].startswith("sentinel://")
+    }
+
+    resubmits = set(index_hits["url"])
+    uniques = set(fresh_unique["url"])
+    cluster = set(batch_dups["url"]) | set(fresh_unique.iloc[:6]["url"])
+    assert got & resubmits == set()                      # index hits dropped
+    assert uniques - cluster <= got                      # unique new docs kept
+    for u_orig, u_copy in zip(fresh_unique.iloc[:6]["url"], batch_dups["url"]):
+        assert len(got & {u_orig, u_copy}) == 1          # one survivor per pair
+
+    # batch twin agrees on the determinate part: flags mark exactly the
+    # resubmits as index hits, and one of each within-batch pair
+    new_sdf = spark.createDataFrame(new_batch, schema=pages_spark_schema())
+    new_bands = dedup.lsh_bands(
+        dedup.minhash_signature(new_sdf, "text", "url"), "url"
+    )
+    flags = dedup.incremental_near_dup_flags(new_bands, index_static, "url").collect()
+    hit_idx = {r["url"] for r in flags if r["hit_index"]}
+    assert hit_idx == resubmits
