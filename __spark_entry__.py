@@ -280,6 +280,30 @@ def q_docs_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+MIX_TEMPERATURE = 0.5
+
+
+def q_temperature_mixture_rates(spark, sf_dir):
+    """Per-language temperature-mixing thresholds (kept counts ~
+    n_lang**tau): dimension-sized output; tau=0.5 so the threshold
+    derivation is bit-exact cross-engine (sqrt chain — see
+    sampling.temperature_mixture_rates)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.temperature_mixture_rates(docs, "lang", MIX_TEMPERATURE)
+
+
+def q_temperature_mixture_sample(spark, sf_dir):
+    """Temperature-resampled corpus (tau=0.5): dominant languages
+    downsampled toward the tempered mix, row fate content-addressed by
+    md5(doc_id) under a bit-exact per-stratum threshold.  Broadcast
+    join of the #langs-sized rate table; corpus side is scan+filter,
+    no corpus shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.temperature_mixture_sample(
+        docs, "doc_id", "lang", MIX_TEMPERATURE
+    ).select("doc_id", "lang")
+
+
 def q_corpus_top_terms(spark, sf_dir):
     """Corpus vocabulary head: explode → map-side partial count →
     O(distinct terms) shuffle → TakeOrderedAndProject top-k."""
@@ -1072,6 +1096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries that rotated out of the r3 window lead, followed by queries new
     # in round 4, then the r3-green set.
     return {
+        "temperature_mixture_rates": q_temperature_mixture_rates,
+        "temperature_mixture_sample": q_temperature_mixture_sample,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -1991,6 +2017,33 @@ FROM documents d LEFT JOIN hits h USING (doc_id)"""
     # Bloom candidates + exact verify has no false negatives, so its
     # output equals the exact form's — same oracle SQL by construction
     out["benchmark_decontamination_bloom"] = out["benchmark_decontamination"]
+    # tau=0.5 only: sqrt chain is IEEE-correctly-rounded in both engines,
+    # so thresholds (and therefore the kept row set) match bit-exactly —
+    # see sampling.temperature_mixture_rates
+    out["temperature_mixture_rates"] = """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+m AS (SELECT CAST(min(n_docs) AS DOUBLE) AS nmin FROM counts)
+SELECT lang, n_docs,
+  CAST(floor(sqrt(nmin / CAST(n_docs AS DOUBLE)) * 4294967296.0) AS BIGINT)
+    AS keep_threshold
+FROM counts, m"""
+    out["temperature_mixture_sample"] = """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+m AS (SELECT CAST(min(n_docs) AS DOUBLE) AS nmin FROM counts),
+thr AS (
+  SELECT lang,
+    CAST(floor(sqrt(nmin / CAST(n_docs AS DOUBLE)) * 4294967296.0) AS BIGINT)
+      AS keep_threshold
+  FROM counts, m
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr USING (lang)
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      < thr.keep_threshold"""
     out["source_mixing_rates"] = """
 WITH counts AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source

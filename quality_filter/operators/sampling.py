@@ -46,3 +46,65 @@ def stratified_hash_sample(
     for stratum, rate in sorted(rates.items()):
         thr = F.when(F.col(stratum_col) == stratum, int(rate * _HASH_SPACE)).otherwise(thr)
     return df.filter(hash_bucket(F.col(id_col)) < thr)
+
+
+def temperature_mixture_rates(
+    df: DataFrame, stratum_col: str, temperature: float = 0.5,
+) -> DataFrame:
+    """Per-stratum keep-rates that retemper the corpus mix: kept counts
+    become proportional to n_s**temperature (the corpus-mixing scheme of
+    multilingual/multi-source LM training — tau=1 keeps the natural
+    mix, tau→0 approaches uniform).  rate_s = (n_s / n_min)**(tau-1),
+    normalized so the smallest stratum keeps everything (a filter can
+    only downsample).
+
+    Returns (stratum, n_docs long, keep_threshold long) where
+    keep_threshold = floor(rate * 2^32) is the hash_bucket cutoff.
+
+    Cross-engine determinism: at tau=0.5 the rate is spelled
+    sqrt(n_min/n_s) — count, min, one double divide, sqrt, a *2^32
+    scale (exact: pure exponent shift), floor: every step is exact or
+    IEEE-754 correctly-rounded, so Spark and DuckDB derive the SAME
+    threshold integer and the sampled row set is bit-identical, no
+    tolerance needed.  Any other tau routes through pow(), which is NOT
+    correctly rounded; a 1-ulp cross-engine divergence could flip a
+    boundary row (probability ~2^-20 per stratum) — registered oracle
+    queries therefore pin tau=0.5.
+
+    Scale shape: groupBy(stratum).count() partial-aggregates map-side to
+    #strata rows per task; the window below runs over the dimension-sized
+    count table, never the corpus."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    nmin = F.min(F.col("n_docs").cast("double")).over(Window.partitionBy())
+    n = F.col("n_docs").cast("double")
+    if temperature == 0.5:
+        rate = F.sqrt(nmin / n)
+    else:
+        rate = F.pow(n / nmin, F.lit(float(temperature) - 1.0))
+    return counts.select(
+        stratum_col,
+        "n_docs",
+        F.floor(rate * F.lit(float(_HASH_SPACE))).alias("keep_threshold"),
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame, id_col: str, stratum_col: str, temperature: float = 0.5,
+) -> DataFrame:
+    """Deterministic temperature sampling: rows whose hash_bucket(id)
+    falls under their stratum's keep_threshold survive; kept stratum
+    sizes are ~ n_s**temperature (rescaled).  The rate table is
+    dimension-sized, so the join back is a broadcast hash join — the
+    corpus side stays a narrow scan+filter with no shuffle; row fate is
+    content-addressed (retry/partition/engine-invariant, see
+    temperature_mixture_rates for the bit-exactness argument)."""
+    rates = temperature_mixture_rates(df, stratum_col, temperature)
+    return (
+        df.join(F.broadcast(rates.drop("n_docs")), stratum_col, "inner")
+        .filter(hash_bucket(F.col(id_col)) < F.col("keep_threshold"))
+        .drop("keep_threshold")
+    )

@@ -45,6 +45,38 @@ def test_stratified_rates_roughly_honored(spark, docs):
         assert out.loc[l, "count"] / full.loc[l, "count"] > 0.6  # ~0.9
 
 
+def test_temperature_mixture_sample_properties(spark, docs):
+    full = docs.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    rates = sampling.temperature_mixture_rates(docs, "lang", 0.5).toPandas()
+    rates = rates.set_index("lang")
+    # the smallest stratum keeps everything (threshold == 2^32)
+    smallest = full.idxmin()
+    assert rates.loc[smallest, "keep_threshold"] == 1 << 32
+    # thresholds decrease as stratum size increases
+    ordered = rates.join(full.rename("n")).sort_values("n")
+    assert (ordered["keep_threshold"].diff().dropna() <= 0).all()
+    kept = (
+        sampling.temperature_mixture_sample(docs, "doc_id", "lang", 0.5)
+        .groupBy("lang").count().toPandas().set_index("lang")["count"]
+    )
+    # kept counts track n**0.5 (rescaled): ratio of kept fractions between
+    # the largest and smallest stratum ~ sqrt(n_min/n_max)
+    big = full.idxmax()
+    got = (kept[big] / full[big]) / (kept[smallest] / full[smallest])
+    want = (full[smallest] / full[big]) ** 0.5
+    assert abs(got - want) < 0.25
+    # partition-invariant row fate
+    a = {r["doc_id"] for r in
+         sampling.temperature_mixture_sample(docs, "doc_id", "lang").collect()}
+    b = {r["doc_id"] for r in
+         sampling.temperature_mixture_sample(
+             docs.repartition(13), "doc_id", "lang").collect()}
+    assert a == b
+    # general-tau pow path: tau=1 keeps the natural mix (threshold 2^32)
+    r1 = sampling.temperature_mixture_rates(docs, "lang", 1.0).toPandas()
+    assert (r1["keep_threshold"] == 1 << 32).all()
+
+
 def test_top_terms_and_doc_frequency(spark, docs):
     top = textagg.top_terms(docs, "text", 20).toPandas()
     assert len(top) == 20
