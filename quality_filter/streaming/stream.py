@@ -93,7 +93,15 @@ def stream_dedup_exact(
     the md5 fingerprint (same normalization as dedup.fingerprint_col,
     so batch and stream agree on what counts as a duplicate) and evicts
     fingerprint state once the watermark passes — bounded state, unlike
-    an unbounded dropDuplicates which would grow with the corpus."""
+    an unbounded dropDuplicates which would grow with the corpus.
+
+    "First-seen" is trigger-granular: rows in EARLIER micro-batches
+    always beat later ones, but among same-fingerprint rows inside one
+    micro-batch the kept row is task/partition-order dependent (Spark
+    keeps an arbitrary row, not the min id).  For exact dups every
+    representative carries identical text, so downstream VALUES are
+    unaffected; only the surviving id/timestamp columns can vary
+    run-to-run when duplicates land in the same trigger."""
     from quality_filter.operators.dedup import fingerprint_col
 
     return (
@@ -246,6 +254,16 @@ def stream_near_dup_survivors(
     docs and drops just the bridge).  On transitively-closed clusters —
     exact dups, boilerplate families — survivor COUNT and one-per-
     cluster membership agree exactly (pinned by test).
+
+    "First-arriving" is likewise trigger-granular (see
+    stream_dedup_exact): across micro-batches arrival order decides;
+    within one micro-batch the band claimant among same-batch
+    colliders is task/partition-order dependent, NOT doc-id order — so
+    WHICH cluster member survives is only run-deterministic when
+    colliders are separated by triggers.  One-survivor-per-cluster
+    and survivor counts hold regardless (that is what the tests pin);
+    pipelines needing an id-deterministic survivor should run the
+    batch near_dup_survivors over each closed horizon instead.
 
     Output: (window_start, id) of surviving docs, append-mode."""
     num_hashes = num_hashes or _dedup().DEFAULT_NUM_HASHES
