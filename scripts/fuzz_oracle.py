@@ -48,6 +48,9 @@ DOC_QUERIES = [
     "benchmark_decontamination_bloom", "doc_quality_decile_bounds",
     "doc_length_quantiles_approx", "segment_dedup_docs",
     "incremental_near_dup", "incremental_curation",
+    # round-4 follow-up: bit-exact tempered sampling (fuzzed strata sizes
+    # exercise the sqrt-threshold chain on arbitrary count ratios)
+    "temperature_mixture_rates", "temperature_mixture_sample",
 ]
 EVENT_QUERIES = [
     "decimated_events", "tumbling_agg_mean", "tumbling_agg_median",
