@@ -255,6 +255,37 @@ def q_quality_gate_docs(spark, sf_dir):
     )
 
 
+SRC_KEEP_FRAC_MIN = 0.1
+
+
+def q_source_reputation_flags(spark, sf_dir):
+    """Domain-level curation (the RefinedWeb/Gopher practice of gating
+    whole low-quality sources, not just docs): per-source keep-rate
+    reputation joined back to flag each doc.  The reputation dim is
+    O(#sources) — one map-side-combined agg shuffle O(sources), then a
+    broadcast join back; the corpus side is scan + narrow map, never
+    shuffled on doc_id.  keep_frac is a division of exact integer
+    counts, so the threshold compare is bit-identical cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = R.feature_columns(F.col("text"), CFG)
+    feats["ppl_norm"] = F.lit(0.0)
+    q = R.quality_score_col(feats, CFG)
+    fail_any = None
+    for _, cond in R.hard_rule_reasons(feats, CFG):
+        fail_any = cond if fail_any is None else (fail_any | cond)
+    keep = ~fail_any & (q >= CFG.quality_threshold)
+    scored = docs.select("doc_id", "source", keep.alias("keep"))
+    rep = scored.groupBy("source").agg(
+        (F.sum(F.col("keep").cast("long")) / F.count(F.lit(1))).alias("frac")
+    )
+    return scored.join(F.broadcast(rep), "source").select(
+        "doc_id",
+        "source",
+        F.round("frac", 6).alias("src_keep_frac"),
+        (F.col("keep") & (F.col("frac") >= SRC_KEEP_FRAC_MIN)).alias("keep_domain"),
+    )
+
+
 SAMPLE_RATE = 0.1
 STRATA_RATES = {"en": 0.2, "de": 0.5}
 STRATA_DEFAULT = 0.8
@@ -1096,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries that rotated out of the r3 window lead, followed by queries new
     # in round 4, then the r3-green set.
     return {
+        "source_reputation_flags": q_source_reputation_flags,
         "temperature_mixture_rates": q_temperature_mixture_rates,
         "temperature_mixture_sample": q_temperature_mixture_sample,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
@@ -1701,6 +1733,22 @@ SELECT doc_id,
   round(1.0 / (1.0 + exp(-{qz})), 6) AS quality_score,
   (NOT {hard_fail}) AND (1.0 / (1.0 + exp(-{qz})) >= {CFG.quality_threshold}) AS keep_heuristic
 FROM ratios""",
+        "source_reputation_flags": f"""
+WITH {_features_cte()},
+scored AS (
+  SELECT r.doc_id AS doc_id, d.source AS source,
+    (NOT {hard_fail}) AND (1.0 / (1.0 + exp(-{qz})) >= {CFG.quality_threshold}) AS keep
+  FROM ratios r JOIN (SELECT doc_id, source FROM documents) d ON r.doc_id = d.doc_id
+),
+rep AS (
+  SELECT source,
+    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac
+  FROM scored GROUP BY source
+)
+SELECT s.doc_id AS doc_id, s.source AS source,
+  round(r.frac, 6) AS src_keep_frac,
+  (s.keep AND r.frac >= {SRC_KEEP_FRAC_MIN}) AS keep_domain
+FROM scored s JOIN rep r USING (source)""",
         "quality_contribs_docs": _quality_contribs_sql(),
         "dup_ngram_ratio_docs": f"""
 WITH sh AS (SELECT doc_id, {_ngram_expr()} AS ng FROM documents)

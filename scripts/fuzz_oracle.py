@@ -51,6 +51,9 @@ DOC_QUERIES = [
     # round-4 follow-up: bit-exact tempered sampling (fuzzed strata sizes
     # exercise the sqrt-threshold chain on arbitrary count ratios)
     "temperature_mixture_rates", "temperature_mixture_sample",
+    # domain-level curation: keep_frac is exact-integer division, so the
+    # reputation threshold compare is bit-identical on any fuzzed strata
+    "source_reputation_flags",
 ]
 EVENT_QUERIES = [
     "decimated_events", "tumbling_agg_mean", "tumbling_agg_median",

@@ -312,6 +312,13 @@ def test_new_operator_plan_shapes(spark):
     assert "FlatMapCoGroupsInPandas" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
+    # source reputation: the only hash exchange is the O(#sources)
+    # reputation agg (map-side combined); the join back is broadcast —
+    # the corpus is never shuffled on doc_id
+    p = plan("source_reputation_flags")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
 
 def test_decile_bounds_assignment_plan_is_narrow(spark):
     """The scale-safe decile twin's assignment phase must be a pure
