@@ -286,6 +286,39 @@ def q_source_reputation_flags(spark, sf_dir):
     )
 
 
+N_SCORE_BINS = 20
+
+
+def q_quality_score_histogram(spark, sf_dir):
+    """One-pass threshold sweep for gate calibration: fixed-width
+    histogram of the quality score plus the would-keep count at each
+    candidate threshold (descending cumulative).  The corpus collapses
+    map-side into <= 20 bin rows before the exchange; the cumulative
+    window runs over the bin DIMENSION only (single tiny task by
+    construction) — no corpus shuffle, no global sort of docs.  Bin
+    assignment is floor(score * 20) on the bit-identical sigmoid, so
+    the full value hash holds cross-engine."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = R.feature_columns(F.col("text"), CFG)
+    feats["ppl_norm"] = F.lit(0.0)
+    q = R.quality_score_col(feats, CFG)
+    bin_ = F.least(F.floor(q * N_SCORE_BINS), F.lit(N_SCORE_BINS - 1)).cast("long")
+    hist = (
+        docs.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    w = Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return hist.select(
+        "bin",
+        F.round(F.col("bin").cast("double") / N_SCORE_BINS, 6).alias("bin_lo"),
+        "n_docs",
+        F.sum("n_docs").over(w).alias("n_ge_bin"),
+    )
+
+
 SAMPLE_RATE = 0.1
 STRATA_RATES = {"en": 0.2, "de": 0.5}
 STRATA_DEFAULT = 0.8
@@ -1128,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in round 4, then the r3-green set.
     return {
         "source_reputation_flags": q_source_reputation_flags,
+        "quality_score_histogram": q_quality_score_histogram,
         "temperature_mixture_rates": q_temperature_mixture_rates,
         "temperature_mixture_sample": q_temperature_mixture_sample,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
@@ -1749,6 +1783,18 @@ SELECT s.doc_id AS doc_id, s.source AS source,
   round(r.frac, 6) AS src_keep_frac,
   (s.keep AND r.frac >= {SRC_KEEP_FRAC_MIN}) AS keep_domain
 FROM scored s JOIN rep r USING (source)""",
+        "quality_score_histogram": f"""
+WITH {_features_cte()},
+hist AS (
+  SELECT least(CAST(floor((1.0 / (1.0 + exp(-{qz}))) * {N_SCORE_BINS}) AS BIGINT),
+               {N_SCORE_BINS - 1}) AS bin,
+    CAST(count(*) AS BIGINT) AS n_docs
+  FROM ratios GROUP BY 1
+)
+SELECT bin, round(CAST(bin AS DOUBLE) / {N_SCORE_BINS}, 6) AS bin_lo, n_docs,
+  CAST(sum(n_docs) OVER (ORDER BY bin DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_ge_bin
+FROM hist""",
         "quality_contribs_docs": _quality_contribs_sql(),
         "dup_ngram_ratio_docs": f"""
 WITH sh AS (SELECT doc_id, {_ngram_expr()} AS ng FROM documents)
