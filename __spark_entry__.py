@@ -319,6 +319,35 @@ def q_quality_score_histogram(spark, sf_dir):
     )
 
 
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-window token chunking with overlap (training-window /
+    RAG-passage prep): each doc yields ceil((n-64)/48)+1 chunks of 64
+    tokens at stride 48 (one chunk when n <= 64).  Pure narrow map —
+    tokenize, per-row sequence, slice, posexplode; NO shuffle, no
+    window, no join at any corpus size.  Tokenization is the shared
+    lower/trim/space split (cross-engine parity already fuzz-proven on
+    the top-terms/TF-IDF family)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), "[ ]+")
+    n = F.size(toks)
+    n_chunks = F.when(n <= CHUNK_TOKENS, F.lit(1)).otherwise(
+        F.ceil((n - CHUNK_TOKENS) / F.lit(CHUNK_STRIDE)) + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.array_join(
+            F.slice(toks, i * CHUNK_STRIDE + 1, CHUNK_TOKENS), " "
+        ),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    ).select("doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"), "chunk_text")
+
+
 SAMPLE_RATE = 0.1
 STRATA_RATES = {"en": 0.2, "de": 0.5}
 STRATA_DEFAULT = 0.8
@@ -1162,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "source_reputation_flags": q_source_reputation_flags,
         "quality_score_histogram": q_quality_score_histogram,
+        "doc_chunks": q_doc_chunks,
         "temperature_mixture_rates": q_temperature_mixture_rates,
         "temperature_mixture_sample": q_temperature_mixture_sample,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
@@ -1795,6 +1825,21 @@ SELECT bin, round(CAST(bin AS DOUBLE) / {N_SCORE_BINS}, 6) AS bin_lo, n_docs,
   CAST(sum(n_docs) OVER (ORDER BY bin DESC
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_ge_bin
 FROM hist""",
+        "doc_chunks": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ')), '[ ]+') AS t
+  FROM documents
+),
+nc AS (
+  SELECT doc_id, t,
+    CASE WHEN len(t) <= {CHUNK_TOKENS} THEN 1
+         ELSE CAST(ceil((len(t) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) AS BIGINT) + 1
+    END AS n_chunks
+  FROM toks
+)
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+  array_to_string(t[(i - 1) * {CHUNK_STRIDE} + 1 : (i - 1) * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ') AS chunk_text
+FROM nc, unnest(generate_series(1, n_chunks)) AS u(i)""",
         "quality_contribs_docs": _quality_contribs_sql(),
         "dup_ngram_ratio_docs": f"""
 WITH sh AS (SELECT doc_id, {_ngram_expr()} AS ng FROM documents)

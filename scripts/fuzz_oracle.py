@@ -53,7 +53,7 @@ DOC_QUERIES = [
     "temperature_mixture_rates", "temperature_mixture_sample",
     # domain-level curation: keep_frac is exact-integer division, so the
     # reputation threshold compare is bit-identical on any fuzzed strata
-    "source_reputation_flags", "quality_score_histogram",
+    "source_reputation_flags", "quality_score_histogram", "doc_chunks",
 ]
 EVENT_QUERIES = [
     "decimated_events", "tumbling_agg_mean", "tumbling_agg_median",

@@ -319,6 +319,11 @@ def test_new_operator_plan_shapes(spark):
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
     assert p.count("Exchange hashpartitioning") == 1
 
+    # token chunking: pure narrow map (tokenize -> sequence -> slice ->
+    # posexplode) — zero exchanges at any corpus size
+    p = plan("doc_chunks")
+    assert "Exchange" not in p and "Generate" in p
+
 
 def test_decile_bounds_assignment_plan_is_narrow(spark):
     """The scale-safe decile twin's assignment phase must be a pure
