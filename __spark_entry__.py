@@ -374,6 +374,16 @@ def q_docs_stratified_sample(spark, sf_dir):
 
 
 MIX_TEMPERATURE = 0.5
+UPSAMPLE_EPOCHS = {"src0": 2.5, "src2": 3.0, "src5": 0.4}
+
+
+def q_mixture_epoch_upsample(spark, sf_dir):
+    """Epoch-weighted mixture (weights may exceed 1): src0 seen ~2.5x,
+    src2 exactly 3x, src5 downsampled to ~0.4x, everything else 1x.
+    Full copies + a content-addressed fractional copy — deterministic
+    multiset, zero exchanges (narrow map + explode)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.epoch_upsample(docs, "doc_id", "source", UPSAMPLE_EPOCHS)
 
 
 def q_temperature_mixture_rates(spark, sf_dir):
@@ -1192,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_reputation_flags": q_source_reputation_flags,
         "quality_score_histogram": q_quality_score_histogram,
         "doc_chunks": q_doc_chunks,
+        "mixture_epoch_upsample": q_mixture_epoch_upsample,
         "temperature_mixture_rates": q_temperature_mixture_rates,
         "temperature_mixture_sample": q_temperature_mixture_sample,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
@@ -1677,6 +1688,8 @@ def _bands_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    import math
+
     w = CFG.quality_weights
     qz = (
         f"({CFG.quality_bias} + {w['stopword_ratio']}*stopword_ratio "
@@ -1840,6 +1853,17 @@ nc AS (
 SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
   array_to_string(t[(i - 1) * {CHUNK_STRIDE} + 1 : (i - 1) * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ') AS chunk_text
 FROM nc, unnest(generate_series(1, n_chunks)) AS u(i)""",
+        "mixture_epoch_upsample": f"""
+WITH base AS (
+  SELECT doc_id, source,
+    CASE {" ".join(f"WHEN source = '{s}' THEN {int(math.floor(e))}" for s, e in sorted(UPSAMPLE_EPOCHS.items()))} ELSE 1 END
+    + CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
+        CASE {" ".join(f"WHEN source = '{s}' THEN {int((e - math.floor(e)) * (1 << 32))}" for s, e in sorted(UPSAMPLE_EPOCHS.items()))} ELSE 0 END
+      THEN 1 ELSE 0 END AS n_copies
+  FROM documents
+)
+SELECT doc_id, source, CAST(i AS BIGINT) AS copy_idx
+FROM base, unnest(generate_series(1, n_copies)) AS u(i)""",
         "quality_contribs_docs": _quality_contribs_sql(),
         "dup_ngram_ratio_docs": f"""
 WITH sh AS (SELECT doc_id, {_ngram_expr()} AS ng FROM documents)

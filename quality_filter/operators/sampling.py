@@ -108,3 +108,47 @@ def temperature_mixture_sample(
         .filter(hash_bucket(F.col(id_col)) < F.col("keep_threshold"))
         .drop("keep_threshold")
     )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    epochs: dict[str, float],
+    default_epochs: float = 1.0,
+) -> DataFrame:
+    """Per-stratum epoch replication — mixture weighting where weights
+    may EXCEED 1 (the "see quality sources 2-3x per epoch" scheme that
+    temperature_mixture_sample, a pure filter, cannot express).  Each
+    row yields floor(e) full copies plus one extra copy iff
+    hash_bucket(id) < frac(e) * 2^32 — the same content-addressed fate
+    as hash_sample, so the replicated multiset is invariant under
+    repartition/retry and identical cross-engine (both the full-copy
+    count and the fractional threshold are precomputed INTEGER
+    literals; no float compare at row time).  e < 1 degrades to a
+    plain hash sample; rows with zero copies are dropped.
+
+    Output: input columns + copy_idx (1-based long).  Scale shape: a
+    narrow map + explode(sequence(1, n_copies)) — zero exchanges at
+    any corpus size; output volume is sum_s(e_s * n_s) rows, produced
+    per input split."""
+    import math
+
+    def _full(e: float) -> int:
+        return int(math.floor(e))
+
+    def _thr(e: float) -> int:
+        return int((e - math.floor(e)) * _HASH_SPACE)
+
+    full_col: Column = F.lit(_full(default_epochs))
+    thr_col: Column = F.lit(_thr(default_epochs))
+    for stratum, e in sorted(epochs.items()):
+        full_col = F.when(F.col(stratum_col) == stratum, _full(e)).otherwise(full_col)
+        thr_col = F.when(F.col(stratum_col) == stratum, _thr(e)).otherwise(thr_col)
+    n_copies = full_col + (hash_bucket(F.col(id_col)) < thr_col).cast("int")
+    seq = F.when(n_copies > 0, F.sequence(F.lit(1), n_copies)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn("copy_idx", F.explode(seq)).withColumn(
+        "copy_idx", F.col("copy_idx").cast("long")
+    )

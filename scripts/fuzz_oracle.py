@@ -54,6 +54,7 @@ DOC_QUERIES = [
     # domain-level curation: keep_frac is exact-integer division, so the
     # reputation threshold compare is bit-identical on any fuzzed strata
     "source_reputation_flags", "quality_score_histogram", "doc_chunks",
+    "mixture_epoch_upsample",
 ]
 EVENT_QUERIES = [
     "decimated_events", "tumbling_agg_mean", "tumbling_agg_median",

@@ -240,3 +240,53 @@ def test_sketch_summary_accuracy(spark, docs):
     ).head()
     assert abs(got["len_p50"] - exact["p50"]) <= max(2, 0.02 * exact["p50"])
     assert abs(got["len_p99"] - exact["p99"]) <= max(2, 0.02 * exact["p99"])
+
+
+def test_epoch_upsample_exact_structure(spark, docs):
+    """Exact structural invariants of the epoch-replication multiset:
+    integer strata replicate exactly; fractional strata replicate
+    floor(e) times plus EXACTLY the hash_sample(frac(e)) member set;
+    sub-1 strata degrade to a plain hash sample; everything else is
+    untouched (copy_idx == 1).  Repartitioning must not change the
+    multiset (content-addressed fate)."""
+    epochs = {"src0": 2.5, "src2": 3.0, "src5": 0.4}
+    base = docs.select("doc_id", "source")
+    out = sampling.epoch_upsample(base, "doc_id", "source", epochs).toPandas()
+    src = base.toPandas()
+
+    per_doc = out.groupby(["source", "doc_id"]).size()
+    n_src = src.groupby("source").size()
+
+    # src2: exactly 3 copies of every doc, copy_idx = 1..3
+    assert (per_doc.loc["src2"] == 3).all()
+    assert len(per_doc.loc["src2"]) == n_src.loc["src2"]
+    # src0: every doc has 2 or 3 copies; the 3-copy set IS hash_sample(0.5)
+    assert per_doc.loc["src0"].isin([2, 3]).all()
+    half = {
+        r["doc_id"]
+        for r in sampling.hash_sample(
+            base.filter(F.col("source") == "src0"), "doc_id", 0.5
+        ).collect()
+    }
+    assert set(per_doc.loc["src0"][per_doc.loc["src0"] == 3].index) == half
+    # src5: 0-or-1 copies, members == hash_sample(0.4)
+    assert per_doc.loc["src5"].isin([1]).all()
+    forty = {
+        r["doc_id"]
+        for r in sampling.hash_sample(
+            base.filter(F.col("source") == "src5"), "doc_id", 0.4
+        ).collect()
+    }
+    assert set(per_doc.loc["src5"].index) == forty
+    # default strata: exactly one copy each, copy_idx == 1
+    others = out[~out["source"].isin(epochs)]
+    assert (others["copy_idx"] == 1).all()
+    assert len(others) == int(n_src.drop(list(epochs)).sum())
+
+    # partition invariance: same multiset after a hostile repartition
+    out2 = sampling.epoch_upsample(
+        base.repartition(13).sortWithinPartitions(F.col("doc_id").desc()),
+        "doc_id", "source", epochs,
+    ).toPandas()
+    key = lambda d: sorted(map(tuple, d[["doc_id", "source", "copy_idx"]].values.tolist()))
+    assert key(out) == key(out2)

@@ -324,6 +324,10 @@ def test_new_operator_plan_shapes(spark):
     p = plan("doc_chunks")
     assert "Exchange" not in p and "Generate" in p
 
+    # epoch upsample: narrow map + explode(sequence), zero exchanges
+    p = plan("mixture_epoch_upsample")
+    assert "Exchange" not in p and "Generate" in p
+
 
 def test_decile_bounds_assignment_plan_is_narrow(spark):
     """The scale-safe decile twin's assignment phase must be a pure
