@@ -348,6 +348,79 @@ def q_doc_chunks(spark, sf_dir):
     ).select("doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"), "chunk_text")
 
 
+def q_unit_dedup_docs(spark, sf_dir):
+    """Within-doc keep-first-occurrence dedup (C4 line-dedup algebra at
+    token granularity — this corpus is newline-free): zero-shuffle
+    narrow map via array HOFs; reassembled text pinned by md5 so the
+    hash check carries the exact surviving sequence."""
+    docs = _t(spark, sf_dir, "documents")
+    units = F.split(F.col("text"), " ")
+    kept = dedup.keep_first_units_col(F.col("text"), sep=" ")
+    return docs.select(
+        "doc_id",
+        F.md5(F.array_join(kept, " ")).alias("dedup_fp"),
+        F.size(units).cast("long").alias("n_units"),
+        (F.size(units) - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
+def q_gate_funnel(spark, sf_dir):
+    """Gate observability: every doc attributed to its FIRST failing
+    hard rule (the frozen oracle order), to 'low_score' when it clears
+    the hard rules but misses the soft threshold, else 'kept'.  The
+    corpus collapses map-side to <= 9 reason rows — the shuffle moves
+    O(reasons), never O(docs), so the funnel costs one narrow pass at
+    any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = R.feature_columns(F.col("text"), CFG)
+    feats["ppl_norm"] = F.lit(0.0)
+    q = R.quality_score_col(feats, CFG)
+    chain = None
+    for name, cond in R.hard_rule_reasons(feats, CFG):
+        chain = F.when(cond, name) if chain is None else chain.when(cond, name)
+    reason = chain.when(q < CFG.quality_threshold, "low_score").otherwise("kept")
+    return (
+        docs.select(reason.alias("drop_reason"))
+        .groupBy("drop_reason")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def _synth_url_col():
+    """Deterministic messy crawl URL per doc (the documents table has no
+    url column): scheme/www/trailing-slash/tracking-param/fragment noise
+    keyed off doc_id so canonicalization has real work to undo, with the
+    canonical identity (source, doc_id%5, id=doc_id%3) coarse enough
+    that distinct docs collide — URL-level dup groups exist by
+    construction."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("https://"),
+        F.when(d % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".example.com/a/"), (d % 5).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="), (d % 3).cast("string"),
+        F.when(d % 7 == 0, F.lit("&ref=promo")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+def q_url_dedup_docs(spark, sf_dir):
+    """URL-level dedup over canonicalized crawl URLs (SURT practice:
+    collapse scheme/www/params/fragment variants BEFORE content dedup).
+    One map-side-combined shuffle on the canonical key; a URL crawled
+    10^6 times collapses in the partial agg."""
+    from quality_filter.io import pages
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url_col().alias("url")
+    )
+    out = pages.url_dedup(docs, "url", "doc_id")
+    return out.select(
+        "canonical_url", "rep_id", F.col("n_dups").cast("long").alias("n_dups")
+    )
+
+
 SAMPLE_RATE = 0.1
 STRATA_RATES = {"en": 0.2, "de": 0.5}
 STRATA_DEFAULT = 0.8
@@ -1199,6 +1272,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries that rotated out of the r3 window lead, followed by queries new
     # in round 4, then the r3-green set.
     return {
+        "unit_dedup_docs": q_unit_dedup_docs,
+        "gate_funnel": q_gate_funnel,
+        "url_dedup_docs": q_url_dedup_docs,
         "source_reputation_flags": q_source_reputation_flags,
         "quality_score_histogram": q_quality_score_histogram,
         "doc_chunks": q_doc_chunks,
@@ -2218,6 +2294,65 @@ tot AS (
 SELECT source, n_docs,
   round(least(1.0, (total / ns) / CAST(n_docs AS DOUBLE)), 6) AS rate
 FROM counts, tot"""
+    out["unit_dedup_docs"] = """
+WITH sp AS (SELECT doc_id, string_split(text, ' ') AS us FROM documents),
+ded AS (
+  SELECT doc_id, us,
+    list_filter(us, (x, i) -> list_position(us, x) = i) AS kept
+  FROM sp
+)
+SELECT doc_id,
+  md5(array_to_string(kept, ' ')) AS dedup_fp,
+  CAST(len(us) AS BIGINT) AS n_units,
+  CAST(len(us) - len(kept) AS BIGINT) AS n_removed
+FROM ded"""
+    # same frozen rule order as hard_rule_reasons + the hard_fail expr above
+    out["gate_funnel"] = f"""
+WITH {_features_cte()}
+SELECT CASE
+    WHEN n_chars < {CFG.min_chars} THEN 'too_short'
+    WHEN n_chars > {CFG.max_chars} THEN 'too_long'
+    WHEN n_words < {CFG.min_words} THEN 'too_few_words'
+    WHEN stopword_ratio < {CFG.min_stopword_ratio} THEN 'low_stopword'
+    WHEN symbol_ratio > {CFG.max_symbol_ratio} THEN 'high_symbol'
+    WHEN distinct_ratio < {CFG.min_distinct_ratio} THEN 'low_distinct'
+    WHEN NOT (mean_word_len BETWEEN {CFG.min_mean_word_len} AND {CFG.max_mean_word_len}) THEN 'word_len'
+    WHEN 1.0 / (1.0 + exp(-{qz})) < {CFG.quality_threshold} THEN 'low_score'
+    ELSE 'kept' END AS drop_reason,
+  CAST(count(*) AS BIGINT) AS n_docs
+FROM ratios GROUP BY 1"""
+    from quality_filter.io.pages import TRACKING_PARAM_PATTERN
+
+    out["url_dedup_docs"] = f"""
+WITH u AS (
+  SELECT doc_id,
+    'https://' || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+      || source || '.example.com/a/' || CAST(doc_id % 5 AS VARCHAR)
+      || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+      || '?utm_source=feed&id=' || CAST(doc_id % 3 AS VARCHAR)
+      || (CASE WHEN doc_id % 7 = 0 THEN '&ref=promo' ELSE '' END)
+      || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+    regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)), '^www\\.', '') AS host,
+    regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/$', '') AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM u
+),
+canon AS (
+  SELECT doc_id,
+    'https://' || host || path || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS canonical_url
+  FROM (
+    SELECT doc_id, host, path,
+      array_to_string(list_sort(list_filter(string_split(q, '&'),
+        x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_PARAM_PATTERN}'))), '&') AS qs
+    FROM parts
+  )
+)
+SELECT canonical_url, min(doc_id) AS rep_id, CAST(count(*) AS BIGINT) AS n_dups
+FROM canon GROUP BY 1"""
     return out
 
 

@@ -543,6 +543,31 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Within-doc keep-first-occurrence dedup (C4 line-dedup algebra)
+# ---------------------------------------------------------------------------
+
+
+def keep_first_units_col(text: Column, sep: str = " ", sep_pattern: str | None = None) -> Column:
+    """Within-document duplicate-unit removal, first occurrence wins —
+    the C4 practice of dropping repeated lines inside a page, expressed
+    over any split unit (``sep_pattern``; lines for real web pages,
+    tokens for delimiter-free corpora).  Returns the surviving units in
+    original order.
+
+    Pure narrow map, NO shuffle and NO UDF: split → filter on the
+    first-occurrence index (``array_position`` returns the 1-based
+    FIRST index of x, so a unit survives iff that equals its own
+    position) → stays inside whole-stage codegen.  Per-row cost is
+    O(units²) in the worst case, bounded by units-per-document (lines
+    per page), never by corpus size — the operator parallelizes with
+    input splits at any scale."""
+    units = F.split(text, sep_pattern if sep_pattern is not None else sep)
+    # NOTE: two-arg F.filter lambda binds the 2nd param to the 0-based
+    # ARRAY INDEX (the invariant CLAUDE.md pins for F.transform).
+    return F.filter(units, lambda x, i: F.array_position(units, x) == i + 1)
+
+
+# ---------------------------------------------------------------------------
 # Segment-level dedup (C4/CCNet-style paragraph dedup over k-word segments)
 # ---------------------------------------------------------------------------
 

@@ -289,3 +289,48 @@ def test_streaming_scores_match_batch(spark, pages_dir, tmp_path):
     )
     assert (got["status"].values == want["status"].values).all()
     assert len(got) == 300
+
+
+def test_canonical_url_collapses_crawl_variants(spark):
+    """Scheme case/http, www, fragment, trailing slash, tracking params,
+    and param order all canonicalize away; distinct pages stay distinct."""
+    from quality_filter.io.pages import canonical_url_col, url_dedup
+
+    variants = [
+        "http://www.Example.com/a/1?utm_source=x&id=2",
+        "https://example.com/a/1/?id=2#section",
+        "https://EXAMPLE.com/a/1?id=2&utm_campaign=y&fbclid=zz",
+        "https://example.com/a/1?ref=promo&id=2",
+    ]
+    other = [
+        "https://example.com/a/1?id=3",      # different surviving param
+        "https://example.com/a/2?id=2",      # different path
+        "https://other.com/a/1?id=2",        # different host
+        "https://example.com/a/1?id=2&p=1",  # extra non-tracking param
+    ]
+    rows = [(i, u) for i, u in enumerate(variants + other)]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    canon = {
+        r["doc_id"]: r["c"]
+        for r in df.select("doc_id", canonical_url_col().alias("c")).collect()
+    }
+    assert len({canon[i] for i in range(len(variants))}) == 1
+    assert canon[0] == "https://example.com/a/1?id=2"
+    assert len(set(canon.values())) == 1 + len(other)
+    out = url_dedup(df).collect()
+    by_url = {r["canonical_url"]: r for r in out}
+    rep = by_url["https://example.com/a/1?id=2"]
+    assert (rep["rep_id"], rep["n_dups"]) == (0, len(variants))
+
+
+def test_canonical_url_plan_is_narrow(spark):
+    """canonical_url_col is scan-speed: no Exchange, no Python crossing."""
+    from quality_filter.io.pages import canonical_url_col
+
+    df = spark.createDataFrame([(1, "https://www.a.com/x?utm_a=1&b=2")], ["doc_id", "url"])
+    plan = (
+        df.select(canonical_url_col().alias("c"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan

@@ -406,3 +406,38 @@ def test_incremental_near_dup_greedy_semantics(spark):
     assert flags[20] == (True, False)
     assert flags[25] == (False, True)
     assert 21 not in flags  # first occurrence in batch, no index hit
+
+
+def test_keep_first_units_col_order_and_idempotence(spark):
+    """First occurrence survives in original order; empty units dedup
+    too; a second application is a no-op (idempotent)."""
+    rows = [
+        (1, "b a b c a a d"),
+        (2, "x x x"),
+        (3, "solo"),
+        (4, "a  a b"),  # double space -> empty unit, deduped like any unit
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    once = F.array_join(dedup.keep_first_units_col(F.col("text")), " ")
+    out = {r["doc_id"]: r["t"] for r in df.select("doc_id", once.alias("t")).collect()}
+    assert out[1] == "b a c d"
+    assert out[2] == "x"
+    assert out[3] == "solo"
+    assert out[4] == "a  b"  # kept units: ['a', '', 'b']
+    twice = F.array_join(
+        dedup.keep_first_units_col(F.array_join(dedup.keep_first_units_col(F.col("text")), " ")),
+        " ",
+    )
+    out2 = {r["doc_id"]: r["t"] for r in df.select("doc_id", twice.alias("t")).collect()}
+    assert out2 == out
+
+
+def test_keep_first_units_plan_is_narrow(spark):
+    """Zero-shuffle pin: no Exchange and no Python crossing in the plan."""
+    df = spark.createDataFrame([(1, "a b a")], ["doc_id", "text"])
+    plan = (
+        df.select(dedup.keep_first_units_col(F.col("text")).alias("k"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan

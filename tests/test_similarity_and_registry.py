@@ -328,6 +328,23 @@ def test_new_operator_plan_shapes(spark):
     p = plan("mixture_epoch_upsample")
     assert "Exchange" not in p and "Generate" in p
 
+    # gate funnel: the corpus collapses map-side to <= 9 reason rows —
+    # exactly one hash exchange (the reason agg), partial agg before it,
+    # no join and no window
+    p = plan("gate_funnel")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.index("HashAggregate") < p.index("Exchange")
+    assert "Join" not in p and "Window" not in p
+
+    # unit dedup: array-HOF narrow map, zero exchanges, no Python
+    p = plan("unit_dedup_docs")
+    assert "Exchange" not in p and "Python" not in p
+
+    # url dedup: one map-side-combined exchange on the canonical key
+    p = plan("url_dedup_docs")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.index("HashAggregate") < p.index("Exchange")
+
 
 def test_decile_bounds_assignment_plan_is_narrow(spark):
     """The scale-safe decile twin's assignment phase must be a pure
@@ -439,3 +456,18 @@ def test_fast_profile_spark_matches_oracle(spark):
     want = run_oracle(pages, cfg=cfg).sort_values("url")
     assert (got["status"].values == want["status"].values).all()
     assert (got["ppl"].dropna() == 0).all()
+
+
+def test_gate_funnel_conserves_and_matches_gate(spark):
+    """Funnel counts sum to the corpus size, and the 'kept' bucket
+    equals the quality gate's keep count — attribution never loses or
+    double-counts a doc."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    funnel = {r["drop_reason"]: r["n_docs"] for r in qs["gate_funnel"](spark, SF).collect()}
+    gate = qs["quality_gate_docs"](spark, SF)
+    n_docs = gate.count()
+    n_keep = gate.filter(F.col("keep_heuristic")).count()
+    assert sum(funnel.values()) == n_docs
+    assert funnel.get("kept", 0) == n_keep
