@@ -636,6 +636,17 @@ def q_near_dup_clusters(spark, sf_dir):
     return dedup.near_dup_components(bands, "doc_id")
 
 
+def q_near_dup_clusters_labelprop(spark, sf_dir):
+    """The OTHER component algebra, driver-checked: min-label
+    propagation + pointer jumping (``connected_components``) over the
+    same star edges, against the same recursive-closure oracle —
+    alternating-star (the default) and label-propagation must land on
+    identical (doc, comp) labels."""
+    bands = q_lsh_band_keys(spark, sf_dir)
+    comp = dedup.connected_components(dedup.star_edges(bands, "doc_id"), "src", "dst")
+    return comp.select(F.col("x").alias("doc_id"), "comp")
+
+
 def q_near_dup_survivors(spark, sf_dir):
     """Clusters → deduped corpus: drop every clustered doc except its
     representative; one left-anti join against the non-rep member list."""
@@ -1029,6 +1040,26 @@ def q_embedding_clusters(spark, sf_dir):
     return similarity.ivf_assign(emb, "embedding", "vec_id", cents)
 
 
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDedup survivors: k-means-cluster the embeddings (shared
+    deterministic trainer → the oracle re-derives identical centroids),
+    drop every vector with a smaller-id same-cluster neighbor at
+    cosine >= 0.35.  Pair work is cluster-bounded (equi-join), never
+    all-pairs; the oracle replays assignment + the within-cluster pair
+    predicate exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.train_ivf_centroids(
+        emb, "embedding", "vec_id", n_clusters=IVF_CLUSTERS, seed=IVF_SEED
+    )
+    out = similarity.semantic_dedup(
+        emb, "embedding", "vec_id", cents, SEMDEDUP_THRESHOLD
+    )
+    return out.select("vec_id", "cluster")
+
+
 KNN_LSH_PLANES = 4
 KNN_LSH_SEED = 1234
 IVF_CLUSTERS = 8
@@ -1275,6 +1306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unit_dedup_docs": q_unit_dedup_docs,
         "gate_funnel": q_gate_funnel,
         "url_dedup_docs": q_url_dedup_docs,
+        "semantic_dedup": q_semantic_dedup,
+        "near_dup_clusters_labelprop": q_near_dup_clusters_labelprop,
         "source_reputation_flags": q_source_reputation_flags,
         "quality_score_histogram": q_quality_score_histogram,
         "doc_chunks": q_doc_chunks,
@@ -2294,6 +2327,16 @@ tot AS (
 SELECT source, n_docs,
   round(least(1.0, (total / ns) / CAST(n_docs AS DOUBLE)), 6) AS rate
 FROM counts, tot"""
+    out["near_dup_clusters_labelprop"] = out["near_dup_clusters"]
+    out["semantic_dedup"] = f"""
+WITH {_ivf_assign_ctes(_oracle_centroids())},
+dropped AS (
+  SELECT DISTINCT a.vec_id AS vid
+  FROM assign a JOIN assign b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+  WHERE {_COS_SQL.format(a="a.v", b="b.v")} >= {SEMDEDUP_THRESHOLD}
+)
+SELECT vec_id, cluster FROM assign
+WHERE vec_id NOT IN (SELECT vid FROM dropped)"""
     out["unit_dedup_docs"] = """
 WITH sp AS (SELECT doc_id, string_split(text, ' ') AS us FROM documents),
 ded AS (

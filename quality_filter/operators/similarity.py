@@ -672,3 +672,42 @@ def knn_ivf(
         assigned.filter(F.col("cluster").isin(order)).select(id_col), id_col
     )
     return knn_bruteforce(candidates, vec_col, id_col, query_vec, k)
+
+
+def semantic_dedup(
+    df: DataFrame, vec_col: str, id_col: str, centroids: list[list[float]],
+    threshold: float,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): coarse k-means
+    partition of the embedding space, then WITHIN-CLUSTER near-dup
+    removal — a vector is dropped iff some smaller-id vector assigned to
+    the same cluster has cosine >= threshold; the min-id member of every
+    semantic duplicate group survives.  Returns (id, cluster) for the
+    surviving rows.
+
+    Scale shape: the quadratic pair work is confined to single clusters
+    (equi-join on the cluster id — the same bucket-join bound as LSH
+    near-dup, with k-means granularity controlling expected bucket size
+    n/k), so the corpus never does all-pairs; assignment itself is one
+    Arrow crossing (``ivf_assign``).  The dropped-id set is a DISTINCT
+    on ids (O(dups)), applied as a left-anti join.  Unbalanced clusters
+    concentrate join work exactly like hot LSH bands — raise n_clusters
+    (finer partition) or pre-split hot clusters the same way star_edges
+    handles hot bands."""
+    assigned = ivf_assign(df, vec_col, id_col, centroids)
+    sides = df.join(assigned, id_col)
+    a = sides.select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), "cluster"
+    )
+    b = sides.select(
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"), "cluster"
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("_idb") < F.col("_ida"))
+        .withColumn("_cos", cosine_pair_col(F.col("_va"), F.col("_vb")))
+        .filter(F.col("_cos") >= threshold)
+        .select(F.col("_ida").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti")

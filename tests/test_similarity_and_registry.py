@@ -471,3 +471,29 @@ def test_gate_funnel_conserves_and_matches_gate(spark):
     n_keep = gate.filter(F.col("keep_heuristic")).count()
     assert sum(funnel.values()) == n_docs
     assert funnel.get("kept", 0) == n_keep
+
+
+def test_semantic_dedup_keeps_min_id_per_semantic_group(spark):
+    """Hand-built clusters: identical/near-identical vectors collapse to
+    the min id; orthogonal vectors all survive; the pair join is
+    cluster-equi (no cartesian node in the plan)."""
+    import math
+
+    rows = [
+        (10, [1.0, 0.0, 0.0, 0.0]),
+        (11, [1.0, 1e-6, 0.0, 0.0]),       # near-dup of 10 -> dropped
+        (12, [0.99, 0.01, 0.0, 0.0]),      # near-dup of 10 -> dropped
+        (20, [0.0, 1.0, 0.0, 0.0]),        # own direction, survives
+        (30, [0.0, 0.0, 1.0, 0.0]),
+        (31, [0.0, 0.0, -1.0, 0.0]),       # anti-parallel: cos=-1, survives
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    out = similarity.semantic_dedup(df, "embedding", "vec_id", cents, 0.9)
+    survivors = {r["vec_id"] for r in out.collect()}
+    assert survivors == {10, 20, 30, 31}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
