@@ -386,6 +386,71 @@ def q_gate_funnel(spark, sf_dir):
     )
 
 
+DISTILL_SCALE = 10**6
+DISTILL_FEATS = ["bias", "stop", "sym", "dist", "len"]
+
+
+def q_gate_distill_stats(spark, sf_dir):
+    """EXACT distributed sufficient statistics for distilling the full
+    heuristic gate into a linear probe (the fastText-classifier-distill
+    practice): upper-triangle Gram sums X'X and moments X'y over
+    (bias, stopword, symbol, distinct, length_norm) with y = the gate's
+    keep bit.  Features are integerized as floor(f*1e6) (bit-identical
+    IEEE floor in both engines), products summed in DECIMAL(38,0) so the
+    aggregation is EXACT and order-independent — no float-summation
+    nondeterminism across partitions/retries at any scale.  The corpus
+    collapses map-side into ONE partial-agg row per task; the exchange
+    moves O(tasks) rows of 20 columns; the 5x5 solve happens driver-side
+    (see tests).  Output: one wide row (cast to BIGINT at the edge —
+    exact up to ~9e18; the decimal stays upstream at 10^12-doc scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = R.feature_columns(F.col("text"), CFG)
+    feats["ppl_norm"] = F.lit(0.0)
+    q = R.quality_score_col(feats, CFG)
+    fail_any = None
+    for _, cond in R.hard_rule_reasons(feats, CFG):
+        fail_any = cond if fail_any is None else (fail_any | cond)
+    keep = ~fail_any & (q >= CFG.quality_threshold)
+    xs = {
+        "bias": F.lit(1.0),
+        "stop": feats["stopword_ratio"],
+        "sym": feats["symbol_ratio"],
+        "dist": feats["distinct_ratio"],
+        "len": feats["length_norm"],
+    }
+    ints = {k: F.floor(v * DISTILL_SCALE).cast("long") for k, v in xs.items()}
+    ints["_y"] = F.when(keep, F.lit(DISTILL_SCALE)).otherwise(F.lit(0)).cast("long")
+    proj = docs.select(*[v.alias(k) for k, v in ints.items()])
+    aggs = []
+    for i, a in enumerate(DISTILL_FEATS):
+        for b in DISTILL_FEATS[i:] + ["_y"]:
+            aggs.append(
+                F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)"))
+                .cast("long")
+                .alias(f"s_{a}_{b.lstrip('_')}")
+            )
+    return proj.agg(*aggs)
+
+
+def q_corpus_token_budget(spark, sf_dir):
+    """Training-token budget per source: BPE-ish token totals and each
+    source's share of the corpus budget (the number a mixture plan is
+    written against).  One map-side-combined agg to O(#sources) rows;
+    the share window runs on the source DIMENSION only."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(TS.token_count_bpe(F.col("text"))).cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return per.select(
+        "source", "n_docs", "n_tokens",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 6).alias("token_share"),
+    )
+
+
 def _synth_url_col():
     """Deterministic messy crawl URL per doc (the documents table has no
     url column): scheme/www/trailing-slash/tracking-param/fragment noise
@@ -1308,6 +1373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_docs": q_url_dedup_docs,
         "semantic_dedup": q_semantic_dedup,
         "near_dup_clusters_labelprop": q_near_dup_clusters_labelprop,
+        "gate_distill_stats": q_gate_distill_stats,
+        "corpus_token_budget": q_corpus_token_budget,
         "source_reputation_flags": q_source_reputation_flags,
         "quality_score_histogram": q_quality_score_histogram,
         "doc_chunks": q_doc_chunks,
@@ -2328,6 +2395,41 @@ SELECT source, n_docs,
   round(least(1.0, (total / ns) / CAST(n_docs AS DOUBLE)), 6) AS rate
 FROM counts, tot"""
     out["near_dup_clusters_labelprop"] = out["near_dup_clusters"]
+    _dfeats = {
+        "bias": "1.0", "stop": "stopword_ratio", "sym": "symbol_ratio",
+        "dist": "distinct_ratio", "len": "length_norm",
+    }
+    _dints = ",\n    ".join(
+        f"CAST(floor({expr} * {DISTILL_SCALE}) AS BIGINT) AS {k}"
+        for k, expr in _dfeats.items()
+    ) + f""",
+    CAST(CASE WHEN (NOT {hard_fail}) AND (1.0 / (1.0 + exp(-{qz})) >= {CFG.quality_threshold})
+         THEN {DISTILL_SCALE} ELSE 0 END AS BIGINT) AS _y"""
+    _dsums = ",\n  ".join(
+        f"CAST(SUM(CAST({a} * {b} AS HUGEINT)) AS BIGINT) AS s_{a}_{b.lstrip('_')}"
+        for i, a in enumerate(DISTILL_FEATS)
+        for b in DISTILL_FEATS[i:] + ["_y"]
+    )
+    out["gate_distill_stats"] = f"""
+WITH {_features_cte()},
+ints AS (
+  SELECT doc_id,
+    {_dints}
+  FROM ratios
+)
+SELECT
+  {_dsums}
+FROM ints"""
+    out["corpus_token_budget"] = f"""
+WITH per AS (
+  SELECT source,
+    CAST(sum(len(regexp_extract_all(text, '{TS.BPE_TOKEN_PATTERN}'))) AS BIGINT) AS n_tokens,
+    CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+  round(CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share
+FROM per"""
     out["semantic_dedup"] = f"""
 WITH {_ivf_assign_ctes(_oracle_centroids())},
 dropped AS (

@@ -55,6 +55,14 @@ DOC_QUERIES = [
     # reputation threshold compare is bit-identical on any fuzzed strata
     "source_reputation_flags", "quality_score_histogram", "doc_chunks",
     "mixture_epoch_upsample",
+    # round-4 continued: within-doc dedup (md5-pinned reassembly on
+    # adversarial unicode/whitespace), first-fail attribution, canonical
+    # URL dedup (url synthesized from doc_id+source in both engines),
+    # and the label-propagation component twin
+    "unit_dedup_docs", "gate_funnel", "url_dedup_docs",
+    "near_dup_clusters_labelprop",
+    # exact integer-scaled sums (order-free by construction) + budget agg
+    "gate_distill_stats", "corpus_token_budget",
 ]
 EVENT_QUERIES = [
     "decimated_events", "tumbling_agg_mean", "tumbling_agg_median",
@@ -67,6 +75,7 @@ EMB_QUERIES = [
     "embedding_near_dup_pairs", "embedding_near_dup_lsh",
     "embedding_clusters", "knn_bruteforce", "knn_lsh", "knn_lsh_multiprobe",
     "knn_ivf", "knn_join", "knn_join_broadcast", "embedding_centroids_by_label",
+    "semantic_dedup",
 ]
 
 WORD_POOLS = (
