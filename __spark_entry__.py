@@ -348,6 +348,53 @@ def q_doc_chunks(spark, sf_dir):
     ).select("doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"), "chunk_text")
 
 
+CONTAIN_K = 4
+CONTAIN_MAX_DF = 50
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Subset/quote containment over distinctive 4-word segments: catches
+    quoted articles and excerpt subsets that minhash under-scores when
+    |contained| << |container|.  Hot segments (df > 50) are capped out of
+    both candidate generation and the coverage requirement — the LSH
+    hot-band mitigation applied to containment."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.segment_containment_pairs(
+        docs, "text", "doc_id", k=CONTAIN_K, max_df=CONTAIN_MAX_DF
+    ).select(
+        "contained_id", "container_id", F.col("n_shared").cast("long").alias("n_shared")
+    )
+
+
+def q_repetition_profile_docs(spark, sf_dir):
+    """Gopher-style repetition bundle per doc: top-token share (most
+    frequent word's fraction), duplicate word-2-gram and word-3-gram
+    fractions.  Pure array math (shared shingle builder + HOF counts) —
+    no explode, no shuffle; per-row cost bounded by doc length."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), "[ ]+")
+    n = F.size(toks).cast("double")
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    ).cast("double")
+
+    def dup_ratio(k):
+        sh = dedup.shingles(F.col("text"), k)
+        total = F.size(sh).cast("double")
+        distinct = F.size(F.array_distinct(sh)).cast("double")
+        return F.when(total > 0, 1.0 - distinct / total).otherwise(F.lit(0.0))
+
+    return docs.select(
+        "doc_id",
+        F.round(top / n, 6).alias("top_token_share"),
+        F.round(dup_ratio(2), 6).alias("dup_2gram_ratio"),
+        F.round(dup_ratio(3), 6).alias("dup_3gram_ratio"),
+    )
+
+
 def q_unit_dedup_docs(spark, sf_dir):
     """Within-doc keep-first-occurrence dedup (C4 line-dedup algebra at
     token granularity — this corpus is newline-free): zero-shuffle
@@ -1375,6 +1422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters_labelprop": q_near_dup_clusters_labelprop,
         "gate_distill_stats": q_gate_distill_stats,
         "corpus_token_budget": q_corpus_token_budget,
+        "containment_pairs": q_containment_pairs,
+        "repetition_profile_docs": q_repetition_profile_docs,
         "source_reputation_flags": q_source_reputation_flags,
         "quality_score_histogram": q_quality_score_histogram,
         "doc_chunks": q_doc_chunks,
@@ -2420,6 +2469,43 @@ ints AS (
 SELECT
   {_dsums}
 FROM ints"""
+    out["containment_pairs"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text, ' '), '[ ]+') AS t FROM documents
+),
+occ0 AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(0, CAST(ceil(len(t) / {CONTAIN_K}.0) AS BIGINT) - 1),
+    i -> array_to_string(t[i*{CONTAIN_K}+1 : i*{CONTAIN_K}+{CONTAIN_K}], ' '))) AS seg
+  FROM toks
+),
+occ AS (SELECT DISTINCT doc_id, seg FROM occ0),
+dfq AS (SELECT seg FROM occ GROUP BY seg HAVING count(*) <= {CONTAIN_MAX_DF}),
+rare AS (SELECT o.doc_id, o.seg FROM occ o JOIN dfq USING (seg)),
+sizes AS (SELECT doc_id, count(*) AS nd FROM rare GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS contained_id, b.doc_id AS container_id, count(*) AS n_shared
+  FROM rare a JOIN rare b ON a.seg = b.seg AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT contained_id, container_id, CAST(n_shared AS BIGINT) AS n_shared
+FROM shared
+JOIN sizes sa ON sa.doc_id = contained_id
+JOIN sizes sb ON sb.doc_id = container_id
+WHERE n_shared = sa.nd
+  AND (sa.nd < sb.nd OR (sa.nd = sb.nd AND contained_id > container_id))"""
+    _dup_sql = lambda ng: (  # noqa: E731
+        f"round(CASE WHEN len({ng}) > 0 THEN 1.0 - CAST(len(list_distinct({ng})) AS DOUBLE)"
+        f" / CAST(len({ng}) AS DOUBLE) ELSE 0.0 END, 6)"
+    )
+    out["repetition_profile_docs"] = f"""
+SELECT doc_id,
+  round(CAST(list_max(list_transform(list_distinct({_SIMPLE_TOKS}),
+      t -> len(list_filter({_SIMPLE_TOKS}, x -> x = t)))) AS DOUBLE)
+    / CAST(len({_SIMPLE_TOKS}) AS DOUBLE), 6) AS top_token_share,
+  {_dup_sql(_ngram_expr_n(2))} AS dup_2gram_ratio,
+  {_dup_sql(_ngram_expr_n(3))} AS dup_3gram_ratio
+FROM documents"""
     out["corpus_token_budget"] = f"""
 WITH per AS (
   SELECT source,

@@ -707,3 +707,51 @@ def incremental_near_dup_flags(
         F.coalesce("hit_index", F.lit(False)).alias("hit_index"),
         F.coalesce("hit_batch", F.lit(False)).alias("hit_batch"),
     )
+
+
+def segment_containment_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    k: int = SEGMENT_WORDS, max_df: int = 50,
+) -> DataFrame:
+    """Subset/quote containment detection: doc a is CONTAINED in doc b
+    when every DISTINCTIVE segment of a — distinct k-word segments whose
+    corpus document-frequency is <= max_df — also occurs in b (the
+    dedup tier that catches quoted articles, mirrored excerpts, and
+    listicle subsets that minhash under-scores because |a| << |b|).
+    Orientation: strictly-smaller distinctive-segment sets point at
+    their containers; equal sets (mutual containment) emit only the
+    (larger id -> smaller id) direction.  Output:
+    (contained_id, container_id, n_shared).
+
+    Scale shape: boilerplate segments hotter than max_df are excluded
+    from candidate generation AND from the required-coverage count (the
+    same hot-key cap as LSH band mitigation), so the seg equi-join's
+    fan-out is <= max_df per side per segment — pair work is
+    O(distinct segments x max_df^2) worst case, never corpus-quadratic;
+    every aggregate is map-side combined."""
+    occ = segment_occurrences(df, text_col, id_col, k).select(id_col, "seg").distinct()
+    dfreq = occ.groupBy("seg").agg(F.count(F.lit(1)).alias("_df"))
+    rare = occ.join(dfreq.filter(F.col("_df") <= max_df).select("seg"), "seg")
+    sizes = rare.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nd"))
+    a = rare.select(F.col(id_col).alias("contained_id"), "seg")
+    b = rare.select(F.col(id_col).alias("container_id"), "seg")
+    shared = (
+        a.join(b, "seg")
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .groupBy("contained_id", "container_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("contained_id"), F.col("_nd").alias("_na"))
+    sz_b = sizes.select(F.col(id_col).alias("container_id"), F.col("_nd").alias("_nb"))
+    return (
+        shared.join(sz_a, "contained_id")
+        .join(sz_b, "container_id")
+        .filter(
+            (F.col("n_shared") == F.col("_na"))
+            & (
+                (F.col("_na") < F.col("_nb"))
+                | ((F.col("_na") == F.col("_nb")) & (F.col("contained_id") > F.col("container_id")))
+            )
+        )
+        .select("contained_id", "container_id", "n_shared")
+    )

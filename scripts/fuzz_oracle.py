@@ -63,6 +63,9 @@ DOC_QUERIES = [
     "near_dup_clusters_labelprop",
     # exact integer-scaled sums (order-free by construction) + budget agg
     "gate_distill_stats", "corpus_token_budget",
+    # containment + repetition bundle (segment/shingle algebra already
+    # fuzz-proven; these recombine it)
+    "containment_pairs", "repetition_profile_docs",
 ]
 EVENT_QUERIES = [
     "decimated_events", "tumbling_agg_mean", "tumbling_agg_median",

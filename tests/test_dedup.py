@@ -441,3 +441,49 @@ def test_keep_first_units_plan_is_narrow(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_segment_containment_hand_built(spark):
+    """Quote subsets are caught and oriented; equal distinctive sets emit
+    only larger->smaller; docs sharing only PART of their segments do
+    not contain each other."""
+    s1 = "alpha beta gamma delta"
+    s2 = "epsilon zeta eta theta"
+    s3 = "iota kappa lambda mu"
+    rows = [
+        (1, f"{s1} {s2} {s3}"),   # container
+        (2, f"{s2}"),             # contained in 1 (and in 4)
+        (3, f"{s1} {s3}"),        # contained in 1
+        (4, f"{s2}"),             # exact dup of 2 -> mutual; only 4->2
+        (5, f"{s1} own unique words here"),  # partial overlap only
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r["contained_id"], r["container_id"])
+        for r in dedup.segment_containment_pairs(docs, "text", "doc_id", k=4).collect()
+    }
+    assert (2, 1) in out and (3, 1) in out and (4, 1) in out
+    # 2 and 4 have EQUAL distinctive sets: mutual containment emits only
+    # the larger-id -> smaller-id direction
+    assert (4, 2) in out and (2, 4) not in out
+    assert (5, 1) not in out and (1, 5) not in out
+
+
+def test_segment_containment_hot_segment_cap(spark):
+    """A segment hotter than max_df is excluded from candidates AND
+    coverage: a doc made ONLY of boilerplate has no distinctive
+    segments and appears in no pair."""
+    boiler = "same four boring words"
+    rows = [(i, boiler) for i in range(10)] + [
+        (100, f"{boiler} fresh unique closing segment"),
+        (101, f"{boiler} fresh unique closing segment and much more content here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r["contained_id"], r["container_id"])
+        for r in dedup.segment_containment_pairs(
+            docs, "text", "doc_id", k=4, max_df=5
+        ).collect()
+    }
+    # boilerplate-only docs (0..9) never appear on either side
+    assert all(a >= 100 and b >= 100 for a, b in out)

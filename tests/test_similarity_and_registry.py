@@ -545,3 +545,19 @@ def test_gate_distill_stats_solve_recovers_gate(spark):
         ((probe >= 0.5) == keep).cast("int").alias("a")
     ).agg(F.avg("a")).head()[0]
     assert agree >= 0.85
+
+
+def test_repetition_profile_plan_and_bounds(spark):
+    """Zero-exchange narrow plan; metric bounds hold corpus-wide (values
+    themselves are oracle-pinned by the registry hash check)."""
+    import __spark_entry__ as E
+
+    sdf = E.queries()["repetition_profile_docs"](spark, SF)
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    rows = sdf.collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 0.0 < r["top_token_share"] <= 1.0
+        assert 0.0 <= r["dup_2gram_ratio"] < 1.0
+        assert 0.0 <= r["dup_3gram_ratio"] < 1.0
