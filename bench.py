@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "near_dup_survivors",     # star edges + components + anti-join
     "tfidf_top_docs",         # explode agg + broadcast vocab + window top-k
     "embedding_near_dup_pairs",  # triangle block join (exact all-pairs)
+    # round-4 families
+    "segment_dedup_docs",     # min-struct partial-agg segment dedup
+    "containment_pairs",      # df-capped segment containment join
+    "semantic_dedup",         # k-means assign + cluster-bounded pair join
 ]
 
 

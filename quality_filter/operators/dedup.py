@@ -755,3 +755,48 @@ def segment_containment_pairs(
         )
         .select("contained_id", "container_id", "n_shared")
     )
+
+
+def lsh_collision_prob(s: float, bands: int, band_size: int) -> float:
+    """P(some band collides) for a pair at Jaccard similarity s under
+    (bands x band_size) MinHash LSH: 1 - (1 - s^r)^b — the standard
+    S-curve (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets §3.4)."""
+    return 1.0 - (1.0 - s ** band_size) ** bands
+
+
+def plan_lsh_params(
+    threshold: float, num_hashes: int = DEFAULT_NUM_HASHES,
+    fp_weight: float = 0.5, fn_weight: float = 0.5,
+) -> tuple[int, int]:
+    """Choose (bands, band_size) with bands*band_size = num_hashes that
+    best matches a target Jaccard threshold: minimize
+    fp_weight * integral_0^t P(collide|s) ds
+    + fn_weight * integral_t^1 (1 - P(collide|s)) ds
+    (the datasketch-style weighted false-positive/false-negative area
+    under the S-curve; numeric integration, no dependencies).
+
+    At index-build time this is a DRIVER-side planner — picking r too
+    small floods the band join with low-similarity candidate pairs
+    (shuffle volume), picking r too large drops true near-dups; the
+    curve area is the principled trade."""
+    best: tuple[float, tuple[int, int]] | None = None
+    for band_size in range(1, num_hashes + 1):
+        if num_hashes % band_size:
+            continue
+        bands = num_hashes // band_size
+        n = 200
+        fp = sum(
+            lsh_collision_prob(threshold * (i + 0.5) / n, bands, band_size)
+            for i in range(n)
+        ) * (threshold / n)
+        fn = sum(
+            1.0 - lsh_collision_prob(
+                threshold + (1.0 - threshold) * (i + 0.5) / n, bands, band_size
+            )
+            for i in range(n)
+        ) * ((1.0 - threshold) / n)
+        err = fp_weight * fp + fn_weight * fn
+        if best is None or err < best[0]:
+            best = (err, (bands, band_size))
+    assert best is not None
+    return best[1]

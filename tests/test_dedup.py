@@ -487,3 +487,17 @@ def test_segment_containment_hot_segment_cap(spark):
     }
     # boilerplate-only docs (0..9) never appear on either side
     assert all(a >= 100 and b >= 100 for a, b in out)
+
+
+def test_lsh_param_planner_monotone_and_consistent_with_default():
+    """Higher target thresholds demand longer bands (selectivity), and
+    the repo's frozen 8-hash/2-per-band configuration is exactly what
+    the planner picks for a mid-range (0.5) threshold."""
+    rs = [dedup.plan_lsh_params(t, 128)[1] for t in (0.2, 0.5, 0.8, 0.9)]
+    assert rs == sorted(rs)
+    assert dedup.plan_lsh_params(0.5, 8) == (4, 2) == (
+        dedup.DEFAULT_NUM_HASHES // dedup.DEFAULT_BAND_SIZE, dedup.DEFAULT_BAND_SIZE
+    )
+    # S-curve sanity: collision prob is monotone in s and hits both ends
+    ps = [dedup.lsh_collision_prob(s / 10, 4, 2) for s in range(11)]
+    assert ps == sorted(ps) and ps[0] == 0.0 and abs(ps[-1] - 1.0) < 1e-12
