@@ -350,6 +350,8 @@ def q_doc_chunks(spark, sf_dir):
 
 CONTAIN_K = 4
 CONTAIN_MAX_DF = 50
+V2_URL_PATH_MOD = 400
+V2_URL_ID_MOD = 2
 
 
 def q_containment_pairs(spark, sf_dir):
@@ -498,20 +500,22 @@ def q_corpus_token_budget(spark, sf_dir):
     )
 
 
-def _synth_url_col():
+def _synth_url_col(path_mod: int = 5, id_mod: int = 3):
     """Deterministic messy crawl URL per doc (the documents table has no
     url column): scheme/www/trailing-slash/tracking-param/fragment noise
     keyed off doc_id so canonicalization has real work to undo, with the
-    canonical identity (source, doc_id%5, id=doc_id%3) coarse enough
-    that distinct docs collide — URL-level dup groups exist by
-    construction."""
+    canonical identity (source, doc_id%path_mod, id=doc_id%id_mod)
+    coarse enough that distinct docs collide — URL-level dup groups
+    exist by construction.  The defaults give heavy collapse (the
+    url_dedup_docs showcase); corpus_curation_v2 uses a finer keyspace
+    so its URL stage removes real variants without dominating."""
     d = F.col("doc_id")
     return F.concat(
         F.lit("https://"),
         F.when(d % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
-        F.col("source"), F.lit(".example.com/a/"), (d % 5).cast("string"),
+        F.col("source"), F.lit(".example.com/a/"), (d % path_mod).cast("string"),
         F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.lit("?utm_source=feed&id="), (d % 3).cast("string"),
+        F.lit("?utm_source=feed&id="), (d % id_mod).cast("string"),
         F.when(d % 7 == 0, F.lit("&ref=promo")).otherwise(F.lit("")),
         F.when(d % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
     )
@@ -685,6 +689,71 @@ def q_corpus_curation(spark, sf_dir):
     )
 
     # 5. sequence packing over the final membership
+    n_tokens = F.size(F.split(F.trim("text"), "[ ]+"))
+    return packing.pack_sequences(sampled, "doc_id", n_tokens, PACK_CAPACITY, PACK_SHARDS)
+
+
+def q_corpus_curation_v2(spark, sf_dir):
+    """Curation flow with the round-4 tiers composed in, as ONE plan:
+    URL-level dedup (canonicalized crawl variants collapse BEFORE any
+    content hashing — the cheapest tier runs first) → heuristic gate →
+    exact-dup reps → near-dup survivors → containment drop (quoted
+    subsets of surviving docs) → stratified sample → packing.  Every
+    stage reuses its registered operator; the oracle chains each
+    stage's own SQL formulation, so the seven-stage flow is
+    value-hash-checked end to end."""
+    from pyspark.sql import Window
+
+    from quality_filter.io import pages
+    from quality_filter.operators import packing
+
+    docs = _t(spark, sf_dir, "documents")
+
+    # 0. URL dedup on canonicalized synthetic crawl URLs
+    urled = (
+        docs.withColumn("_cu", pages.canonical_url_col(_synth_url_col(V2_URL_PATH_MOD, V2_URL_ID_MOD)))
+        .withColumn("_urep", F.min("doc_id").over(Window.partitionBy("_cu")))
+        .filter(F.col("doc_id") == F.col("_urep"))
+        .drop("_cu", "_urep")
+    )
+
+    # 1. heuristic gate
+    feats = R.feature_columns(F.col("text"), CFG)
+    feats["ppl_norm"] = F.lit(0.0)
+    fail_any = None
+    for _, cond in R.hard_rule_reasons(feats, CFG):
+        fail_any = cond if fail_any is None else (fail_any | cond)
+    keep = ~fail_any & (R.quality_score_col(feats, CFG) >= CFG.quality_threshold)
+    gated = urled.filter(keep)
+
+    # 2. exact-dup representatives
+    reps = (
+        gated.withColumn("_fp", dedup.fingerprint_col(F.col("text")))
+        .withColumn("_rep", F.min("doc_id").over(Window.partitionBy("_fp")))
+        .filter(F.col("doc_id") == F.col("_rep"))
+        .drop("_fp", "_rep")
+    )
+
+    # 3. near-dup survivors
+    sig = dedup.minhash_signature(reps, "text", "doc_id", NUM_HASHES)
+    bands = dedup.lsh_bands(sig, "doc_id", NUM_HASHES, BAND_SIZE)
+    comp = dedup.near_dup_components(bands, "doc_id")
+    survivors = reps.join(dedup.near_dup_survivors(reps, "doc_id", comp), "doc_id")
+
+    # 4. containment drop among survivors
+    cont = dedup.segment_containment_pairs(
+        survivors, "text", "doc_id", k=CONTAIN_K, max_df=CONTAIN_MAX_DF
+    )
+    kept2 = survivors.join(
+        cont.select(F.col("contained_id").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+
+    # 5. stratified sample + 6. packing
+    sampled = sampling.stratified_hash_sample(
+        kept2, "doc_id", "lang", STRATA_RATES, STRATA_DEFAULT
+    )
     n_tokens = F.size(F.split(F.trim("text"), "[ ]+"))
     return packing.pack_sequences(sampled, "doc_id", n_tokens, PACK_CAPACITY, PACK_SHARDS)
 
@@ -1424,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_budget": q_corpus_token_budget,
         "containment_pairs": q_containment_pairs,
         "repetition_profile_docs": q_repetition_profile_docs,
+        "corpus_curation_v2": q_corpus_curation_v2,
         "source_reputation_flags": q_source_reputation_flags,
         "quality_score_histogram": q_quality_score_histogram,
         "doc_chunks": q_doc_chunks,
@@ -1669,6 +1739,118 @@ def _strata_threshold_sql() -> str:
         for s, r in sorted(STRATA_RATES.items())
     )
     return f"CASE {cases} ELSE {int(STRATA_DEFAULT * (1 << 32))} END"
+
+
+def _url_canon_ctes(path_mod: int = 5, id_mod: int = 3) -> str:
+    """CTE chain (no WITH prefix) ending in canon(doc_id, canonical_url)
+    — the synthesized messy crawl URL + SURT canonicalization twin of
+    _synth_url_col / io.pages.canonical_url_col."""
+    from quality_filter.io.pages import TRACKING_PARAM_PATTERN
+
+    return f"""u AS (
+  SELECT doc_id,
+    'https://' || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+      || source || '.example.com/a/' || CAST(doc_id % {path_mod} AS VARCHAR)
+      || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+      || '?utm_source=feed&id=' || CAST(doc_id % {id_mod} AS VARCHAR)
+      || (CASE WHEN doc_id % 7 = 0 THEN '&ref=promo' ELSE '' END)
+      || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+),
+uparts AS (
+  SELECT doc_id,
+    regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)), '^www\\.', '') AS host,
+    regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/$', '') AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM u
+),
+canon AS (
+  SELECT doc_id,
+    'https://' || host || path || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS canonical_url
+  FROM (
+    SELECT doc_id, host, path,
+      array_to_string(list_sort(list_filter(string_split(q, '&'),
+        x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_PARAM_PATTERN}'))), '&') AS qs
+    FROM uparts
+  )
+)"""
+
+
+def _containment_ctes(src: str) -> str:
+    """CTE chain (no WITH prefix) ending in contained(contained_id):
+    the df-capped distinctive-segment containment drop set over ``src``
+    (which must provide doc_id, text) — same algebra and orientation as
+    the registered containment_pairs oracle."""
+    return f"""ctoks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text, ' '), '[ ]+') AS t FROM {src}
+),
+cocc0 AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(0, CAST(ceil(len(t) / {CONTAIN_K}.0) AS BIGINT) - 1),
+    i -> array_to_string(t[i*{CONTAIN_K}+1 : i*{CONTAIN_K}+{CONTAIN_K}], ' '))) AS seg
+  FROM ctoks
+),
+cocc AS (SELECT DISTINCT doc_id, seg FROM cocc0),
+cdfq AS (SELECT seg FROM cocc GROUP BY seg HAVING count(*) <= {CONTAIN_MAX_DF}),
+crare AS (SELECT o.doc_id, o.seg FROM cocc o JOIN cdfq USING (seg)),
+csizes AS (SELECT doc_id, count(*) AS nd FROM crare GROUP BY doc_id),
+cshared AS (
+  SELECT a.doc_id AS contained_id, b.doc_id AS container_id, count(*) AS n_shared
+  FROM crare a JOIN crare b ON a.seg = b.seg AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+contained AS (
+  SELECT DISTINCT contained_id FROM cshared
+  JOIN csizes sa ON sa.doc_id = contained_id
+  JOIN csizes sb ON sb.doc_id = container_id
+  WHERE n_shared = sa.nd
+    AND (sa.nd < sb.nd OR (sa.nd = sb.nd AND contained_id > container_id))
+)"""
+
+
+def _corpus_curation_v2_sql(qz: str, hard_fail: str) -> str:
+    """Composed oracle for the v2 curation flow: URL dedup → gate →
+    exact reps → near-dup survivors → containment drop → stratified
+    sample → packing — each stage reusing its own oracle formulation."""
+    return f"""
+WITH RECURSIVE {_url_canon_ctes(path_mod=V2_URL_PATH_MOD, id_mod=V2_URL_ID_MOD).lstrip()},
+urep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY canonical_url) AS rep FROM canon
+  ) WHERE doc_id = rep
+),
+{_features_cte().lstrip()},
+gated_ids AS (
+  SELECT r.doc_id FROM ratios r JOIN urep USING (doc_id)
+  WHERE (NOT {hard_fail}) AND 1.0 / (1.0 + exp(-{qz})) >= {CFG.quality_threshold}
+),
+gated AS (
+  SELECT d.doc_id, d.text, d.lang FROM documents d JOIN gated_ids USING (doc_id)
+),
+fp AS (
+  SELECT doc_id, text, lang, md5(lower(trim(text, ' '))) AS fpv FROM gated
+),
+reps AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY fpv) AS rep FROM fp
+  ) WHERE doc_id = rep
+),
+{_components_ctes('reps')},
+survivors AS (
+  SELECT * FROM reps
+  WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> comp)
+),
+{_containment_ctes('survivors')},
+kept2 AS (
+  SELECT * FROM survivors
+  WHERE doc_id NOT IN (SELECT contained_id FROM contained)
+),
+sampled AS (
+  SELECT doc_id, text, lang FROM kept2
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < {_strata_threshold_sql()}
+),
+{_packing_ctes('sampled')}
+SELECT doc_id, shard, bin_idx, n_tokens FROM pack"""
 
 
 def _corpus_curation_sql(qz: str, hard_fail: str) -> str:
@@ -2100,6 +2282,7 @@ FROM sh""",
         "packed_docs": "WITH RECURSIVE " + _packing_ctes("documents")
         + "\nSELECT doc_id, shard, bin_idx, n_tokens FROM pack",
         "corpus_curation": _corpus_curation_sql(qz, hard_fail),
+        "corpus_curation_v2": _corpus_curation_v2_sql(qz, hard_fail),
         "docs_hash_sample": f"""
 SELECT doc_id FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < {int(SAMPLE_RATE * (1 << 32))}""",
@@ -2552,36 +2735,8 @@ SELECT CASE
     ELSE 'kept' END AS drop_reason,
   CAST(count(*) AS BIGINT) AS n_docs
 FROM ratios GROUP BY 1"""
-    from quality_filter.io.pages import TRACKING_PARAM_PATTERN
-
     out["url_dedup_docs"] = f"""
-WITH u AS (
-  SELECT doc_id,
-    'https://' || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
-      || source || '.example.com/a/' || CAST(doc_id % 5 AS VARCHAR)
-      || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
-      || '?utm_source=feed&id=' || CAST(doc_id % 3 AS VARCHAR)
-      || (CASE WHEN doc_id % 7 = 0 THEN '&ref=promo' ELSE '' END)
-      || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
-  FROM documents
-),
-parts AS (
-  SELECT doc_id,
-    regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)), '^www\\.', '') AS host,
-    regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/$', '') AS path,
-    regexp_extract(url, '\\?([^#]*)', 1) AS q
-  FROM u
-),
-canon AS (
-  SELECT doc_id,
-    'https://' || host || path || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS canonical_url
-  FROM (
-    SELECT doc_id, host, path,
-      array_to_string(list_sort(list_filter(string_split(q, '&'),
-        x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_PARAM_PATTERN}'))), '&') AS qs
-    FROM parts
-  )
-)
+WITH {_url_canon_ctes()}
 SELECT canonical_url, min(doc_id) AS rep_id, CAST(count(*) AS BIGINT) AS n_dups
 FROM canon GROUP BY 1"""
     return out

@@ -66,6 +66,9 @@ DOC_QUERIES = [
     # containment + repetition bundle (segment/shingle algebra already
     # fuzz-proven; these recombine it)
     "containment_pairs", "repetition_profile_docs",
+    # seven-stage composed flow (url dedup -> gate -> dedup -> near-dup
+    # -> containment -> sample -> pack)
+    "corpus_curation_v2",
 ]
 EVENT_QUERIES = [
     "decimated_events", "tumbling_agg_mean", "tumbling_agg_median",
