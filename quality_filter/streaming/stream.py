@@ -297,3 +297,28 @@ def run_stream_to_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_url_dedup(
+    sdf: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming URL-level dedup: first-seen wins per CANONICAL URL
+    within the watermark horizon — the crawl-frontier dedup that keeps a
+    live ingest from re-processing scheme/www/tracking-param variants of
+    a page it already accepted.  Same canonicalization as the batch tier
+    (io.pages.canonical_url_col, JVM-native narrow map), so batch and
+    stream agree on page identity; dropDuplicatesWithinWatermark keys
+    the state store by the canonical string and evicts it past the
+    watermark — bounded state.  First-seen is trigger-granular, exactly
+    like stream_dedup_exact."""
+    from quality_filter.io.pages import canonical_url_col
+
+    return (
+        sdf.withColumn("_curl", canonical_url_col(F.col(url_col)))
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(["_curl"])
+        .drop("_curl")
+    )

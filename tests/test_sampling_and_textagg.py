@@ -290,3 +290,44 @@ def test_epoch_upsample_exact_structure(spark, docs):
     ).toPandas()
     key = lambda d: sorted(map(tuple, d[["doc_id", "source", "copy_idx"]].values.tolist()))
     assert key(out) == key(out2)
+
+
+def test_stream_url_dedup_matches_batch_canonical_groups(spark, tmp_path):
+    """Streaming canonical-URL dedup keeps exactly one row per canonical
+    URL (all within the watermark horizon), matching the batch
+    url_dedup group count — and never emits two rows with the same
+    canonical key."""
+    from quality_filter.corpus import generate_pages, pages_spark_schema
+    from quality_filter.io.pages import canonical_url_col
+    from quality_filter.streaming.stream import stream_url_dedup
+
+    pages = generate_pages(100, seed=17).drop(columns=["cls"])
+    v1 = pages.copy()
+    v1["url"] = "https://www." + v1["url"].str.removeprefix("https://") + "?utm_source=x"
+    v2 = pages.copy()
+    v2["url"] = v2["url"] + "#frag"
+    both = pd.concat([pages, v1, v2], ignore_index=True)  # 3 variants per page
+    src = str(tmp_path / "ud_src")
+    spark.createDataFrame(both, schema=pages_spark_schema()).write.parquet(src)
+
+    sdf = (
+        spark.readStream.schema(pages_spark_schema())
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    out = stream_url_dedup(sdf, "url", "warc_ts", delay="365 days")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "ud_out"))
+        .option("checkpointLocation", str(tmp_path / "ud_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(str(tmp_path / "ud_out"))
+    batch = spark.createDataFrame(both, schema=pages_spark_schema())
+    n_canon = batch.select(canonical_url_col().alias("c")).distinct().count()
+    assert got.count() == n_canon == 100  # 3 variants collapse per page
+    assert got.select(canonical_url_col().alias("c")).distinct().count() == got.count()
