@@ -435,6 +435,47 @@ def q_gate_funnel(spark, sf_dir):
     )
 
 
+WS_K = 100
+WS_W4 = ("src0", "src1")
+WS_W2 = ("src2", "src3")
+
+
+def q_weighted_sample_docs(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sample without replacement: sources
+    src0/src1 at weight 4, src2/src3 at weight 2, rest 1; global top-100
+    by key = u**(1/w).  Weights restricted to {1,2,4} keep the key an
+    sqrt chain — exact-or-correctly-rounded IEEE, so both engines rank
+    the SAME rows (the tau=0.5 determinism trick)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        F.when(F.col("source").isin(*WS_W4), F.lit(4))
+        .when(F.col("source").isin(*WS_W2), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    out = sampling.weighted_hash_sample(
+        docs.withColumn("weight", w), "doc_id", "weight", WS_K
+    )
+    return out.select(
+        "doc_id",
+        F.col("weight").cast("long").alias("weight"),
+        F.round("es_key", 6).alias("es_key"),
+    )
+
+
+def q_term_cms_sketch(spark, sf_dir):
+    """Count-min sketch of corpus term frequencies: fixed 4×64 counter
+    matrix — O(1) state vs vocabulary size, mergeable cell-wise, point
+    queries never underestimate.  The md5 bucket universe makes the
+    DuckDB sketch identical cell for cell."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textagg.term_cms_sketch(docs, "text")
+    return out.select(
+        F.col("sketch_row").cast("long").alias("sketch_row"),
+        F.col("bucket").cast("long").alias("bucket"),
+        "cnt",
+    )
+
+
 DISTILL_SCALE = 10**6
 DISTILL_FEATS = ["bias", "stop", "sym", "dist", "len"]
 
@@ -1494,6 +1535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "repetition_profile_docs": q_repetition_profile_docs,
         "corpus_curation_v2": q_corpus_curation_v2,
+        "weighted_sample_docs": q_weighted_sample_docs,
+        "term_cms_sketch": q_term_cms_sketch,
         "source_reputation_flags": q_source_reputation_flags,
         "quality_score_histogram": q_quality_score_histogram,
         "doc_chunks": q_doc_chunks,
@@ -2689,6 +2732,33 @@ SELECT doc_id,
   {_dup_sql(_ngram_expr_n(2))} AS dup_2gram_ratio,
   {_dup_sql(_ngram_expr_n(3))} AS dup_3gram_ratio
 FROM documents"""
+    _es_key = "CASE WHEN w = 4 THEN sqrt(sqrt(u)) WHEN w = 2 THEN sqrt(u) ELSE u END"
+    out["weighted_sample_docs"] = f"""
+WITH wdocs AS (
+  SELECT doc_id,
+    CASE WHEN source IN {WS_W4} THEN 4
+         WHEN source IN {WS_W2} THEN 2 ELSE 1 END AS w,
+    ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1) / 4294967296.0) AS u
+  FROM documents
+)
+SELECT doc_id, CAST(w AS BIGINT) AS weight, round({_es_key}, 6) AS es_key
+FROM wdocs
+ORDER BY {_es_key} DESC, doc_id LIMIT {WS_K}"""
+    from quality_filter.operators.textagg import CMS_DEPTH, CMS_WIDTH
+
+    _cms_rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS sketch_row,"
+        f" (('0x' || substr(md5('{r}|' || term), 1, 8))::BIGINT % {CMS_WIDTH}) AS bucket"
+        " FROM terms"
+        for r in range(CMS_DEPTH)
+    )
+    out["term_cms_sketch"] = f"""
+WITH terms AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text, ' ')), '[ ]+')) AS term FROM documents
+),
+cells AS ({_cms_rows})
+SELECT sketch_row, bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM cells GROUP BY sketch_row, bucket"""
     out["corpus_token_budget"] = f"""
 WITH per AS (
   SELECT source,

@@ -152,3 +152,38 @@ def epoch_upsample(
     return df.withColumn("copy_idx", F.explode(seq)).withColumn(
         "copy_idx", F.col("copy_idx").cast("long")
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int,
+) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling WITHOUT replacement (the
+    one-pass distributed classic): each row draws key = u**(1/w) from
+    its content-addressed uniform u, and the global top-k keys are the
+    sample — inclusion probability rises with weight, no replacement
+    bookkeeping, reproducible across reruns/retries/partitionings.
+
+    Cross-engine determinism: u = (hash_bucket(id)+1) / 2^32 is an
+    EXACT double (integer + exponent shift); weights are restricted to
+    {1, 2, 4} so u**(1/w) is an sqrt chain — exact-or-correctly-rounded
+    IEEE in every engine (the tau=0.5 trick from
+    temperature_mixture_rates; arbitrary weights would route through
+    pow(), which is not correctly rounded).  Ties broken by id.
+
+    Scale shape: narrow map for the key, then TakeOrderedAndProject —
+    a per-partition top-k heap merged on the driver, O(k) memory per
+    task, no global sort materialization.  For k beyond driver memory,
+    switch to a threshold refinement (sample the key distribution,
+    filter, re-rank) — same key algebra."""
+    u = (hash_bucket(F.col(id_col)) + 1).cast("double") / F.lit(float(_HASH_SPACE))
+    w = F.col(weight_col)
+    key = (
+        F.when(w == 4, F.sqrt(F.sqrt(u)))
+        .when(w == 2, F.sqrt(u))
+        .otherwise(u)
+    )
+    return (
+        df.withColumn("es_key", key)
+        .orderBy(F.desc("es_key"), F.col(id_col))
+        .limit(k)
+    )

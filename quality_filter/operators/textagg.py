@@ -81,3 +81,50 @@ def tfidf_top_terms(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+def term_cms_sketch(
+    df: DataFrame, text_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-min sketch of corpus term frequencies: a fixed depth×width
+    counter matrix — O(1) state regardless of vocabulary size, mergeable
+    across shards/streams by cell-wise addition, point-queried as
+    min over rows of cell(r, bucket_r(term)) which NEVER underestimates.
+    The heavy-hitter/state-bounded twin of top_terms: top_terms shuffles
+    O(distinct terms); the sketch shuffles O(depth×width) regardless.
+
+    bucket_r(term) = md5-bucket of 'r|term' % width — the engine-portable
+    md5 hash universe (same as minhash), so a DuckDB oracle computes the
+    IDENTICAL sketch.  One explode + one posexplode + a partial-agg
+    count: every (row, bucket) cell collapses map-side."""
+    from quality_filter.operators.sampling import hash_bucket
+
+    term = F.explode(F.split(F.lower(F.trim(F.col(text_col))), "[ ]+")).alias("term")
+    buckets = F.array(*[
+        (hash_bucket(F.concat(F.lit(f"{r}|"), F.col("term"))) % width).cast("int")
+        for r in range(depth)
+    ])
+    return (
+        df.select(term)
+        .select(F.posexplode(buckets).alias("sketch_row", "bucket"))
+        .groupBy("sketch_row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(sketch_rows, term: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> int:
+    """Driver-side point query against a collected sketch: min over
+    rows of the term's cell (0 when a cell is absent/empty)."""
+    import hashlib
+
+    cells = {(r["sketch_row"], r["bucket"]): r["cnt"] for r in sketch_rows}
+    est = None
+    for r in range(depth):
+        h = int(hashlib.md5(f"{r}|{term}".encode()).hexdigest()[:8], 16) % width
+        v = cells.get((r, h), 0)
+        est = v if est is None else min(est, v)
+    return int(est or 0)

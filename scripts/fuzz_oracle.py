@@ -69,6 +69,8 @@ DOC_QUERIES = [
     # seven-stage composed flow (url dedup -> gate -> dedup -> near-dup
     # -> containment -> sample -> pack)
     "corpus_curation_v2",
+    # sqrt-chain E-S keys + md5-bucket CMS cells (both engine-exact)
+    "weighted_sample_docs", "term_cms_sketch",
 ]
 EVENT_QUERIES = [
     "decimated_events", "tumbling_agg_mean", "tumbling_agg_median",

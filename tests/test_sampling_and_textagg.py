@@ -331,3 +331,56 @@ def test_stream_url_dedup_matches_batch_canonical_groups(spark, tmp_path):
     n_canon = batch.select(canonical_url_col().alias("c")).distinct().count()
     assert got.count() == n_canon == 100  # 3 variants collapse per page
     assert got.select(canonical_url_col().alias("c")).distinct().count() == got.count()
+
+
+def test_weighted_hash_sample_bias_determinism_and_plan(spark):
+    """Weight-4 rows win ~4x the slots of weight-1 rows; the sample is
+    invariant under repartition; the plan is a top-k heap
+    (TakeOrderedAndProject), not a global sort."""
+    from quality_filter.operators.sampling import weighted_hash_sample
+
+    n = 2000
+    rows = [(i, 4 if i % 2 == 0 else 1) for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "weight"])
+    out = weighted_hash_sample(df, "doc_id", "weight", 200)
+    got = [(r["doc_id"], r["weight"]) for r in out.collect()]
+    n4 = sum(1 for _, w in got if w == 4)
+    # E[share of w=4] ~ 4/5; allow slack
+    assert 0.65 <= n4 / 200 <= 0.95
+    re = weighted_hash_sample(df.repartition(17), "doc_id", "weight", 200)
+    assert sorted(got) == sorted((r["doc_id"], r["weight"]) for r in re.collect())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cms_never_underestimates_and_merges(spark, docs):
+    """Point queries >= true counts for every term; the top term's
+    estimate is within the CMS error envelope; sketches of two corpus
+    halves merge cell-wise into the full sketch."""
+    from quality_filter.operators.textagg import (
+        CMS_DEPTH, CMS_WIDTH, cms_estimate, term_cms_sketch,
+    )
+
+    full = term_cms_sketch(docs, "text").collect()
+    true = {
+        r["term"]: r["n"]
+        for r in docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), "[ ]+")).alias("term")
+        ).groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(true.values())
+    for term, n in true.items():
+        est = cms_estimate(full, term)
+        assert est >= n
+        assert est <= n + 2 * (2.0 * total / CMS_WIDTH)  # ~e/width envelope, slack x2
+
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    def cells(rows):
+        return {(r["sketch_row"], r["bucket"]): r["cnt"] for r in rows}
+    ca, cb, cf = cells(term_cms_sketch(a, "text").collect()), cells(
+        term_cms_sketch(b, "text").collect()), cells(full)
+    merged = {}
+    for k, v in list(ca.items()) + list(cb.items()):
+        merged[k] = merged.get(k, 0) + v
+    assert merged == cf
