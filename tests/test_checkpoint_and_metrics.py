@@ -390,3 +390,45 @@ def test_bucketed_join_is_exchange_free_and_prunes_buckets(spark, tmp_path):
         spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
         spark.sql("DROP TABLE IF EXISTS t_docs_b")
         spark.sql("DROP TABLE IF EXISTS t_scores_b")
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The OTHER half of the skew story: salting (salted_host_rollup)
+    handles skew we predict; AQE's skew-join handles skew we DON'T —
+    pin that a 90%-hot-key join re-plans at runtime into a split
+    SortMergeJoin (skew=true) with a coalesced-and-skewed shuffle read,
+    so an unforeseen hot host/domain cannot pin a 100-TB join on one
+    reducer."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        # scale AQE's size thresholds down to test-data volume (the same
+        # ratios a production job gets from the defaults at real volume)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        n = 100_000
+        left = spark.range(n).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("pl"),
+        )
+        right = spark.range(50).select(F.col("id").alias("k"), F.lit("dim").alias("d"))
+        j = left.join(right, "k").select(F.substring("pl", 1, 2).alias("s"))
+        rows = j.collect()  # executes THIS QueryExecution -> final AQE plan
+        # hot rows (id%10<9) all match right key 0; tail rows keep k=id,
+        # and ids 9/19/29/39/49 are the only ones under right's 50 keys
+        assert len(rows) == n * 9 // 10 + 5
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert "isFinalPlan=true" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
