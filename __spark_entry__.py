@@ -404,7 +404,7 @@ def q_unit_dedup_docs(spark, sf_dir):
     hash check carries the exact surviving sequence."""
     docs = _t(spark, sf_dir, "documents")
     units = F.split(F.col("text"), " ")
-    kept = dedup.keep_first_units_col(F.col("text"), sep=" ")
+    kept = dedup.keep_first_units_col(F.col("text"), sep_pattern=" ")
     return docs.select(
         "doc_id",
         F.md5(F.array_join(kept, " ")).alias("dedup_fp"),
@@ -1809,12 +1809,14 @@ uparts AS (
 ),
 canon AS (
   SELECT doc_id,
-    'https://' || host || path || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS canonical_url
+    CASE WHEN host IS NULL OR host = '' THEN url
+         ELSE 'https://' || host || path || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END)
+    END AS canonical_url
   FROM (
-    SELECT doc_id, host, path,
-      array_to_string(list_sort(list_filter(string_split(q, '&'),
+    SELECT p.doc_id, p.host, p.path, u.url,
+      array_to_string(list_sort(list_filter(string_split(p.q, '&'),
         x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_PARAM_PATTERN}'))), '&') AS qs
-    FROM uparts
+    FROM uparts p JOIN u USING (doc_id)
   )
 )"""
 

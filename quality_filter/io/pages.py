@@ -51,14 +51,22 @@ def canonical_url_col(url=None) -> F.Column:
     params (utm_*/ref/fbclid/gclid) and sort the survivors so param order
     never splits a page's identity.
 
-    Pure narrow map over JVM-native functions (parse_url + array HOFs);
-    no shuffle, no UDF — at 10^12 pages this runs at scan speed.  Scheme
-    is normalized to https (crawls record http/https variants of the
-    same page)."""
+    Pure narrow map over JVM-native functions (try_parse_url + array
+    HOFs); no shuffle, no UDF — at 10^12 pages this runs at scan speed.
+    Scheme is normalized to https (crawls record http/https variants of
+    the same page).
+
+    Malformed URLs NEVER abort the job (ANSI ``parse_url`` throws —
+    one bad crawl record would crash a batch or permanently wedge
+    ``stream_url_dedup``'s microbatch): ``try_parse_url`` yields NULL
+    for unparseable input, and such rows fall back to their RAW url
+    string as the canonical key — they dedup among byte-identical
+    copies of themselves and are preserved for quarantine downstream."""
     u = F.col("url") if url is None else url
-    host = F.regexp_replace(F.lower(F.parse_url(u, F.lit("HOST"))), "^www\\.", "")
-    path = F.regexp_replace(F.parse_url(u, F.lit("PATH")), "/$", "")
-    q = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    raw_host = F.try_parse_url(u, F.lit("HOST"))
+    host = F.regexp_replace(F.lower(raw_host), "^www\\.", "")
+    path = F.regexp_replace(F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit("")), "/$", "")
+    q = F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit(""))
     kept = F.array_sort(
         F.filter(
             F.split(q, "&"),
@@ -66,9 +74,11 @@ def canonical_url_col(url=None) -> F.Column:
         )
     )
     qs = F.array_join(kept, "&")
-    return F.concat(
-        F.lit("https://"), host, path,
-        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    return F.when(raw_host.isNull() | (raw_host == ""), u).otherwise(
+        F.concat(
+            F.lit("https://"), host, path,
+            F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+        )
     )
 
 

@@ -547,11 +547,13 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def keep_first_units_col(text: Column, sep: str = " ", sep_pattern: str | None = None) -> Column:
+def keep_first_units_col(text: Column, sep_pattern: str = " ") -> Column:
     """Within-document duplicate-unit removal, first occurrence wins —
     the C4 practice of dropping repeated lines inside a page, expressed
-    over any split unit (``sep_pattern``; lines for real web pages,
-    tokens for delimiter-free corpora).  Returns the surviving units in
+    over any split unit (``sep_pattern`` is a Java REGEX — ``"\\n"``
+    for lines on real pages, ``" "`` for tokens on delimiter-free
+    corpora; escape metacharacters for literal separators, e.g.
+    ``"\\\\."`` for sentences).  Returns the surviving units in
     original order.
 
     Pure narrow map, NO shuffle and NO UDF: split → filter on the
@@ -561,7 +563,7 @@ def keep_first_units_col(text: Column, sep: str = " ", sep_pattern: str | None =
     O(units²) in the worst case, bounded by units-per-document (lines
     per page), never by corpus size — the operator parallelizes with
     input splits at any scale."""
-    units = F.split(text, sep_pattern if sep_pattern is not None else sep)
+    units = F.split(text, sep_pattern)
     # NOTE: two-arg F.filter lambda binds the 2nd param to the 0-based
     # ARRAY INDEX (the invariant CLAUDE.md pins for F.transform).
     return F.filter(units, lambda x, i: F.array_position(units, x) == i + 1)

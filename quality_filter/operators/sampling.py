@@ -177,10 +177,21 @@ def weighted_hash_sample(
     filter, re-rank) — same key algebra."""
     u = (hash_bucket(F.col(id_col)) + 1).cast("double") / F.lit(float(_HASH_SPACE))
     w = F.col(weight_col)
+    # any other weight would need pow() (not correctly rounded -> the
+    # cross-engine guarantee dies) — hard-fail at execution rather than
+    # silently sampling at weight 1 (the enum_check job-abort pattern)
     key = (
         F.when(w == 4, F.sqrt(F.sqrt(u)))
         .when(w == 2, F.sqrt(u))
-        .otherwise(u)
+        .when(w == 1, u)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("weighted_hash_sample: weight must be one of {1,2,4}, got "),
+                    w.cast("string"),
+                )
+            ).cast("double")
+        )
     )
     return (
         df.withColumn("es_key", key)

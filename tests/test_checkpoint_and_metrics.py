@@ -432,3 +432,36 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_canonical_url_tolerates_malformed_urls(spark):
+    """A crawl stream WILL contain junk URLs: canonicalization must
+    never abort (ANSI parse_url throws; try_parse_url + raw-url
+    fallback) — malformed rows keep their raw string as canonical key
+    and dedup only among byte-identical copies."""
+    from quality_filter.io.pages import canonical_url_col, url_dedup
+
+    rows = [
+        (1, "not a url"),
+        (2, "not a url"),                      # exact junk dup
+        (3, "ht!tp:/\\broken"),
+        (4, "https://ok.example.com/a?id=1"),
+        (5, "https://www.ok.example.com/a/?id=1#f"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = {r["canonical_url"]: (r["rep_id"], r["n_dups"]) for r in url_dedup(df).collect()}
+    assert out["not a url"] == (1, 2)
+    assert out["https://ok.example.com/a?id=1"] == (4, 2)
+    assert len(out) == 3
+    # no NULL canonical keys ever
+    assert df.select(canonical_url_col().alias("c")).filter(F.col("c").isNull()).count() == 0
+
+
+def test_weighted_sample_rejects_unsupported_weight(spark):
+    """Weights outside {1,2,4} abort at execution instead of silently
+    sampling at weight 1 (the enum_check job-abort pattern)."""
+    from quality_filter.operators.sampling import weighted_hash_sample
+
+    df = spark.createDataFrame([(1, 4), (2, 8)], ["doc_id", "weight"])
+    with pytest.raises(Exception, match="weight must be one of"):
+        weighted_hash_sample(df, "doc_id", "weight", 2).collect()
