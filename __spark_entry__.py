@@ -1222,6 +1222,25 @@ def q_pii_scrub_docs(spark, sf_dir):
     return docs.select("doc_id", R.scrub_pii_col(aug, CFG).alias("scrubbed"))
 
 
+def q_pii_hit_counts_docs(spark, sf_dir):
+    """PII exposure observability (the scrub's counting twin: what WOULD
+    be redacted, by type): native regexp_count per frozen rule over the
+    same augmented corpus the scrub probe uses.  Counts are per-pattern
+    over the original text — independent, not chained — so a compliance
+    dashboard can aggregate them without running the rewrite."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 192.168.1."), (F.col("doc_id") % 250).cast("string"),
+        F.lit(" tel 555-123-4567."),
+    )
+    cols = [
+        F.regexp_count(aug, F.lit(rule.pattern)).cast("long").alias(f"n_{rule.name}")
+        for rule in CFG.pii_rules
+    ]
+    return docs.select("doc_id", *cols)
+
+
 def q_simhash_docs(spark, sf_dir):
     """Engine-portable SimHash (md5 hash universe) — the DuckDB oracle
     computes the identical 64-bit fingerprint; dedup.simhash64 is the
@@ -1537,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation_v2": q_corpus_curation_v2,
         "weighted_sample_docs": q_weighted_sample_docs,
         "term_cms_sketch": q_term_cms_sketch,
+        "pii_hit_counts_docs": q_pii_hit_counts_docs,
         "source_reputation_flags": q_source_reputation_flags,
         "quality_score_histogram": q_quality_score_histogram,
         "doc_chunks": q_doc_chunks,
@@ -2573,6 +2593,7 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.46""",
         "pii_scrub_docs": _pii_scrub_docs_sql(),
+        "pii_hit_counts_docs": _pii_hit_counts_sql(),
         "simhash_docs": _simhash_sql(),
         "simhash_near_dup": _simhash_near_dup_sql(),
         "hopping_event_stats": """
@@ -2830,6 +2851,26 @@ def _quality_contribs_sql() -> str:
         f"SELECT doc_id, 'bias' AS term, round({float(CFG.quality_bias)!r}, 6) + 0.0 AS contrib FROM ratios"
     )
     return f"WITH {_features_cte()}\n" + "\nUNION ALL\n".join(branches)
+
+
+def _pii_hit_counts_sql() -> str:
+    """Per-rule match counts via RE2 on the identical augmented text —
+    same (?U)-strip seam as the scrub oracle (ASCII corpus: both
+    engines' \\d/\\b agree; the Unicode seam is pinned vs the PYTHON
+    oracle in tests, see fuzz_oracle exclusion note)."""
+    from quality_filter.features import py_pattern
+
+    aug = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 192.168.1.' "
+        "|| CAST(doc_id % 250 AS VARCHAR) || ' tel 555-123-4567.'"
+    )
+    cols = ",\n  ".join(
+        "CAST(len(regexp_extract_all(" + aug + ", '"
+        + py_pattern(rule.pattern).replace("'", "''")
+        + f"')) AS BIGINT) AS n_{rule.name}"
+        for rule in CFG.pii_rules
+    )
+    return f"SELECT doc_id,\n  {cols}\nFROM documents"
 
 
 def _pii_scrub_docs_sql() -> str:

@@ -322,3 +322,36 @@ def stream_url_dedup(
         .dropDuplicatesWithinWatermark(["_curl"])
         .drop("_curl")
     )
+
+
+def stream_term_cms(
+    sdf: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed count-min sketch over a document stream: per event-time
+    window, the SAME depth×width cell counts as the batch
+    textagg.term_cms_sketch (same md5 bucket universe) — the
+    state-bounded twin of stream_top_terms: its state grows with the
+    vocabulary inside each window, this stays O(windows × depth × width)
+    no matter what the crawl contains (adversarial vocab blowup cannot
+    OOM the state store).  Windows merge cell-wise downstream, exactly
+    like batch shard sketches."""
+    from quality_filter.operators.sampling import hash_bucket
+    from quality_filter.operators.textagg import CMS_DEPTH, CMS_WIDTH
+
+    term = F.explode(F.split(F.lower(F.trim(F.col(text_col))), "[ ]+")).alias("term")
+    buckets = F.array(*[
+        (hash_bucket(F.concat(F.lit(f"{r}|"), F.col("term"))) % CMS_WIDTH).cast("int")
+        for r in range(CMS_DEPTH)
+    ])
+    return (
+        sdf.select(F.col(ts_col), term)
+        .select(F.col(ts_col), F.posexplode(buckets).alias("sketch_row", "bucket"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "sketch_row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "sketch_row", "bucket", "cnt")
+    )

@@ -345,6 +345,22 @@ def test_new_operator_plan_shapes(spark):
     assert p.count("Exchange hashpartitioning") == 1
     assert p.index("HashAggregate") < p.index("Exchange")
 
+    # containment: every aggregate partial (map-side combined) before its
+    # exchange; the seg join is an equi-join (no cartesian — also pinned
+    # registry-wide) and the size joins are broadcastable dimensions
+    p = plan("containment_pairs")
+    assert p.index("HashAggregate") < p.index("Exchange")
+    assert "CartesianProduct" not in p
+
+    # CMS: corpus collapses map-side; single small exchange
+    p = plan("term_cms_sketch")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.index("HashAggregate") < p.index("Exchange")
+
+    # weighted sample: top-k heap, not a global sort
+    p = plan("weighted_sample_docs")
+    assert "TakeOrderedAndProject" in p and "Exchange" not in p
+
 
 def test_decile_bounds_assignment_plan_is_narrow(spark):
     """The scale-safe decile twin's assignment phase must be a pure

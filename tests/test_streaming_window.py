@@ -326,3 +326,47 @@ def test_stream_incremental_near_dup_probes_static_index(spark, tmp_path):
     flags = dedup.incremental_near_dup_flags(new_bands, index_static, "url").collect()
     hit_idx = {r["url"] for r in flags if r["hit_index"]}
     assert hit_idx == resubmits
+
+
+def test_stream_term_cms_matches_batch_cells(spark, tmp_path):
+    """Every (window, row, bucket, cnt) cell the stream emits equals the
+    batch sketch over the same window's rows — and the per-window state
+    footprint is bounded by depth*width cells regardless of vocabulary."""
+    from pyspark.sql import functions as F
+
+    from quality_filter.operators.textagg import CMS_DEPTH, CMS_WIDTH
+    from quality_filter.streaming.stream import read_pages_stream, stream_term_cms
+
+    pages = generate_pages(150, seed=33, days=2).drop(columns=["cls"])
+    sdf_b = spark.createDataFrame(pages, schema=pages_spark_schema()).filter(
+        F.col("text").isNotNull()
+    )
+    src = str(tmp_path / "cms_src")
+    sdf_b.write.parquet(src)
+
+    stream = read_pages_stream(spark, src, max_files=3).filter(F.col("text").isNotNull())
+    agg = stream_term_cms(stream, "text", "warc_ts", window="6 hours", watermark="0 seconds")
+    q = (
+        agg.writeStream.format("memory").queryName("cmscells")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["window_start"], r["sketch_row"], r["bucket"]): r["cnt"]
+        for r in spark.sql("select * from cmscells").collect()
+    }
+    assert got and len(got) <= 8 * CMS_DEPTH * CMS_WIDTH  # bounded cells/window
+
+    from quality_filter.operators.textagg import term_cms_sketch
+
+    windows = sorted({w for w, _, _ in got})
+    for w in windows:
+        batch_rows = sdf_b.filter(
+            (F.col("warc_ts") >= w)
+            & (F.col("warc_ts") < F.lit(w) + F.expr("INTERVAL 6 HOURS"))
+        )
+        cells = {
+            (w, r["sketch_row"], r["bucket"]): r["cnt"]
+            for r in term_cms_sketch(batch_rows, "text").collect()
+        }
+        assert cells == {k: v for k, v in got.items() if k[0] == w}
