@@ -1,0 +1,74 @@
+"""SemDedup hot-cluster soak: exact-duplicate replication is the
+ADVERSARIAL case for cluster-bounded pair joins — every replica lands in
+its original's cluster, so per-cluster pair work grows quadratically in
+R while the survivor set must stay EXACTLY the R=1 survivor set (all
+replicas drop against the min-id copy at cos = 1 >= threshold).
+
+Reports, per R in {1, 2, 4} and per n_clusters in {8, 32}:
+  * survivors identical to R=1 (asserted)
+  * wall seconds — documents the quadratic hot-cluster growth and the
+    documented mitigation (finer k divides expected bucket size).
+
+Run exclusively (no concurrent Spark).
+Usage: PYTHONPATH=/root/repo python scripts/soak_semdedup.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from quality_filter.operators import similarity  # noqa: E402
+from quality_filter.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OFFSET = 1_000_000_000
+THRESHOLD = 0.35
+
+
+def main() -> None:
+    spark = get_spark(app_name="qf-soak-semdedup")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("vec_id", "embedding")
+    emb.persist().count()
+
+    base_survivors = None
+    for n_clusters in (8, 32):
+        cents = similarity.train_ivf_centroids(
+            emb, "embedding", "vec_id", n_clusters=n_clusters, seed=7
+        )
+        for r in (1, 2, 4):
+            rep = emb
+            for i in range(1, r):
+                rep = rep.unionByName(
+                    emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * OFFSET))
+                )
+            t0 = time.perf_counter()
+            surv = {
+                row["vec_id"]
+                for row in similarity.semantic_dedup(
+                    rep, "embedding", "vec_id", cents, THRESHOLD
+                ).collect()
+            }
+            wall = time.perf_counter() - t0
+            if n_clusters == 8 and r == 1:
+                base_survivors = surv
+            # replicas must all die against the min-id copy (cos=1)
+            assert all(v < OFFSET for v in surv), "replica survived its original"
+            if n_clusters == 8:
+                assert surv == base_survivors, f"survivor drift at R={r}"
+            print(
+                f"k={n_clusters:3d} R={r}  rows={r * emb.count():6d}  "
+                f"survivors={len(surv):4d}  wall={wall:6.2f}s",
+                flush=True,
+            )
+    print("OK: survivors exactly the R=1 set at every replication level")
+
+
+if __name__ == "__main__":
+    main()

@@ -577,3 +577,25 @@ def test_repetition_profile_plan_and_bounds(spark):
         assert 0.0 < r["top_token_share"] <= 1.0
         assert 0.0 <= r["dup_2gram_ratio"] < 1.0
         assert 0.0 <= r["dup_3gram_ratio"] < 1.0
+
+
+def test_corpus_curation_v2_partition_invariant(spark):
+    """Retry/layout-safety for the seven-stage flow: every stage is
+    content-addressed (canonical URL, md5 fingerprints, min-ids, hash
+    fates, token counts), so the packed output must be IDENTICAL when
+    the input arrives with a different partitioning/order."""
+    import __spark_entry__ as E
+
+    base = {tuple(r) for r in E.queries()["corpus_curation_v2"](spark, SF).collect()}
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    shuffled = docs.repartition(13).sortWithinPartitions(F.col("doc_id").desc())
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "docs_shuffled")
+        shuffled.write.parquet(p)
+        # point the query at a dir with the same table name but shuffled layout
+        os.symlink(f"{SF}/embeddings.parquet", os.path.join(d, "embeddings.parquet"))
+        os.rename(p, os.path.join(d, "documents.parquet"))
+        re_run = {tuple(r) for r in E.queries()["corpus_curation_v2"](spark, d).collect()}
+    assert re_run == base and len(base) > 0
