@@ -1222,6 +1222,23 @@ def q_pii_scrub_docs(spark, sf_dir):
     return docs.select("doc_id", R.scrub_pii_col(aug, CFG).alias("scrubbed"))
 
 
+def q_toxicity_gate_docs(spark, sf_dir):
+    """The NSFW-gate analog itself, driver-visible: lexicon-density
+    toxicity score (codegen'd regexp_count, no UDF) + the calibrated
+    sigmoid threshold gate — exactly how the reference gates NSFW
+    (score >= fixed threshold).  Pipeline goldens pin it end-to-end;
+    this registers the scalar contract against the RE2 twin."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TS.tokens_simple(F.col("text"))
+    n_words = F.size(toks).cast("double")
+    tox = R.tox_score_col(F.col("text"), n_words, CFG)
+    return docs.select(
+        "doc_id",
+        F.round(tox, 6).alias("tox_score"),
+        (tox >= CFG.tox_threshold).alias("flag_toxic"),
+    )
+
+
 def q_pii_hit_counts_docs(spark, sf_dir):
     """PII exposure observability (the scrub's counting twin: what WOULD
     be redacted, by type): native regexp_count per frozen rule over the
@@ -1557,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": q_weighted_sample_docs,
         "term_cms_sketch": q_term_cms_sketch,
         "pii_hit_counts_docs": q_pii_hit_counts_docs,
+        "toxicity_gate_docs": q_toxicity_gate_docs,
         "source_reputation_flags": q_source_reputation_flags,
         "quality_score_histogram": q_quality_score_histogram,
         "doc_chunks": q_doc_chunks,
@@ -2594,6 +2612,7 @@ WHERE list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.46""",
         "pii_scrub_docs": _pii_scrub_docs_sql(),
         "pii_hit_counts_docs": _pii_hit_counts_sql(),
+        "toxicity_gate_docs": _toxicity_gate_sql(),
         "simhash_docs": _simhash_sql(),
         "simhash_near_dup": _simhash_near_dup_sql(),
         "hopping_event_stats": """
@@ -2851,6 +2870,25 @@ def _quality_contribs_sql() -> str:
         f"SELECT doc_id, 'bias' AS term, round({float(CFG.quality_bias)!r}, 6) + 0.0 AS contrib FROM ratios"
     )
     return f"WITH {_features_cte()}\n" + "\nUNION ALL\n".join(branches)
+
+
+def _toxicity_gate_sql() -> str:
+    """RE2 twin of tox_score_col: same lexicon pattern ((?U)-stripped —
+    ASCII word lexicon, so \\b agrees), same density→sigmoid chain."""
+    from quality_filter.features import py_pattern
+    from quality_filter.functions.rules import tox_pattern
+
+    pat = py_pattern(tox_pattern(CFG.tox_lexicon)).replace("'", "''")
+    density = (
+        f"coalesce(CAST(len(regexp_extract_all(lower(text), '{pat}')) AS DOUBLE)"
+        f" / nullif(CAST(len({_SIMPLE_TOKS}) AS DOUBLE), 0.0), 0.0)"
+    )
+    tox = f"1.0 / (1.0 + exp(-({float(CFG.tox_a)!r} * {density} + ({float(CFG.tox_b)!r}))))"
+    return f"""
+SELECT doc_id,
+  round({tox}, 6) AS tox_score,
+  {tox} >= {CFG.tox_threshold} AS flag_toxic
+FROM documents"""
 
 
 def _pii_hit_counts_sql() -> str:

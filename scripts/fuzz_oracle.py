@@ -71,6 +71,8 @@ DOC_QUERIES = [
     "corpus_curation_v2",
     # sqrt-chain E-S keys + md5-bucket CMS cells (both engine-exact)
     "weighted_sample_docs", "term_cms_sketch",
+    # ASCII lexicon \b: RE2 and Java agree on any corpus
+    "toxicity_gate_docs",
     # NOT fuzzed: pii_hit_counts_docs shares pii_scrub_docs' documented
     # RE2-vs-Java unicode \d/\b seam (see module docstring)
 ]
