@@ -1556,10 +1556,11 @@ def q_knn_ivf(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness harness records at most the
-    # first ~50 entries, so queries that have not yet appeared in a driver
-    # CORRECTNESS report come FIRST (round-3 verdict item 1): the 14 registry
-    # entries that rotated out of the r3 window lead, followed by queries new
-    # in round 4, then the r3-green set.
+    # first ~50 entries, so every query WITHOUT a driver-green row in the
+    # previous report (CORRECTNESS_r03) sits inside the top-50 window: the
+    # round-4 additions lead, then the 14 entries that rotated out of the
+    # r3 window, then the r3-green set (those can safely rotate out — they
+    # are green within the last two reports either way).
     return {
         "unit_dedup_docs": q_unit_dedup_docs,
         "gate_funnel": q_gate_funnel,
@@ -1575,6 +1576,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_cms_sketch": q_term_cms_sketch,
         "pii_hit_counts_docs": q_pii_hit_counts_docs,
         "toxicity_gate_docs": q_toxicity_gate_docs,
+        "benchmark_decontamination_bloom": q_benchmark_decontamination_bloom,
+        "segment_dedup_docs": q_segment_dedup_docs,
+        "incremental_near_dup": q_incremental_near_dup,
+        "incremental_curation": q_incremental_curation,
         "source_reputation_flags": q_source_reputation_flags,
         "quality_score_histogram": q_quality_score_histogram,
         "doc_chunks": q_doc_chunks,
@@ -1611,10 +1616,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_broadcast": q_knn_join_broadcast,
         "embedding_centroids_by_label": q_embedding_centroids_by_label,
         "benchmark_decontamination": q_benchmark_decontamination,
-        "benchmark_decontamination_bloom": q_benchmark_decontamination_bloom,
-        "segment_dedup_docs": q_segment_dedup_docs,
-        "incremental_near_dup": q_incremental_near_dup,
-        "incremental_curation": q_incremental_curation,
         "source_mixing_rates": q_source_mixing_rates,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
