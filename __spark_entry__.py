@@ -907,6 +907,42 @@ def q_minhash_jaccard_estimate(spark, sf_dir):
     )
 
 
+def q_minhash_containment_estimate(spark, sf_dir):
+    """Asymmetric containment estimate for LSH candidate pairs — the
+    signal that separates 'doc_a quotes doc_b' from 'same size near-dup'
+    (Jaccard under-scores subset pairs): |A∩B| ≈ J(|A|+|B|)/(1+J) via
+    the inclusion-exclusion identity, containment(A⊆B) = |A∩B|/|A|,
+    clamped to 1.  All inputs are exact (integer shingle-set sizes,
+    eq/8 rational J), so the arithmetic chain is engine-identical."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = dedup.lsh_bands(sig, "doc_id", NUM_HASHES, BAND_SIZE)
+    pairs = dedup.near_dup_pairs(bands, "doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    nsh = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(dedup.shingles(F.col("text"), 3))).cast("double").alias("nsh"),
+    )
+    a = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_HASHES)])
+    b = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_HASHES)])
+    eq = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(NUM_HASHES)
+    )
+    j = eq.cast("double") / NUM_HASHES
+    inter = j * (F.col("na") + F.col("nb")) / (1.0 + j)
+    return (
+        pairs.withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+        .join(a, "doc_a").join(b, "doc_b")
+        .join(nsh.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na")), "doc_a")
+        .join(nsh.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(j, 6).alias("jaccard_est"),
+            F.round(F.least(F.lit(1.0), inter / F.col("na")), 6).alias("containment_a_est"),
+            F.round(F.least(F.lit(1.0), inter / F.col("nb")), 6).alias("containment_b_est"),
+        )
+    )
+
+
 def q_embedding_near_dup_lsh(spark, sf_dir):
     """Scale path for embedding near-dup: candidates restricted to shared
     hyperplane-LSH buckets (bucket-equi-join instead of a cross join).
@@ -1576,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_cms_sketch": q_term_cms_sketch,
         "pii_hit_counts_docs": q_pii_hit_counts_docs,
         "toxicity_gate_docs": q_toxicity_gate_docs,
+        "minhash_containment_estimate": q_minhash_containment_estimate,
         "benchmark_decontamination_bloom": q_benchmark_decontamination_bloom,
         "segment_dedup_docs": q_segment_dedup_docs,
         "incremental_near_dup": q_incremental_near_dup,
@@ -2516,6 +2553,28 @@ SELECT p.doc_a, p.doc_b,
 FROM pairs p
 JOIN sig sa ON sa.doc_id = p.doc_a
 JOIN sig sb ON sb.doc_id = p.doc_b""",
+        "minhash_containment_estimate": f"""
+WITH {_minhash_sig_cte()},
+bands AS ({_bands_sql()}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+nsh AS (SELECT doc_id, CAST(len(list_distinct({_ngram_expr()})) AS DOUBLE) AS n FROM documents),
+est AS (
+  SELECT p.doc_a, p.doc_b, na.n AS na, nb.n AS nb,
+    ({' + '.join(f'CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END' for i in range(NUM_HASHES))})::DOUBLE / {NUM_HASHES} AS j
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b
+  JOIN nsh na ON na.doc_id = p.doc_a
+  JOIN nsh nb ON nb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, round(j, 6) AS jaccard_est,
+  round(least(1.0, (j * (na + nb) / (1.0 + j)) / na), 6) AS containment_a_est,
+  round(least(1.0, (j * (na + nb) / (1.0 + j)) / nb), 6) AS containment_b_est
+FROM est""",
         "purchase_last_view_asof": """
 SELECT p.event_id AS event_id, p.user_id AS user_id,
   round(coalesce(v.value, 0.0), 6) + 0.0 AS last_view_value

@@ -73,6 +73,8 @@ DOC_QUERIES = [
     "weighted_sample_docs", "term_cms_sketch",
     # ASCII lexicon \b: RE2 and Java agree on any corpus
     "toxicity_gate_docs",
+    # exact integer/rational inputs -> engine-identical arithmetic chain
+    "minhash_containment_estimate",
     # NOT fuzzed: pii_hit_counts_docs shares pii_scrub_docs' documented
     # RE2-vs-Java unicode \d/\b seam (see module docstring)
 ]
