@@ -189,6 +189,24 @@ def q_hourly_event_stats(spark, sf_dir):
     )
 
 
+def q_hourly_unique_users(spark, sf_dir):
+    """Exact distinct users per hour — Spark expands COUNT(DISTINCT)
+    into a two-phase aggregate (partial distinct per map task, then the
+    merge), so the shuffle carries (hour, user) partials, not raw
+    events.  The mergeable-sketch twin for past-memory cardinalities is
+    metrics.sketch_summary's HLL (rsd-bounded, pytest-pinned) — exact
+    is the registered oracle form because HLL bit-layouts differ
+    engine to engine."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+
+
 def q_forward_fill_purchase(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
@@ -1613,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_hit_counts_docs": q_pii_hit_counts_docs,
         "toxicity_gate_docs": q_toxicity_gate_docs,
         "minhash_containment_estimate": q_minhash_containment_estimate,
+        "hourly_unique_users": q_hourly_unique_users,
         "benchmark_decontamination_bloom": q_benchmark_decontamination_bloom,
         "segment_dedup_docs": q_segment_dedup_docs,
         "incremental_near_dup": q_incremental_near_dup,
@@ -2293,6 +2312,11 @@ SELECT event_id, user_id FROM (
 SELECT date_trunc('hour', ts) AS window_start, event_type,
   CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) + 0.0 AS sum_value
 FROM events GROUP BY 1, 2""",
+        "hourly_unique_users": """
+SELECT date_trunc('hour', ts) AS window_start,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1""",
         "forward_fill_purchase": """
 SELECT event_id, user_id,
   round(coalesce(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)

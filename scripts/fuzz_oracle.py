@@ -84,6 +84,7 @@ EVENT_QUERIES = [
     "hopping_event_stats", "forward_fill_purchase", "sessionized_counts",
     "topk_events_per_user", "running_value_sum", "salted_user_stats",
     "event_type_pivot", "event_counts_unpivot", "purchase_last_view_asof",
+    "hourly_unique_users",
 ]
 EMB_QUERIES = [
     "embedding_near_dup_pairs", "embedding_near_dup_lsh",
