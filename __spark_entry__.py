@@ -1263,16 +1263,22 @@ def q_media_near_dup(spark, sf_dir):
     )
 
 
+def _pii_aug_col():
+    """The synthetic-PII augmentation shared by the scrub probe and the
+    hit-count twin — ONE definition per engine (see _PII_AUG_SQL)."""
+    return F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 192.168.1."), (F.col("doc_id") % 250).cast("string"),
+        F.lit(" tel 555-123-4567."),
+    )
+
+
 def q_pii_scrub_docs(spark, sf_dir):
     """Regex-parity probe: augment each doc with synthetic PII, run the
     production scrub chain, compare against DuckDB's RE2 on identical
     input (validates Java-regex vs RE2 semantics of the frozen patterns)."""
     docs = _t(spark, sf_dir, "documents")
-    aug = F.concat(
-        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
-        F.lit("@example.com or 192.168.1."), (F.col("doc_id") % 250).cast("string"),
-        F.lit(" tel 555-123-4567."),
-    )
+    aug = _pii_aug_col()
     return docs.select("doc_id", R.scrub_pii_col(aug, CFG).alias("scrubbed"))
 
 
@@ -1300,11 +1306,7 @@ def q_pii_hit_counts_docs(spark, sf_dir):
     over the original text — independent, not chained — so a compliance
     dashboard can aggregate them without running the rewrite."""
     docs = _t(spark, sf_dir, "documents")
-    aug = F.concat(
-        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
-        F.lit("@example.com or 192.168.1."), (F.col("doc_id") % 250).cast("string"),
-        F.lit(" tel 555-123-4567."),
-    )
+    aug = _pii_aug_col()
     cols = [
         F.regexp_count(aug, F.lit(rule.pattern)).cast("long").alias(f"n_{rule.name}")
         for rule in CFG.pii_rules
@@ -1609,12 +1611,11 @@ def q_knn_ivf(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Order matters: the driver's correctness harness records at most the
-    # first ~50 entries, so every query WITHOUT a driver-green row in the
-    # previous report (CORRECTNESS_r03) sits inside the top-50 window: the
-    # round-4 additions lead, then the 14 entries that rotated out of the
-    # r3 window, then the r3-green set (those can safely rotate out — they
-    # are green within the last two reports either way).
+    # INVARIANT (checked in tests): every query WITHOUT a driver-green row
+    # in the previous report (CORRECTNESS_r03) must sit inside the driver's
+    # ~50-entry window — insert NEW queries near the FRONT, and re-check
+    # `[n for n in names[50:] if n not in r3]` is empty after any edit.
+    # Entries green in r03 may rotate past 50 (green within two reports).
     return {
         "unit_dedup_docs": q_unit_dedup_docs,
         "gate_funnel": q_gate_funnel,
@@ -1939,12 +1940,15 @@ cshared AS (
   FROM crare a JOIN crare b ON a.seg = b.seg AND a.doc_id <> b.doc_id
   GROUP BY 1, 2
 ),
-contained AS (
-  SELECT DISTINCT contained_id FROM cshared
+cpairs AS (
+  SELECT contained_id, container_id, n_shared FROM cshared
   JOIN csizes sa ON sa.doc_id = contained_id
   JOIN csizes sb ON sb.doc_id = container_id
   WHERE n_shared = sa.nd
     AND (sa.nd < sb.nd OR (sa.nd = sb.nd AND contained_id > container_id))
+),
+contained AS (
+  SELECT DISTINCT contained_id FROM cpairs
 )"""
 
 
@@ -2821,31 +2825,12 @@ ints AS (
 SELECT
   {_dsums}
 FROM ints"""
+    # same algebra as _containment_ctes (shared helper also drives the
+    # corpus_curation_v2 stage) — one SQL definition, two consumers
     out["containment_pairs"] = f"""
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text, ' '), '[ ]+') AS t FROM documents
-),
-occ0 AS (
-  SELECT doc_id, unnest(list_transform(
-    generate_series(0, CAST(ceil(len(t) / {CONTAIN_K}.0) AS BIGINT) - 1),
-    i -> array_to_string(t[i*{CONTAIN_K}+1 : i*{CONTAIN_K}+{CONTAIN_K}], ' '))) AS seg
-  FROM toks
-),
-occ AS (SELECT DISTINCT doc_id, seg FROM occ0),
-dfq AS (SELECT seg FROM occ GROUP BY seg HAVING count(*) <= {CONTAIN_MAX_DF}),
-rare AS (SELECT o.doc_id, o.seg FROM occ o JOIN dfq USING (seg)),
-sizes AS (SELECT doc_id, count(*) AS nd FROM rare GROUP BY doc_id),
-shared AS (
-  SELECT a.doc_id AS contained_id, b.doc_id AS container_id, count(*) AS n_shared
-  FROM rare a JOIN rare b ON a.seg = b.seg AND a.doc_id <> b.doc_id
-  GROUP BY 1, 2
-)
+WITH {_containment_ctes('documents')}
 SELECT contained_id, container_id, CAST(n_shared AS BIGINT) AS n_shared
-FROM shared
-JOIN sizes sa ON sa.doc_id = contained_id
-JOIN sizes sb ON sb.doc_id = container_id
-WHERE n_shared = sa.nd
-  AND (sa.nd < sb.nd OR (sa.nd = sb.nd AND contained_id > container_id))"""
+FROM cpairs"""
     _dup_sql = lambda ng: (  # noqa: E731
         f"round(CASE WHEN len({ng}) > 0 THEN 1.0 - CAST(len(list_distinct({ng})) AS DOUBLE)"
         f" / CAST(len({ng}) AS DOUBLE) ELSE 0.0 END, 6)"
@@ -2956,6 +2941,12 @@ def _quality_contribs_sql() -> str:
     return f"WITH {_features_cte()}\n" + "\nUNION ALL\n".join(branches)
 
 
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 192.168.1.' "
+    "|| CAST(doc_id % 250 AS VARCHAR) || ' tel 555-123-4567.'"
+)  # SQL twin of _pii_aug_col — keep in lockstep
+
+
 def _toxicity_gate_sql() -> str:
     """RE2 twin of tox_score_col: same lexicon pattern ((?U)-stripped —
     ASCII word lexicon, so \\b agrees), same density→sigmoid chain."""
@@ -2982,10 +2973,7 @@ def _pii_hit_counts_sql() -> str:
     oracle in tests, see fuzz_oracle exclusion note)."""
     from quality_filter.features import py_pattern
 
-    aug = (
-        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 192.168.1.' "
-        "|| CAST(doc_id % 250 AS VARCHAR) || ' tel 555-123-4567.'"
-    )
+    aug = _PII_AUG_SQL
     cols = ",\n  ".join(
         "CAST(len(regexp_extract_all(" + aug + ", '"
         + py_pattern(rule.pattern).replace("'", "''")
@@ -2996,10 +2984,7 @@ def _pii_hit_counts_sql() -> str:
 
 
 def _pii_scrub_docs_sql() -> str:
-    aug = (
-        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 192.168.1.' "
-        "|| CAST(doc_id % 250 AS VARCHAR) || ' tel 555-123-4567.'"
-    )
+    aug = _PII_AUG_SQL
     expr = aug
     from quality_filter.features import py_pattern
 

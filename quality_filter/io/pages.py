@@ -35,9 +35,17 @@ def write_pages_partitioned(df: DataFrame, path: str, mode: str = "overwrite") -
     with_partition_col(df).write.mode(mode).partitionBy(PARTITION_COL).parquet(path)
 
 
+INVALID_HOST = "_invalid_"
+
+
 def url_host(url=None) -> F.Column:
-    """Host component for salting/rollups (parse_url is JVM-native)."""
-    return F.parse_url(F.col("url") if url is None else url, F.lit("HOST"))
+    """Host component for salting/rollups (try_parse_url is JVM-native).
+    Malformed URLs map to the ``_invalid_`` sentinel host instead of
+    aborting the job (ANSI parse_url throws — one bad crawl record would
+    kill a whole rollup batch); bad rows aggregate under the sentinel,
+    visible in the rollup output for quarantine."""
+    u = F.col("url") if url is None else url
+    return F.coalesce(F.try_parse_url(u, F.lit("HOST")), F.lit(INVALID_HOST))
 
 
 TRACKING_PARAM_PATTERN = "^(utm_[^=]*|ref|fbclid|gclid)="
@@ -63,8 +71,9 @@ def canonical_url_col(url=None) -> F.Column:
     string as the canonical key — they dedup among byte-identical
     copies of themselves and are preserved for quarantine downstream."""
     u = F.col("url") if url is None else url
-    raw_host = F.try_parse_url(u, F.lit("HOST"))
-    host = F.regexp_replace(F.lower(raw_host), "^www\\.", "")
+    host = F.regexp_replace(
+        F.lower(F.try_parse_url(u, F.lit("HOST"))), "^www\\.", ""
+    )
     path = F.regexp_replace(F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit("")), "/$", "")
     q = F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit(""))
     kept = F.array_sort(
@@ -74,7 +83,10 @@ def canonical_url_col(url=None) -> F.Column:
         )
     )
     qs = F.array_join(kept, "&")
-    return F.when(raw_host.isNull() | (raw_host == ""), u).otherwise(
+    # fallback tests the POST-lower/strip host — the same predicate the
+    # DuckDB twin applies (a host of exactly 'www.' strips to '' and must
+    # fall back too, or the engines' canonical keys diverge)
+    return F.when(host.isNull() | (host == ""), u).otherwise(
         F.concat(
             F.lit("https://"), host, path,
             F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),

@@ -87,6 +87,26 @@ CMS_DEPTH = 4
 CMS_WIDTH = 64
 
 
+
+def terms_exploded(text):
+    """The sketch/top-terms tokenizer: lower/trim/single-space split,
+    exploded — ONE definition shared by batch and streaming sketches."""
+    return F.explode(F.split(F.lower(F.trim(text)), "[ ]+"))
+
+
+def cms_bucket_array(term, depth: int = CMS_DEPTH, width: int = CMS_WIDTH):
+    """array<int> of the term's bucket per sketch row — md5('r|term') %
+    width (engine-portable hash universe); shared by term_cms_sketch and
+    streaming.stream_term_cms so the cell-for-cell merge parity cannot
+    silently diverge."""
+    from quality_filter.operators.sampling import hash_bucket
+
+    return F.array(*[
+        (hash_bucket(F.concat(F.lit(f"{r}|"), term)) % width).cast("int")
+        for r in range(depth)
+    ])
+
+
 def term_cms_sketch(
     df: DataFrame, text_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
 ) -> DataFrame:
@@ -101,16 +121,9 @@ def term_cms_sketch(
     md5 hash universe (same as minhash), so a DuckDB oracle computes the
     IDENTICAL sketch.  One explode + one posexplode + a partial-agg
     count: every (row, bucket) cell collapses map-side."""
-    from quality_filter.operators.sampling import hash_bucket
-
-    term = F.explode(F.split(F.lower(F.trim(F.col(text_col))), "[ ]+")).alias("term")
-    buckets = F.array(*[
-        (hash_bucket(F.concat(F.lit(f"{r}|"), F.col("term"))) % width).cast("int")
-        for r in range(depth)
-    ])
     return (
-        df.select(term)
-        .select(F.posexplode(buckets).alias("sketch_row", "bucket"))
+        df.select(terms_exploded(F.col(text_col)).alias("term"))
+        .select(F.posexplode(cms_bucket_array(F.col("term"), depth, width)).alias("sketch_row", "bucket"))
         .groupBy("sketch_row", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )

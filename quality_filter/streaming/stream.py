@@ -339,17 +339,11 @@ def stream_term_cms(
     no matter what the crawl contains (adversarial vocab blowup cannot
     OOM the state store).  Windows merge cell-wise downstream, exactly
     like batch shard sketches."""
-    from quality_filter.operators.sampling import hash_bucket
-    from quality_filter.operators.textagg import CMS_DEPTH, CMS_WIDTH
+    from quality_filter.operators.textagg import cms_bucket_array, terms_exploded
 
-    term = F.explode(F.split(F.lower(F.trim(F.col(text_col))), "[ ]+")).alias("term")
-    buckets = F.array(*[
-        (hash_bucket(F.concat(F.lit(f"{r}|"), F.col("term"))) % CMS_WIDTH).cast("int")
-        for r in range(CMS_DEPTH)
-    ])
     return (
-        sdf.select(F.col(ts_col), term)
-        .select(F.col(ts_col), F.posexplode(buckets).alias("sketch_row", "bucket"))
+        sdf.select(F.col(ts_col), terms_exploded(F.col(text_col)).alias("term"))
+        .select(F.col(ts_col), F.posexplode(cms_bucket_array(F.col("term"))).alias("sketch_row", "bucket"))
         .withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), "sketch_row", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))

@@ -37,11 +37,11 @@ def main() -> None:
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("vec_id", "embedding")
     emb.persist().count()
 
-    base_survivors = None
     for n_clusters in (8, 32):
         cents = similarity.train_ivf_centroids(
             emb, "embedding", "vec_id", n_clusters=n_clusters, seed=7
         )
+        base_survivors = None  # per-k baseline: R-invariance holds at EVERY k
         for r in (1, 2, 4):
             rep = emb
             for i in range(1, r):
@@ -56,12 +56,11 @@ def main() -> None:
                 ).collect()
             }
             wall = time.perf_counter() - t0
-            if n_clusters == 8 and r == 1:
+            if r == 1:
                 base_survivors = surv
             # replicas must all die against the min-id copy (cos=1)
             assert all(v < OFFSET for v in surv), "replica survived its original"
-            if n_clusters == 8:
-                assert surv == base_survivors, f"survivor drift at R={r}"
+            assert surv == base_survivors, f"survivor drift at k={n_clusters} R={r}"
             print(
                 f"k={n_clusters:3d} R={r}  rows={r * emb.count():6d}  "
                 f"survivors={len(surv):4d}  wall={wall:6.2f}s",

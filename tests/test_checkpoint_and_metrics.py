@@ -245,10 +245,12 @@ def test_partition_lineage_conserves_rows(spark, pages_dir):
 
 
 def test_salted_host_rollup_matches_plain(spark, pages_dir):
+    from quality_filter.io.pages import url_host
+
     scored = tiered_scored(spark.read.parquet(pages_dir).drop("warc_dt"))
     salted = salted_host_rollup(scored, n_salts=8).toPandas().sort_values("url_host").reset_index(drop=True)
     plain = (
-        scored.withColumn("url_host", F.parse_url("url", F.lit("HOST")))
+        scored.withColumn("url_host", url_host())
         .groupBy("url_host")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -465,3 +467,32 @@ def test_weighted_sample_rejects_unsupported_weight(spark):
     df = spark.createDataFrame([(1, 4), (2, 8)], ["doc_id", "weight"])
     with pytest.raises(Exception, match="weight must be one of"):
         weighted_hash_sample(df, "doc_id", "weight", 2).collect()
+
+
+def test_salted_rollup_survives_malformed_urls(spark):
+    """One junk URL must not abort the rollup: malformed rows aggregate
+    under the _invalid_ sentinel host."""
+    from quality_filter.io.pages import INVALID_HOST
+
+    rows = [
+        ("https://a.example.com/x", "keep", 0.9),
+        ("not a url", "drop", 0.1),
+        ("also::junk", "keep", 0.5),
+    ]
+    df = spark.createDataFrame(rows, ["url", "status", "quality_score"])
+    out = {r["url_host"]: r["n_docs"] for r in salted_host_rollup(df, n_salts=4).collect()}
+    assert out["a.example.com"] == 1
+    assert out[INVALID_HOST] == 2
+
+
+def test_canonical_url_www_only_host_matches_oracle_fallback(spark):
+    """A host that strips to '' (exactly 'www.') must take the raw-url
+    fallback — the same predicate the DuckDB twin applies — instead of
+    emitting a hostless 'https:///...' key that collides junk."""
+    from quality_filter.io.pages import canonical_url_col
+
+    rows = [(1, "https://www./p?x=1"), (2, "https://WWW./p?x=1"), (3, "https:///p?x=1")]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    canon = {r["doc_id"]: r["c"] for r in df.select("doc_id", canonical_url_col().alias("c")).collect()}
+    assert canon[1] == "https://www./p?x=1"   # raw fallback, not https:///p?x=1
+    assert len(set(canon.values())) == 3      # distinct junk stays distinct
