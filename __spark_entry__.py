@@ -540,6 +540,54 @@ def q_gate_distill_stats(spark, sf_dir):
     return proj.agg(*aggs)
 
 
+DSIR_TARGET_SOURCE = "src0"        # the "wiki-quality" target corpus
+DSIR_KEEP_PER_NGRAM = -60_000_000  # mean ln-ratio/ngram >= -0.06 (corpus-calibrated)
+
+
+def _dsir_ratio_df(spark, sf_dir):
+    from quality_filter.operators import dsir
+
+    docs = _t(spark, sf_dir, "documents")
+    tgt = dsir.bucket_counts(docs.filter(F.col("source") == DSIR_TARGET_SOURCE), "text")
+    raw = dsir.bucket_counts(docs, "text")
+    return dsir.bucket_log_ratios(spark, tgt, raw)
+
+
+def q_dsir_bucket_ratios(spark, sf_dir):
+    """DSIR importance-resampling dimension (Xie et al. 2023): hashed
+    unigram+bigram bucket counts for the target corpus (source=src0)
+    and the raw corpus, with the Laplace-smoothed log-likelihood ratio
+    integerized to lr_micro = floor(ln(p/q)*1e9) — the learned "model"
+    of the selection, B=1024 rows.  See operators/dsir.py for the
+    cross-engine exactness argument and the 100-TB shape (two
+    explode+partial-count passes shuffling O(B) per task)."""
+    return _dsir_ratio_df(spark, sf_dir)
+
+
+def q_dsir_logweights_docs(spark, sf_dir):
+    """Per-document DSIR log importance weight: the B-row ratio
+    dimension is collected once (a model artifact, like the IVF
+    centroid table) and folded into a literal array, so scoring is a
+    ZERO-shuffle narrow map — sum of bigint lr_micro over the doc's
+    n-gram occurrences, exact and order-free at any scale."""
+    from quality_filter.operators import dsir
+
+    docs = _t(spark, sf_dir, "documents")
+    lrs = dsir.collect_lr_array(_dsir_ratio_df(spark, sf_dir))
+    return dsir.dsir_logweights(docs, "doc_id", "text", lrs)
+
+
+def q_dsir_sample_docs(spark, sf_dir):
+    """The DSIR selection itself: keep documents whose MEAN per-n-gram
+    log ratio clears the threshold, spelled as the cross-multiplied
+    integer compare logw_micro >= thr * n_ngrams — exact in every
+    engine, no float boundary in the keep/drop (at sf0.01 this keeps
+    23/25 target-source docs and 3/475 raw docs)."""
+    from quality_filter.operators import dsir
+
+    return dsir.dsir_select(q_dsir_logweights_docs(spark, sf_dir), DSIR_KEEP_PER_NGRAM)
+
+
 def q_corpus_token_budget(spark, sf_dir):
     """Training-token budget per source: BPE-ish token totals and each
     source's share of the corpus budget (the number a mixture plan is
@@ -1617,6 +1665,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # `[n for n in names[50:] if n not in r3]` is empty after any edit.
     # Entries green in r03 may rotate past 50 (green within two reports).
     return {
+        "dsir_bucket_ratios": q_dsir_bucket_ratios,
+        "dsir_logweights_docs": q_dsir_logweights_docs,
+        "dsir_sample_docs": q_dsir_sample_docs,
         "unit_dedup_docs": q_unit_dedup_docs,
         "gate_funnel": q_gate_funnel,
         "url_dedup_docs": q_url_dedup_docs,
@@ -2098,6 +2149,44 @@ def _ivf_assign_ctes(cents) -> str:
 sims AS (SELECT vec_id, v, {sim_cols} FROM e),
 withbest AS (SELECT *, {best} AS best FROM sims),
 assign AS (SELECT vec_id, v, {cluster} AS cluster FROM withbest)"""
+
+
+def _dsir_ctes() -> str:
+    """CTE chain ending in occ(doc_id, bucket) + ratios_d(bucket,
+    n_target, n_raw, lr_micro) — SQL twin of operators/dsir.py: same
+    lowered tokenizer, same md5 bucket universe, same Laplace-smoothed
+    integerized log ratio (count products as exact doubles, one ln,
+    floor(.*1e9) to BIGINT)."""
+    from quality_filter.operators.dsir import DSIR_BUCKETS, LR_SCALE
+
+    B = DSIR_BUCKETS
+    toks = "regexp_split_to_array(lower(trim(text, ' ')), '[ ]+')"
+    ngrams = (
+        f"list_concat({toks}, list_transform("
+        f"generate_series(1, len({toks}) - 1), i -> {toks}[i] || ' ' || {toks}[i+1]))"
+    )
+    return f"""ng AS (SELECT doc_id, source, unnest({ngrams}) AS g FROM documents),
+occ AS (
+  SELECT doc_id, source,
+    CAST(('0x' || substr(md5(g), 1, 8))::BIGINT % {B} AS INTEGER) AS bucket
+  FROM ng
+),
+tc AS (SELECT bucket, count(*) AS n_t FROM occ WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY 1),
+rc AS (SELECT bucket, count(*) AS n_r FROM occ GROUP BY 1),
+dom AS (SELECT CAST(r.range AS INTEGER) AS bucket FROM range(0, {B}) r),
+j AS (
+  SELECT dom.bucket, coalesce(n_t, 0) AS n_target, coalesce(n_r, 0) AS n_raw
+  FROM dom LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+),
+tot AS (SELECT sum(n_target) AS t_tot, sum(n_raw) AS r_tot FROM j),
+ratios_d AS (
+  SELECT bucket, CAST(n_target AS BIGINT) AS n_target, CAST(n_raw AS BIGINT) AS n_raw,
+    CAST(floor(ln(
+      (CAST(n_target + 1 AS DOUBLE) * CAST(r_tot + {B} AS DOUBLE))
+      / (CAST(n_raw + 1 AS DOUBLE) * CAST(t_tot + {B} AS DOUBLE))
+    ) * {float(LR_SCALE)}) AS BIGINT) AS lr_micro
+  FROM j, tot
+)"""
 
 
 def _embedding_clusters_sql() -> str:
@@ -2825,6 +2914,20 @@ ints AS (
 SELECT
   {_dsums}
 FROM ints"""
+    out["dsir_bucket_ratios"] = f"""
+WITH {_dsir_ctes()}
+SELECT bucket, n_target, n_raw, lr_micro FROM ratios_d"""
+    _dsir_w = """SELECT doc_id, CAST(sum(lr_micro) AS BIGINT) AS logw_micro,
+  CAST(count(*) AS BIGINT) AS n_ngrams
+FROM occ JOIN ratios_d USING (bucket) GROUP BY doc_id"""
+    out["dsir_logweights_docs"] = f"""
+WITH {_dsir_ctes()}
+{_dsir_w}"""
+    out["dsir_sample_docs"] = f"""
+WITH {_dsir_ctes()},
+w AS ({_dsir_w})
+SELECT doc_id, logw_micro, n_ngrams FROM w
+WHERE logw_micro >= {DSIR_KEEP_PER_NGRAM} * n_ngrams"""
     # same algebra as _containment_ctes (shared helper also drives the
     # corpus_curation_v2 stage) — one SQL definition, two consumers
     out["containment_pairs"] = f"""
