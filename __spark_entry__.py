@@ -1402,6 +1402,45 @@ def q_embedding_clusters(spark, sf_dir):
     return similarity.ivf_assign(emb, "embedding", "vec_id", cents)
 
 
+KMEANS_REFINE_ITERS = 3
+
+
+def _sample_centroids(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb, similarity.train_ivf_centroids(
+        emb, "embedding", "vec_id", n_clusters=IVF_CLUSTERS, seed=IVF_SEED
+    )
+
+
+def q_kmeans_step(spark, sf_dir):
+    """One EXACT distributed Lloyd accumulation over the full corpus:
+    per (cluster, dim), member count, the order-free integerized
+    component sum (floor(x*1e6), DECIMAL upstream), and the implied
+    mean — the k-means update as a value-hash-checkable aggregate.
+    See similarity.kmeans_step_stats for the scale shape."""
+    emb, cents = _sample_centroids(spark, sf_dir)
+    s = similarity.kmeans_step_stats(emb, "embedding", cents)
+    mean_val = F.round(
+        F.col("sum_micro").cast("double") / F.col("n") / F.lit(1000000.0), 6
+    )
+    return s.select("cluster", "dim", "n", "sum_micro", mean_val.alias("mean_val"))
+
+
+def q_kmeans_refined_clusters(spark, sf_dir):
+    """Distributed k-means, the ITERATIVE algorithm under the oracle:
+    sample-trained centroids refined by KMEANS_REFINE_ITERS full-corpus
+    Lloyd rounds (exact integer accumulations → the engine-free twin
+    reproduces every refined centroid bit-for-bit), then the final
+    assignment for every vector.  Fixes the sample-only training story:
+    at corpus scale the refinement sees ALL rows, each round one map +
+    O(tasks*k*d) exchange."""
+    emb, cents0 = _sample_centroids(spark, sf_dir)
+    cents = similarity.kmeans_refine(
+        emb, "embedding", cents0, iters=KMEANS_REFINE_ITERS
+    )
+    return similarity.ivf_assign(emb, "embedding", "vec_id", cents)
+
+
 SEMDEDUP_THRESHOLD = 0.35
 
 
@@ -1668,6 +1707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_bucket_ratios": q_dsir_bucket_ratios,
         "dsir_logweights_docs": q_dsir_logweights_docs,
         "dsir_sample_docs": q_dsir_sample_docs,
+        "kmeans_step": q_kmeans_step,
+        "kmeans_refined_clusters": q_kmeans_refined_clusters,
         "unit_dedup_docs": q_unit_dedup_docs,
         "gate_funnel": q_gate_funnel,
         "url_dedup_docs": q_url_dedup_docs,
@@ -2192,6 +2233,44 @@ ratios_d AS (
 def _embedding_clusters_sql() -> str:
     return f"""
 WITH {_ivf_assign_ctes(_oracle_centroids())}
+SELECT vec_id, cluster FROM assign"""
+
+
+def _kmeans_step_sql() -> str:
+    """SQL twin of kmeans_step_stats: same assignment CTE as the IVF
+    family, components integerized as floor(x*1e6) (exact both
+    engines), sums exact integers."""
+    return f"""
+WITH {_ivf_assign_ctes(_oracle_centroids())},
+ex AS (
+  SELECT cluster, unnest(list_transform(generate_series(1, len(v)),
+    i -> struct_pack(dim := i - 1,
+                     xn := v[i] / (sqrt(list_dot_product(v, v)) + 1e-12)))) AS u
+  FROM assign
+),
+cells AS (
+  SELECT cluster, CAST(u.dim AS INTEGER) AS dim,
+         CAST(floor(u.xn * 1000000.0) AS BIGINT) AS xm
+  FROM ex
+)
+SELECT cluster, dim, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(xm) AS BIGINT) AS sum_micro,
+  round(CAST(sum(xm) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_val
+FROM cells GROUP BY cluster, dim"""
+
+
+def _kmeans_refined_sql() -> str:
+    """Refined centroids re-derived by the engine-free twin (same
+    init, same exact integer Lloyd rounds → bit-identical to the Spark
+    job's), embedded as literals into the shared assignment CTE."""
+    from quality_filter.operators import similarity as S
+
+    cents = S.kmeans_refine_local(
+        f"{ORACLE_SF_DIR}/embeddings.parquet", "embedding",
+        _oracle_centroids(), iters=KMEANS_REFINE_ITERS,
+    )
+    return f"""
+WITH {_ivf_assign_ctes(cents)}
 SELECT vec_id, cluster FROM assign"""
 
 
@@ -2802,6 +2881,8 @@ SELECT window_start, CAST(count(*) AS BIGINT) AS n_events,
   round(sum(value), 4) + 0.0 AS sum_value
 FROM contrib GROUP BY 1""",
         "embedding_clusters": _embedding_clusters_sql(),
+        "kmeans_step": _kmeans_step_sql(),
+        "kmeans_refined_clusters": _kmeans_refined_sql(),
         "knn_lsh": _knn_lsh_sql(),
         "knn_lsh_multiprobe": _knn_lsh_sql(probe_hamming=1),
         "knn_ivf": _knn_ivf_sql(),

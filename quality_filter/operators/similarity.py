@@ -600,6 +600,29 @@ def train_ivf_centroids_local(
     return kmeans_fit(sample, n_clusters, iters, seed)
 
 
+def _assign_rows(X, C) -> "np.ndarray":
+    """Nearest-centroid assignment for a float64 matrix — THE one
+    definition shared by the Spark kernel (per Arrow batch) and the
+    engine-free twin (whole matrix): per-row ops only, so the result is
+    independent of batch boundaries.  sim_i = fold_dot(x, c_i) /
+    (fold_norm(x) + 1e-12), winner = FIRST index attaining the max
+    (matching the SQL when-chain's tie order)."""
+    denom = _fold_norms(X) + 1e-12
+    sims = np.stack([_fold_dots(X, C[i]) / denom for i in range(len(C))], axis=1)
+    return sims.argmax(axis=1)
+
+
+def assign_cluster_col(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """int Column of the nearest-centroid index (exact-fold kernel)."""
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+
+    @F.pandas_udf("int")
+    def assign_kernel(v: pd.Series) -> pd.Series:
+        return pd.Series(_assign_rows(_as_matrix(v), C).astype(np.int32))
+
+    return assign_kernel(vec_col)
+
+
 def ivf_assign(df: DataFrame, vec_col: str, id_col: str, centroids: list[list[float]]) -> DataFrame:
     """(id, cluster): nearest-centroid assignment — one Arrow crossing
     computing every centroid similarity via the exact-fold kernel
@@ -608,16 +631,137 @@ def ivf_assign(df: DataFrame, vec_col: str, id_col: str, centroids: list[list[fl
     index attaining the max, matching the when-chain's tie order).
     At scale the output is written bucketed/partitioned by cluster so a
     query probes one bucket (the inverted file)."""
-    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    return df.select(
+        F.col(id_col), assign_cluster_col(F.col(vec_col), centroids).alias("cluster")
+    )
 
-    @F.pandas_udf("int")
-    def assign_kernel(v: pd.Series) -> pd.Series:
+
+KMEANS_SCALE = 10**6  # floor(x * 1e6) component integerization
+
+
+def _normalized_micro(X, scale: int) -> "np.ndarray":
+    """floor(x_i / (fold_norm(x) + 1e-12) * scale) as int64 — THE one
+    integerization shared by the Spark kernel and the twin.  Normalized
+    components (the kmeans_fit cosine convention: cluster means average
+    UNIT rows), then the exact floor grid.  Every step is exact or
+    correctly rounded identically across engines (the fold norm is the
+    sequential-fold spec DuckDB's list_dot_product evaluates)."""
+    denom = _fold_norms(X) + 1e-12
+    return np.floor((X / denom[:, None]) * float(scale)).astype(np.int64)
+
+
+def kmeans_step_stats(
+    df: DataFrame, vec_col: str, centroids: list[list[float]],
+    scale: int = KMEANS_SCALE,
+) -> DataFrame:
+    """One EXACT distributed Lloyd accumulation: (cluster int, dim int,
+    n bigint, sum_micro bigint) over the FULL corpus.
+
+    Components are unit-normalized (the kmeans_fit cosine convention)
+    and integerized as floor(xn * scale) — exact doubles in, identical
+    correctly-rounded ops in every engine — then summed in
+    DECIMAL(38,0), the gate_distill_stats pattern: sums are EXACT and
+    order-free, so the update is invariant under partitioning, task
+    retries, and engines.  That is what lets the ITERATIVE refinement
+    below carry a full value-hash oracle.
+
+    Scale shape: ONE Arrow crossing computes assignment + integerized
+    components together; posexplode to (cluster, dim) cells partial-
+    aggregates map-side to ≤ k*d rows per task — the exchange moves
+    O(tasks * k * d), never O(corpus)."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("struct<cluster:int, xm:array<long>>")
+    def step_kernel(v: pd.Series) -> pd.DataFrame:
         X = _as_matrix(v)
-        denom = _fold_norms(X) + 1e-12
-        sims = np.stack([_fold_dots(X, C[i]) / denom for i in range(len(C))], axis=1)
-        return pd.Series(sims.argmax(axis=1).astype(np.int32))
+        return pd.DataFrame({
+            "cluster": _assign_rows(X, C).astype(np.int32),
+            "xm": list(_normalized_micro(X, scale)),
+        })
 
-    return df.select(F.col(id_col), assign_kernel(F.col(vec_col)).alias("cluster"))
+    cells = (
+        df.select(step_kernel(F.col(vec_col)).alias("s"))
+        .select(F.col("s.cluster").alias("cluster"), F.posexplode("s.xm").alias("dim", "xm"))
+    )
+    return cells.groupBy("cluster", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("xm").cast("decimal(38,0)")).cast("long").alias("sum_micro"),
+    )
+
+
+def _refine_update(
+    prev: list[list[float]], stats_rows, scale: int = KMEANS_SCALE,
+) -> list[list[float]]:
+    """Centroid update from exact integer sums — THE one definition
+    shared by the distributed path (collected step stats) and the
+    engine-free twin: mean = sums/(n*scale) in float64, then unit-
+    normalize (the kmeans_fit cosine convention); empty clusters keep
+    their previous centroid."""
+    k, d = len(prev), len(prev[0])
+    sums = np.zeros((k, d), dtype=np.float64)
+    ns = np.zeros(k, dtype=np.int64)
+    for r in stats_rows:
+        sums[r[0], r[1]] = float(r[3])
+        ns[r[0]] = r[2]
+    out = [list(c) for c in prev]
+    for c in range(k):
+        if ns[c] > 0:
+            m = sums[c] / (float(ns[c]) * float(scale))
+            out[c] = (m / max(np.linalg.norm(m), 1e-12)).tolist()
+    return out
+
+
+def kmeans_refine(
+    df: DataFrame, vec_col: str, centroids: list[list[float]],
+    iters: int = 3, scale: int = KMEANS_SCALE,
+) -> list[list[float]]:
+    """Distributed Lloyd refinement over the FULL corpus: the sample-
+    trained centroids (train_ivf_centroids) are the init; each round is
+    one kmeans_step_stats job + a k*d-row collect + the shared driver
+    update.  Because the accumulations are exact integers and the
+    driver math is identical, the result is bit-identical to
+    kmeans_refine_local on the same input — the iterative algorithm
+    itself sits under the value-hash oracle (q_kmeans_refined_clusters),
+    not just a single step.  At 10^12 rows each round is one map +
+    O(tasks*k*d) exchange; the collect is k*d rows."""
+    cents = [[float(x) for x in c] for c in centroids]
+    for _ in range(int(iters)):
+        rows = [
+            (r["cluster"], r["dim"], r["n"], r["sum_micro"])
+            for r in kmeans_step_stats(df, vec_col, cents, scale).collect()
+        ]
+        cents = _refine_update(cents, rows, scale)
+    return cents
+
+
+def kmeans_refine_local(
+    parquet_path: str, vec_col: str, centroids: list[list[float]],
+    iters: int = 3, scale: int = KMEANS_SCALE,
+) -> list[list[float]]:
+    """Engine-free twin of kmeans_refine (oracle generation +
+    differential tests): same _assign_rows kernel, same floor(x*scale)
+    int64 accumulation (exact at test scale; the Spark side's decimal
+    carries it at corpus scale), same _refine_update — bit-identical
+    centroids by construction."""
+    import pyarrow.parquet as pq
+
+    X = np.array(
+        pq.read_table(parquet_path, columns=[vec_col]).column(vec_col).to_pylist(),
+        dtype=np.float64,
+    )
+    Xi = _normalized_micro(X, scale)
+    cents = [[float(x) for x in c] for c in centroids]
+    k = len(cents)
+    for _ in range(int(iters)):
+        assign = _assign_rows(X, np.asarray(cents, dtype=np.float64))
+        rows = []
+        for c in range(k):
+            members = Xi[assign == c]
+            if len(members):
+                s = members.sum(axis=0)
+                rows.extend((c, d, len(members), int(s[d])) for d in range(X.shape[1]))
+        cents = _refine_update(cents, rows, scale)
+    return cents
 
 
 def write_ivf_index(
