@@ -1402,6 +1402,38 @@ def q_embedding_clusters(spark, sf_dir):
     return similarity.ivf_assign(emb, "embedding", "vec_id", cents)
 
 
+FIDELITY_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _roundtrip_stats(spark, sf_dir, fmt: str):
+    from quality_filter.io import formats
+
+    docs = _t(spark, sf_dir, "documents")
+    path = formats.scratch_path(fmt, sf_dir)
+    if fmt == "jsonl":
+        rt = formats.roundtrip_jsonl(docs, spark, path, formats.DOCUMENTS_SCHEMA)
+    else:
+        rt = formats.roundtrip_csv(docs, spark, path, formats.DOCUMENTS_SCHEMA)
+    return formats.fidelity_summary(rt, "lang", FIDELITY_COLS)
+
+
+def q_jsonl_roundtrip_stats(spark, sf_dir):
+    """Interchange-source fidelity, proven not assumed: documents →
+    JSON Lines → explicit-schema FAILFAST read → per-lang counts + an
+    order-free md5-bucket checksum over every column of every row.  The
+    oracle computes the identical summary over the ORIGINAL table, so a
+    single altered byte anywhere in the encode/decode breaks the hash
+    match (io/formats.py)."""
+    return _roundtrip_stats(spark, sf_dir, "jsonl")
+
+
+def q_csv_roundtrip_stats(spark, sf_dir):
+    """Same fidelity contract through RFC-4180 CSV (quote-doubling
+    escapes, multiLine quoted-newline read, explicit schema,
+    FAILFAST)."""
+    return _roundtrip_stats(spark, sf_dir, "csv")
+
+
 KMEANS_REFINE_ITERS = 3
 
 
@@ -1709,6 +1741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample_docs": q_dsir_sample_docs,
         "kmeans_step": q_kmeans_step,
         "kmeans_refined_clusters": q_kmeans_refined_clusters,
+        "jsonl_roundtrip_stats": q_jsonl_roundtrip_stats,
+        "csv_roundtrip_stats": q_csv_roundtrip_stats,
         "unit_dedup_docs": q_unit_dedup_docs,
         "gate_funnel": q_gate_funnel,
         "url_dedup_docs": q_url_dedup_docs,
@@ -2995,6 +3029,19 @@ ints AS (
 SELECT
   {_dsums}
 FROM ints"""
+    _fid = (
+        "CAST(sum(('0x' || substr(md5("
+        "CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang || '|' || source"
+        " || '|' || CAST(n_chars AS VARCHAR)"
+        "), 1, 8))::BIGINT) AS BIGINT)"
+    )
+    _roundtrip_sql = f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  {_fid} AS fidelity_sum
+FROM documents GROUP BY lang"""
+    out["jsonl_roundtrip_stats"] = _roundtrip_sql
+    out["csv_roundtrip_stats"] = _roundtrip_sql
     out["dsir_bucket_ratios"] = f"""
 WITH {_dsir_ctes()}
 SELECT bucket, n_target, n_raw, lr_micro FROM ratios_d"""

@@ -1,0 +1,106 @@
+"""Interchange-format sources/sinks with oracle-checkable fidelity.
+
+A corpus pipeline ingests more than parquet: crawl dumps and vendor
+drops arrive as JSONL (the Common-Crawl/WET-adjacent idiom) and CSV.
+These helpers write a DataFrame to the interchange format and read it
+back WITH AN EXPLICIT SCHEMA (never inferSchema — a schema inferred per
+file flips types between drops and silently corrupts a pipeline; at
+scale inference is also an extra full read).  FAILFAST mode: a
+malformed record aborts the job rather than nulling fields silently.
+
+Fidelity is provable, not assumed: ``fidelity_summary`` reduces a table
+to per-group counts plus an order-free integer checksum over every
+column of each row (md5-bucket of the '|'-joined row image, summed as
+bigints).  Running it on the ROUND-TRIPPED table and comparing with the
+same summary over the original (the DuckDB oracle does exactly this)
+proves the encode/decode preserved every byte of every row — unicode,
+quoting, embedded separators and all.
+
+Scale shape: the round trip is a narrow write + scan (no shuffle); the
+checksum is a partial-aggregated groupBy of O(groups) rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from quality_filter.operators.sampling import hash_bucket
+
+SCRATCH_ROOT = "/tmp/qf_formats"
+
+# RFC-4180 quoting: quote with '"', escape an embedded quote by doubling
+# it, and allow quoted newlines on read (multiLine).  The whitespace
+# options matter: Spark's CSV WRITER trims leading/trailing field
+# whitespace by default, which would silently break byte fidelity.
+CSV_OPTIONS = {
+    "header": "true", "quote": '"', "escape": '"', "multiLine": "true",
+    "ignoreLeadingWhiteSpace": "false", "ignoreTrailingWhiteSpace": "false",
+}
+
+DOCUMENTS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("n_chars", T.LongType()),
+])
+
+
+def scratch_path(tag: str, key: str) -> str:
+    """Deterministic scratch dir per (tag, input key) — md5 of the key
+    so fuzz corpora in different directories never collide."""
+    return os.path.join(SCRATCH_ROOT, f"{tag}_{hashlib.md5(key.encode()).hexdigest()[:10]}")
+
+
+def roundtrip_jsonl(df: DataFrame, spark: SparkSession, path: str,
+                    schema: T.StructType) -> DataFrame:
+    """Write ``df`` as JSON Lines and read it back with the explicit
+    schema in FAILFAST mode."""
+    df.select(*[f.name for f in schema.fields]).write.mode("overwrite").json(path)
+    return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+
+def roundtrip_csv(df: DataFrame, spark: SparkSession, path: str,
+                  schema: T.StructType) -> DataFrame:
+    """Write ``df`` as RFC-4180 CSV and read it back with the explicit
+    schema in FAILFAST mode (multiLine tolerates quoted newlines)."""
+    (
+        df.select(*[f.name for f in schema.fields])
+        .write.mode("overwrite").options(**CSV_OPTIONS).csv(path)
+    )
+    return (
+        spark.read.schema(schema)
+        .options(**CSV_OPTIONS)
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+
+
+def row_checksum(cols: list[Column]) -> Column:
+    """Order-free row image checksum: md5-bucket of the '|'-joined
+    stringified columns (bigint) — summing these over any subset of rows
+    is exact and order/partition/engine-invariant."""
+    parts: list[Column] = []
+    for c in cols:
+        parts.append(c.cast("string"))
+        parts.append(F.lit("|"))
+    return hash_bucket(F.concat(*parts[:-1]))
+
+
+def fidelity_summary(df: DataFrame, group_col: str, cols: list[str],
+                     chars_col: str = "n_chars") -> DataFrame:
+    """(group, n_docs, sum_chars, fidelity_sum): the per-group fidelity
+    reduction described in the module docstring."""
+    return (
+        df.groupBy(F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(chars_col).cast("long").alias("sum_chars"),
+            F.sum(row_checksum([F.col(c) for c in cols])).cast("long").alias("fidelity_sum"),
+        )
+    )
