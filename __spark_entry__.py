@@ -30,7 +30,7 @@ from quality_filter.features import SYMBOL_PATTERN, TOKEN_SEP_PATTERN
 from quality_filter.corpus import STOPWORDS
 from quality_filter.functions import rules as R
 from quality_filter.functions import textstats as TS
-from quality_filter.operators import dedup, relational, sampling, similarity, textagg, windows
+from quality_filter.operators import dedup, graph, relational, sampling, similarity, textagg, windows
 
 CFG = load_config()
 LANGS = sorted(STOPWORDS)
@@ -1410,11 +1410,133 @@ def _roundtrip_stats(spark, sf_dir, fmt: str):
 
     docs = _t(spark, sf_dir, "documents")
     path = formats.scratch_path(fmt, sf_dir)
-    if fmt == "jsonl":
-        rt = formats.roundtrip_jsonl(docs, spark, path, formats.DOCUMENTS_SCHEMA)
-    else:
-        rt = formats.roundtrip_csv(docs, spark, path, formats.DOCUMENTS_SCHEMA)
+    rt_fn = {
+        "jsonl": formats.roundtrip_jsonl,
+        "csv": formats.roundtrip_csv,
+        "orc": formats.roundtrip_orc,
+    }[fmt]
+    rt = rt_fn(docs, spark, path, formats.DOCUMENTS_SCHEMA)
     return formats.fidelity_summary(rt, "lang", FIDELITY_COLS)
+
+
+def q_orc_roundtrip_stats(spark, sf_dir):
+    """Columnar-interchange fidelity: documents → ORC → explicit-schema
+    read → the same per-lang count + order-free md5-bucket row-image
+    checksum as the JSONL/CSV twins.  ORC's own type system makes the
+    textual-escaping failure modes impossible, but the contract is
+    proved, not assumed (io/formats.roundtrip_orc)."""
+    return _roundtrip_stats(spark, sf_dir, "orc")
+
+
+PR_NODES = 97
+PR_ITERS = 3
+PR_FANOUT = 2
+
+
+def _pr_edge_instances(docs):
+    """Deterministic synthetic host graph (documents carry no link
+    column): src = doc_id % PR_NODES, targets from the shared md5 hash
+    universe — both engines rebuild the identical multigraph, and the
+    md5 targets make in-degree genuinely non-uniform."""
+    d = F.col("doc_id")
+    insts = []
+    for j in range(1, PR_FANOUT + 1):
+        dst = (
+            sampling.hash_bucket(F.concat(d.cast("string"), F.lit(f":{j}")))
+            % PR_NODES
+        ).cast("long")
+        insts.append(docs.select((d % PR_NODES).cast("long").alias("src"), dst.alias("dst")))
+    out = insts[0]
+    for more in insts[1:]:
+        out = out.union(more)
+    return out
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Exact integerized PageRank over the synthetic host graph — the
+    Common-Crawl host-centrality verb (crawl prioritization / source
+    reputation).  Each of the 3 rounds is one broadcast join of the
+    O(nodes) rank relation against the weighted edge fact + one
+    map-side-combined BIGINT sum; integer floor-division contributions
+    make every round order-free and hash-exact (operators/graph.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = graph.edge_weights(_pr_edge_instances(docs))
+    pr = graph.pagerank(edges, iters=PR_ITERS)
+    return pr.select(
+        F.col("node").cast("long").alias("node"),
+        "rank_micro",
+        F.round(F.col("rank_micro") / F.lit(float(graph.PAGERANK_R0)), 6).alias("rank"),
+    )
+
+
+def _pagerank_ctes() -> str:
+    """DuckDB twin of _pr_edge_instances + graph.pagerank: the same
+    md5-universe multigraph, then PR_ITERS unrolled rounds of the same
+    integer floor-division recurrence (`//` in DuckDB == `div` in Spark
+    for the all-positive operands here)."""
+    insts = []
+    for j in range(1, PR_FANOUT + 1):
+        insts.append(
+            f"SELECT doc_id % {PR_NODES} AS src,\n"
+            f"  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{j}'), 1, 8))::BIGINT"
+            f" % {PR_NODES} AS dst\n"
+            f"FROM documents"
+        )
+    base = (graph.DAMP_DEN - graph.DAMP_NUM) * graph.PAGERANK_R0 // graph.DAMP_DEN
+    ctes = [
+        "pr_inst AS (\n" + "\nUNION ALL\n".join(insts) + "\n)",
+        "pr_edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w"
+        " FROM pr_inst GROUP BY src, dst)",
+        "pr_nodes AS (SELECT src AS node FROM pr_edges"
+        " UNION SELECT dst AS node FROM pr_edges)",
+        "pr_outw AS (SELECT src, sum(w) AS ow FROM pr_edges GROUP BY src)",
+        f"pr_r0 AS (SELECT node, CAST({graph.PAGERANK_R0} AS BIGINT) AS rank_micro"
+        " FROM pr_nodes)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"pr_c{i} AS (\n"
+            f"  SELECT e.dst AS node,\n"
+            f"    sum(({graph.DAMP_NUM} * r.rank_micro * e.w)"
+            f" // ({graph.DAMP_DEN} * o.ow)) AS cin\n"
+            f"  FROM pr_edges e JOIN pr_outw o USING (src)\n"
+            f"  JOIN pr_r{i - 1} r ON r.node = e.src\n"
+            f"  GROUP BY e.dst\n)"
+        )
+        ctes.append(
+            f"pr_r{i} AS (\n"
+            f"  SELECT n.node, CAST({base} + coalesce(c.cin, 0) AS BIGINT) AS rank_micro\n"
+            f"  FROM pr_nodes n LEFT JOIN pr_c{i} c USING (node)\n)"
+        )
+    return ",\n".join(ctes)
+
+
+BM25_QUERY_TERMS = ["hash", "spark", "table"]
+BM25_K = 10
+
+
+def q_bm25_top_docs(spark, sf_dir):
+    """Okapi BM25 top-k retrieval for a fixed 3-term query: exploded
+    terms filtered to the query set BEFORE any shuffle, ≤|Q|-row
+    broadcast df dim, per-term scores pivoted to fixed columns and
+    added in sorted-term order (never a float SUM over shuffled rows)
+    so the final double is the same expression tree in both engines
+    (textagg.bm25_topk)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textagg.bm25_topk(docs, "text", "doc_id", BM25_QUERY_TERMS, k=BM25_K)
+
+
+BPE_PAIRS_K = 50
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """Adjacent character-pair counts (one BPE merge round's counting
+    step, tokenizer training over the curated corpus): token explode →
+    per-token pair HOF → partial-agg count → TakeOrderedAndProject
+    top-k; pair vocabulary bounded by charset², exact integer counts
+    (textagg.bpe_pair_counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textagg.bpe_pair_counts(docs, "text", k=BPE_PAIRS_K)
 
 
 def q_jsonl_roundtrip_stats(spark, sf_dir):
@@ -1736,6 +1858,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # `[n for n in names[50:] if n not in r3]` is empty after any edit.
     # Entries green in r03 may rotate past 50 (green within two reports).
     return {
+        "host_pagerank": q_host_pagerank,
+        "bm25_top_docs": q_bm25_top_docs,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "orc_roundtrip_stats": q_orc_roundtrip_stats,
         "dsir_bucket_ratios": q_dsir_bucket_ratios,
         "dsir_logweights_docs": q_dsir_logweights_docs,
         "dsir_sample_docs": q_dsir_sample_docs,
@@ -1769,6 +1895,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_epoch_upsample": q_mixture_epoch_upsample,
         "temperature_mixture_rates": q_temperature_mixture_rates,
         "temperature_mixture_sample": q_temperature_mixture_sample,
+        "doc_quality_decile_bounds": q_doc_quality_decile_bounds,
+        "doc_length_quantiles_approx": q_doc_length_quantiles_approx,
+        "media_near_dup": q_media_near_dup,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -1783,9 +1912,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "supplier_part_breadth": q_supplier_part_breadth,
         "customer_order_cume": q_customer_order_cume,
-        "doc_quality_decile_bounds": q_doc_quality_decile_bounds,
-        "doc_length_quantiles_approx": q_doc_length_quantiles_approx,
-        "media_near_dup": q_media_near_dup,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "pii_scrub_docs": q_pii_scrub_docs,
         "simhash_docs": q_simhash_docs,
@@ -3042,6 +3168,70 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
 FROM documents GROUP BY lang"""
     out["jsonl_roundtrip_stats"] = _roundtrip_sql
     out["csv_roundtrip_stats"] = _roundtrip_sql
+    out["orc_roundtrip_stats"] = _roundtrip_sql
+    out["host_pagerank"] = f"""
+WITH {_pagerank_ctes()}
+SELECT node, rank_micro,
+  round(rank_micro / {float(graph.PAGERANK_R0)!r}, 6) AS rank
+FROM pr_r{PR_ITERS}"""
+    _bm_terms = ", ".join(f"'{t}'" for t in sorted(BM25_QUERY_TERMS))
+    _bm_piv = ",\n  ".join(
+        f"max(CASE WHEN term = '{t}' THEN s END) AS s{i}"
+        for i, t in enumerate(sorted(BM25_QUERY_TERMS))
+    )
+    _bm_tot = " + ".join(
+        f"coalesce(s{i}, 0.0)" for i in range(len(BM25_QUERY_TERMS))
+    )
+    # literal spellings below are Python-repr of the SAME doubles the
+    # Spark side folds (k1+1, 1-b) so both engines parse identical values
+    out["bm25_top_docs"] = f"""
+WITH b0 AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ')), '[ ]+') AS t
+  FROM documents
+),
+bdl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, t FROM b0),
+st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nd,
+    CAST(sum(len(t)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM b0
+),
+occ AS (SELECT doc_id, dl, unnest(t) AS term FROM bdl),
+qocc AS (SELECT * FROM occ WHERE term IN ({_bm_terms})),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, max(dl) AS dl
+  FROM qocc GROUP BY doc_id, term
+),
+dfq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM qocc GROUP BY term
+),
+sc AS (
+  SELECT doc_id, term,
+    ln((nd - df + 0.5) / (df + 0.5) + 1.0)
+      * ((tf * {(textagg.BM25_K1 + 1.0)!r})
+         / (tf + {textagg.BM25_K1!r}
+            * ({(1.0 - textagg.BM25_B)!r} + {textagg.BM25_B!r} * dl / avgdl))) AS s
+  FROM tf JOIN dfq USING (term), st
+),
+piv AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS matched,
+  {_bm_piv}
+  FROM sc GROUP BY doc_id
+),
+tot AS (SELECT doc_id, matched, {_bm_tot} AS score FROM piv)
+SELECT doc_id, round(score, 6) AS bm25, matched FROM tot
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}"""
+    out["bpe_pair_counts"] = f"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text, ' ')), '[ ]+')) AS tok
+  FROM documents
+),
+p AS (
+  SELECT substr(tok, unnest(generate_series(1, len(tok) - 1)), 2) AS pair
+  FROM w WHERE len(tok) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p
+GROUP BY pair ORDER BY n DESC, pair ASC LIMIT {BPE_PAIRS_K}"""
     out["dsir_bucket_ratios"] = f"""
 WITH {_dsir_ctes()}
 SELECT bucket, n_target, n_raw, lr_micro FROM ratios_d"""

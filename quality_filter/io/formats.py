@@ -81,6 +81,18 @@ def roundtrip_csv(df: DataFrame, spark: SparkSession, path: str,
     )
 
 
+def roundtrip_orc(df: DataFrame, spark: SparkSession, path: str,
+                  schema: T.StructType) -> DataFrame:
+    """Write ``df`` as ORC and read it back with the explicit schema.
+    ORC is self-describing columnar (types travel with the file, no
+    quoting/escaping layer), so unlike JSONL/CSV there is no textual
+    encode to get wrong — the fidelity check proves the writer/reader
+    pair preserves values anyway (the contract is the same regardless
+    of how safe the format looks)."""
+    df.select(*[f.name for f in schema.fields]).write.mode("overwrite").orc(path)
+    return spark.read.schema(schema).orc(path)
+
+
 def row_checksum(cols: list[Column]) -> Column:
     """Order-free row image checksum: md5-bucket of the '|'-joined
     stringified columns (bigint) — summing these over any subset of rows

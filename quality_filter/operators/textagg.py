@@ -83,6 +83,110 @@ def tfidf_top_terms(
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame, text_col: str, id_col: str, query_terms: list[str],
+    k: int = 10, k1: float = BM25_K1, b: float = BM25_B,
+) -> DataFrame:
+    """Top-k documents for a fixed term query under Okapi BM25 — the
+    retrieval verb of a corpus engine (inspect/debug tooling: "show me
+    the strongest docs for these terms").
+
+    score(d) = Σ_t ln((N - df_t + 0.5)/(df_t + 0.5) + 1) ·
+               tf · (k1+1) / (tf + k1 · (1 - b + b · dl/avgdl))
+
+    Determinism discipline: the per-term partial scores are pivoted
+    into FIXED columns (sorted term order) and added in that order —
+    never a float SUM over shuffle-ordered rows — so the final double
+    is the same expression tree in Spark and the DuckDB oracle.  N and
+    avgdl are exact-integer corpus stats (one count/sum job) divided
+    once.
+
+    Plan shape: the explode is filtered to the |Q| query terms BEFORE
+    any aggregation (predicate on the exploded term — Catalyst pushes
+    it into the generator), so shuffle volume is O(matching
+    occurrences), not O(tokens); the df side is a ≤|Q|-row broadcast
+    dim; top-k is TakeOrderedAndProject, no global sort."""
+    terms = sorted(query_terms)
+    base = df.select(
+        F.col(id_col), _tokens_lower(F.col(text_col)).alias("_t")
+    ).select(F.col(id_col), F.col("_t"), F.size("_t").cast("long").alias("_dl"))
+    n_docs, total_tokens = base.agg(
+        F.count(F.lit(1)), F.sum("_dl")
+    ).first()  # driver scalars: one job, reused as plan literals
+    if not n_docs:
+        n_docs, total_tokens = 1, 1  # degenerate empty corpus; output is empty anyway
+    avgdl = total_tokens / n_docs  # exact ints, one IEEE division — engine-identical
+    occ = base.select(
+        F.col(id_col), F.col("_dl").cast("double").alias("dl"),
+        F.explode("_t").alias("term"),
+    ).filter(F.col("term").isin(terms))
+    tf = occ.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"), F.max("dl").alias("dl")
+    )
+    dfreq = (
+        occ.select(F.col(id_col), F.col("term")).distinct()
+        .groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    nd = F.lit(float(n_docs))
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "_s",
+        F.log((nd - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * (
+            (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * ((1.0 - b) + b * F.col("dl") / F.lit(avgdl)))
+        ),
+    )
+    pivoted = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("matched"),
+        *[
+            F.max(F.when(F.col("term") == t, F.col("_s"))).alias(f"_s{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    total = None
+    for i in range(len(terms)):
+        piece = F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+        total = piece if total is None else total + piece
+    return (
+        pivoted.withColumn("_score", total)
+        .orderBy(F.col("_score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, F.round("_score", 6).alias("bm25"), "matched")
+    )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
+    """Top-k adjacent character pairs weighted by occurrence — the
+    counting step of one BPE merge round (tokenizer training over the
+    corpus the engine curates).  Exact integer counts → hash-exact
+    cross-engine.
+
+    Plan: token explode → per-token pair array (one HOF over
+    sequence(1, len-1) — bounded by token length) → second explode →
+    map-side partial count → O(distinct pairs) shuffle →
+    TakeOrderedAndProject.  The pair vocabulary is bounded by
+    charset², so the shuffle is a dimension regardless of corpus
+    size."""
+    toks = df.select(
+        F.explode(_tokens_lower(F.col(text_col))).alias("tok")
+    ).filter(F.length("tok") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(k)
+    )
+
+
 CMS_DEPTH = 4
 CMS_WIDTH = 64
 

@@ -1,0 +1,149 @@
+"""PageRank exactness, BM25 retrieval, BPE pair counts, ORC fidelity."""
+
+from collections import Counter, defaultdict
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from quality_filter.operators import graph, textagg
+
+from tests.test_spark_pipeline import spark  # session fixture  # noqa: F401
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _pr_twin(edges, iters, r0=graph.PAGERANK_R0, dn=graph.DAMP_NUM, dd=graph.DAMP_DEN):
+    """Pure-Python twin of the integer PageRank recurrence."""
+    outw = defaultdict(int)
+    for s, _, w in edges:
+        outw[s] += w
+    nodes = {s for s, _, _ in edges} | {d for _, d, _ in edges}
+    rank = {n: r0 for n in nodes}
+    base = (dd - dn) * r0 // dd
+    for _ in range(iters):
+        nxt = {n: base for n in nodes}
+        for s, d, w in edges:
+            nxt[d] += (dn * rank[s] * w) // (dd * outw[s])
+        rank = nxt
+    return rank
+
+
+EDGES = [
+    (1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 1, 1), (4, 3, 5), (4, 2, 1), (2, 4, 1),
+]
+
+
+def test_pagerank_matches_python_twin_exactly(spark):
+    e = spark.createDataFrame(EDGES, "src long, dst long, w long")
+    for iters in (1, 3):
+        got = {
+            r["node"]: r["rank_micro"]
+            for r in graph.pagerank(e, iters=iters).collect()
+        }
+        assert got == _pr_twin(EDGES, iters)
+
+
+def test_pagerank_partition_invariant_and_bounded(spark):
+    e = spark.createDataFrame(EDGES, "src long, dst long, w long")
+    a = sorted(map(tuple, graph.pagerank(e, iters=3).collect()))
+    b = sorted(map(tuple, graph.pagerank(e.repartition(7), iters=3).collect()))
+    assert a == b
+    base = (graph.DAMP_DEN - graph.DAMP_NUM) * graph.PAGERANK_R0 // graph.DAMP_DEN
+    ranks = dict(a)
+    # every node keeps at least the teleport mass; total mass never grows
+    assert all(v >= base for v in ranks.values())
+    assert sum(ranks.values()) <= len(ranks) * graph.PAGERANK_R0
+    # node 3 receives the most in-weight (1+2+5) and must out-rank the
+    # pure-source node 4 (in-weight 1)
+    assert ranks[3] > ranks[4]
+
+
+def test_edge_weights_collapses_multiplicity(spark):
+    inst = spark.createDataFrame(
+        [(1, 2)] * 5 + [(1, 3)] * 2 + [(2, 3)], "src long, dst long"
+    )
+    got = {(r["src"], r["dst"]): r["w"] for r in graph.edge_weights(inst).collect()}
+    assert got == {(1, 2): 5, (1, 3): 2, (2, 3): 1}
+
+
+def _bm25_twin(rows, terms, k1=textagg.BM25_K1, b=textagg.BM25_B):
+    toks = {i: t.lower().strip().split() for i, t in rows}
+    nd = float(len(rows))
+    avgdl = sum(len(v) for v in toks.values()) / len(rows)
+    dfc = Counter(t for v in toks.values() for t in set(v) if t in terms)
+    out = {}
+    for i, v in toks.items():
+        tfs = Counter(t for t in v if t in terms)
+        if not tfs:
+            continue
+        s = 0.0
+        for t in sorted(terms):
+            if t not in tfs:
+                continue
+            tf, df, dl = float(tfs[t]), float(dfc[t]), float(len(v))
+            s += math.log((nd - df + 0.5) / (df + 0.5) + 1.0) * (
+                (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+            )
+        out[i] = (s, len(tfs))
+    return out
+
+
+def test_bm25_matches_python_twin(spark):
+    rows = [
+        (1, "spark table hash spark"),
+        (2, "table join sort"),
+        (3, "hash hash hash hash hash merge"),
+        (4, "no query words here at all"),
+        (5, "spark"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["spark", "table", "hash"]
+    got = {
+        r["doc_id"]: (r["bm25"], r["matched"])
+        for r in textagg.bm25_topk(df, "text", "doc_id", terms, k=10).collect()
+    }
+    twin = _bm25_twin(rows, set(terms))
+    assert set(got) == set(twin)  # doc 4 matches nothing → absent
+    for i, (s, m) in twin.items():
+        assert got[i][1] == m
+        assert got[i][0] == pytest.approx(round(s, 6), abs=1e-6)
+    # more matched terms with equal length pressure → doc 1 beats doc 5
+    assert got[1][0] > got[5][0]
+
+
+def test_bm25_top_docs_query_green_shapes(spark, docs):
+    import __spark_entry__ as E
+
+    out = E.q_bm25_top_docs(spark, SF).collect()
+    assert 0 < len(out) <= E.BM25_K
+    scores = [r["bm25"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r["matched"] <= len(E.BM25_QUERY_TERMS) for r in out)
+
+
+def test_bpe_pair_counts_hand_case(spark):
+    df = spark.createDataFrame(
+        [(1, "abab cd"), (2, "ab x")], "doc_id long, text string"
+    )
+    got = {r["pair"]: r["n"] for r in textagg.bpe_pair_counts(df, "text", k=10).collect()}
+    # 'abab' → ab, ba, ab; 'cd' → cd; 'ab' → ab; 'x' dropped (len 1)
+    assert got == {"ab": 3, "ba": 1, "cd": 1}
+
+
+def test_orc_roundtrip_fidelity_matches_source(spark, docs, tmp_path):
+    from quality_filter.io import formats
+
+    rt = formats.roundtrip_orc(
+        docs, spark, str(tmp_path / "orc"), formats.DOCUMENTS_SCHEMA
+    )
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    a = sorted(map(tuple, formats.fidelity_summary(rt, "lang", cols).collect()))
+    b = sorted(map(tuple, formats.fidelity_summary(docs, "lang", cols).collect()))
+    assert a == b
