@@ -885,6 +885,19 @@ def q_lang_guess_docs(spark, sf_dir):
     return docs.select("doc_id", TS.lang_guess(F.col("text")).alias("lang_guess"))
 
 
+def q_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix (labelled lang × heuristic guess,
+    with counts): the calibration observability a multilingual curation
+    run reports per batch.  Corpus collapses map-side to ≤ |langs|²
+    rows — the quality_score_histogram shape applied to langid."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TS.lang_guess(F.col("text")).alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 def q_doc_fingerprints(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", dedup.fingerprint_col(F.col("text")).alias("fp"))
@@ -1526,6 +1539,23 @@ def q_bm25_top_docs(spark, sf_dir):
     return textagg.bm25_topk(docs, "text", "doc_id", BM25_QUERY_TERMS, k=BM25_K)
 
 
+def q_bm25_indexed(spark, sf_dir):
+    """BM25 served from the materialized inverted index
+    (textagg.write_term_index → hive-partitioned postings by
+    term_bucket): the probe scan is pruned to the query terms' buckets
+    (PartitionFilters, plan-pinned in tests) and never re-reads the
+    corpus.  Float-identical to bm25_top_docs by construction (shared
+    score expression + exact-integer corpus stats), so it registers
+    against the SAME oracle SQL — the driver hash-checks that the
+    index path loses nothing."""
+    from quality_filter.io import formats
+
+    docs = _t(spark, sf_dir, "documents")
+    path = formats.scratch_path("termidx", sf_dir)
+    textagg.write_term_index(docs, "text", "doc_id", path)
+    return textagg.bm25_indexed(spark, path, "doc_id", BM25_QUERY_TERMS, k=BM25_K)
+
+
 BPE_PAIRS_K = 50
 
 
@@ -1537,6 +1567,23 @@ def q_bpe_pair_counts(spark, sf_dir):
     (textagg.bpe_pair_counts)."""
     docs = _t(spark, sf_dir, "documents")
     return textagg.bpe_pair_counts(docs, "text", k=BPE_PAIRS_K)
+
+
+def q_kn_bigram_counts(spark, sf_dir):
+    """Distributed LM-training counts: the c(w1,w2) table the engine's
+    own 5-gram perplexity scorer would retrain from at corpus scale.
+    One O(distinct bigrams) shuffle (textagg.kn_bigram_counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textagg.kn_bigram_counts(docs, "text")
+
+
+def q_kn_continuation_stats(spark, sf_dir):
+    """Kneser-Ney continuation/backoff statistics per word: unigram
+    count + distinct left/right contexts, distinct-ed on the pair
+    relation before the per-word aggregates
+    (textagg.kn_continuation_stats)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textagg.kn_continuation_stats(docs, "text")
 
 
 def q_jsonl_roundtrip_stats(spark, sf_dir):
@@ -1860,6 +1907,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "host_pagerank": q_host_pagerank,
         "bm25_top_docs": q_bm25_top_docs,
+        "bm25_indexed": q_bm25_indexed,
+        "langid_confusion": q_langid_confusion,
+        "kn_bigram_counts": q_kn_bigram_counts,
+        "kn_continuation_stats": q_kn_continuation_stats,
         "bpe_pair_counts": q_bpe_pair_counts,
         "orc_roundtrip_stats": q_orc_roundtrip_stats,
         "dsir_bucket_ratios": q_dsir_bucket_ratios,
@@ -3221,6 +3272,45 @@ piv AS (
 tot AS (SELECT doc_id, matched, {_bm_tot} AS score FROM piv)
 SELECT doc_id, round(score, 6) AS bm25, matched FROM tot
 ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}"""
+    out["bm25_indexed"] = out["bm25_top_docs"]
+    _kn_toks = (
+        "SELECT regexp_split_to_array(lower(trim(text, ' ')), '[ ]+') AS t"
+        " FROM documents"
+    )
+    # double-unnest of two aligned slices zips positionally in DuckDB —
+    # the twin of Spark's zip_with over the same pre-sliced views
+    _kn_pairs = (
+        "SELECT unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2"
+        " FROM kn_toks WHERE len(t) >= 2"
+    )
+    out["kn_bigram_counts"] = f"""
+WITH kn_toks AS ({_kn_toks}),
+kn_pairs AS ({_kn_pairs})
+SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+FROM kn_pairs GROUP BY w1, w2"""
+    out["kn_continuation_stats"] = f"""
+WITH kn_toks AS ({_kn_toks}),
+kn_pairs AS ({_kn_pairs}),
+uc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_unigram
+  FROM (SELECT unnest(t) AS word FROM kn_toks) GROUP BY word
+),
+dp AS (SELECT DISTINCT w1, w2 FROM kn_pairs),
+lc AS (SELECT w2 AS word, CAST(count(*) AS BIGINT) AS n_left_ctx FROM dp GROUP BY w2),
+rc AS (SELECT w1 AS word, CAST(count(*) AS BIGINT) AS n_right_ctx FROM dp GROUP BY w1)
+SELECT u.word, u.n_unigram,
+  coalesce(lc.n_left_ctx, 0) AS n_left_ctx,
+  coalesce(rc.n_right_ctx, 0) AS n_right_ctx
+FROM uc u LEFT JOIN lc USING (word) LEFT JOIN rc USING (word)"""
+    out["langid_confusion"] = f"""
+WITH hits AS (
+  SELECT doc_id, lang,
+    {lang_hits}
+  FROM documents
+),
+best_t AS (SELECT *, {best} AS best FROM hits)
+SELECT lang, {lang_case} AS lang_guess, CAST(count(*) AS BIGINT) AS n
+FROM best_t GROUP BY lang, lang_guess"""
     out["bpe_pair_counts"] = f"""
 WITH w AS (
   SELECT unnest(regexp_split_to_array(lower(trim(text, ' ')), '[ ]+')) AS tok

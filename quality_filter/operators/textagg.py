@@ -87,6 +87,39 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def _bm25_score_col(tf, dl, df, nd: float, avgdl: float, k1: float, b: float):
+    """The BM25 per-(doc, term) score as ONE shared expression tree —
+    used by both the direct scan (bm25_topk) and the materialized-index
+    probe (bm25_indexed) so the two paths are float-identical by
+    construction (and both match the DuckDB oracle's spelling)."""
+    return F.log((F.lit(nd) - df + 0.5) / (df + 0.5) + 1.0) * (
+        (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / F.lit(avgdl)))
+    )
+
+
+def _bm25_rank(scored, id_col: str, terms: list[str], k: int):
+    """Pivot per-term scores to fixed columns, add in sorted-term order
+    (determinism seam — never a float SUM over shuffle-ordered rows),
+    take top-k via TakeOrderedAndProject."""
+    pivoted = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("matched"),
+        *[
+            F.max(F.when(F.col("term") == t, F.col("_s"))).alias(f"_s{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    total = None
+    for i in range(len(terms)):
+        piece = F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+        total = piece if total is None else total + piece
+    return (
+        pivoted.withColumn("_score", total)
+        .orderBy(F.col("_score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, F.round("_score", 6).alias("bm25"), "matched")
+    )
+
+
 def bm25_topk(
     df: DataFrame, text_col: str, id_col: str, query_terms: list[str],
     k: int = 10, k1: float = BM25_K1, b: float = BM25_B,
@@ -131,32 +164,91 @@ def bm25_topk(
         occ.select(F.col(id_col), F.col("term")).distinct()
         .groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     )
-    nd = F.lit(float(n_docs))
     scored = tf.join(F.broadcast(dfreq), "term").withColumn(
         "_s",
-        F.log((nd - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-        * (
-            (F.col("tf") * (k1 + 1.0))
-            / (F.col("tf") + k1 * ((1.0 - b) + b * F.col("dl") / F.lit(avgdl)))
+        _bm25_score_col(
+            F.col("tf"), F.col("dl"), F.col("df"), float(n_docs), avgdl, k1, b
         ),
     )
-    pivoted = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("matched"),
-        *[
-            F.max(F.when(F.col("term") == t, F.col("_s"))).alias(f"_s{i}")
-            for i, t in enumerate(terms)
-        ],
+    return _bm25_rank(scored, id_col, terms, k)
+
+
+TERM_INDEX_BUCKETS = 16
+
+
+def write_term_index(
+    df: DataFrame, text_col: str, id_col: str, path: str,
+    n_buckets: int = TERM_INDEX_BUCKETS,
+) -> None:
+    """Materialize an inverted index: postings ``(term, id, tf, dl)``
+    hive-partitioned by ``term_bucket = md5(term) % n_buckets``, plus a
+    one-row ``_stats`` table (n_docs, total_tokens).
+
+    The write_ivf_index / write_band_index pattern applied to lexical
+    retrieval: the corpus pays the explode+aggregate ONCE at ingest;
+    every subsequent query prunes the scan to the |Q| buckets of its
+    own terms (PartitionFilters at the source — plan-pinned in tests).
+    At web scale, size n_buckets so a bucket's postings fit a scan
+    split comfortably; df-capped stopword pruning can bound the fattest
+    postings lists the same way the LSH hot-band cap does."""
+    from quality_filter.operators.sampling import hash_bucket
+
+    base = df.select(
+        F.col(id_col), _tokens_lower(F.col(text_col)).alias("_t")
+    ).select(F.col(id_col), F.col("_t"), F.size("_t").cast("long").alias("dl"))
+    postings = (
+        base.select(F.col(id_col), F.col("dl"), F.explode("_t").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"), F.max("dl").alias("dl"))
+        .withColumn("term_bucket", (hash_bucket(F.col("term")) % n_buckets).cast("int"))
     )
-    total = None
-    for i in range(len(terms)):
-        piece = F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
-        total = piece if total is None else total + piece
-    return (
-        pivoted.withColumn("_score", total)
-        .orderBy(F.col("_score").desc(), F.col(id_col).asc())
-        .limit(k)
-        .select(id_col, F.round("_score", 6).alias("bm25"), "matched")
+    postings.write.mode("overwrite").partitionBy("term_bucket").parquet(path)
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
     )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}_stats")
+
+
+def bm25_indexed(
+    spark, path: str, id_col: str, query_terms: list[str], k: int = 10,
+    k1: float = BM25_K1, b: float = BM25_B,
+    n_buckets: int = TERM_INDEX_BUCKETS,
+) -> DataFrame:
+    """BM25 top-k served from the materialized term index: the postings
+    scan is pruned to the query terms' buckets (PartitionFilters — no
+    full-corpus read), df comes from a per-term count over the pruned
+    postings, corpus stats from the one-row ``_stats`` table.  Scores
+    are float-identical to ``bm25_topk`` by construction (shared
+    ``_bm25_score_col`` expression, same exact-integer nd/avgdl)."""
+    import hashlib
+
+    terms = sorted(query_terms)
+    srow = spark.read.parquet(f"{path}_stats").first()
+    n_docs, total_tokens = srow["n_docs"], srow["total_tokens"]
+    if not n_docs:
+        n_docs, total_tokens = 1, 1
+    avgdl = total_tokens / n_docs
+    buckets = sorted({
+        int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % n_buckets for t in terms
+    })
+    post = (
+        spark.read.parquet(path)
+        .filter(F.col("term_bucket").isin(buckets))  # -> PartitionFilters
+        .filter(F.col("term").isin(terms))
+        .select(id_col, "term", F.col("tf").cast("double").alias("tf"),
+                F.col("dl").cast("double").alias("dl"))
+    )
+    dfreq = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    scored = post.join(F.broadcast(dfreq), "term").withColumn(
+        "_s",
+        _bm25_score_col(
+            F.col("tf"), F.col("dl"), F.col("df"), float(n_docs), avgdl, k1, b
+        ),
+    )
+    return _bm25_rank(scored, id_col, terms, k)
 
 
 def bpe_pair_counts(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
@@ -184,6 +276,68 @@ def bpe_pair_counts(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(k)
+    )
+
+
+def _bigram_pairs(df: DataFrame, text_col: str) -> DataFrame:
+    """(w1, w2) adjacent-token pairs per occurrence, lowered tokenizer.
+    Built by zipping two pre-sliced views of the token array (the
+    shingles O(tokens) lesson) — no index-closure HOF lambdas."""
+    base = df.select(_tokens_lower(F.col(text_col)).alias("_t")).filter(
+        F.size("_t") >= 2
+    )
+    return base.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(_t, 1, size(_t) - 1), slice(_t, 2, size(_t) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+
+
+def kn_bigram_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(w1, w2, n): raw bigram counts — the c(w1,w2) table a Kneser-Ney
+    bigram LM trains from (the engine retraining its own perplexity
+    scorer's statistics at corpus scale).  Explode collapses map-side;
+    the one shuffle carries O(distinct bigrams) rows (vocabulary-
+    bounded, not corpus-bounded)."""
+    return (
+        _bigram_pairs(df, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def kn_continuation_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Per word: unigram count, N1+(•,w) distinct left contexts, and
+    N1+(w,•) distinct right continuations — the continuation/backoff
+    counts of Kneser-Ney smoothing.  The distinct happens on the
+    (w1, w2) pair relation BEFORE the per-word aggregates, so each
+    context is counted once; all three aggregates are O(vocabulary)
+    dimensions joined word-for-word (broadcast-sized at any corpus
+    scale with a bounded vocabulary)."""
+    uni = (
+        df.select(F.explode(_tokens_lower(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_unigram"))
+    )
+    dp = _bigram_pairs(df, text_col).distinct()
+    lc = dp.groupBy(F.col("w2").alias("word")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_left_ctx")
+    )
+    rc = dp.groupBy(F.col("w1").alias("word")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_right_ctx")
+    )
+    return (
+        uni.join(lc, "word", "left")
+        .join(rc, "word", "left")
+        .select(
+            "word",
+            "n_unigram",
+            F.coalesce("n_left_ctx", F.lit(0).cast("long")).alias("n_left_ctx"),
+            F.coalesce("n_right_ctx", F.lit(0).cast("long")).alias("n_right_ctx"),
+        )
     )
 
 

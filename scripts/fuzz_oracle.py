@@ -75,6 +75,16 @@ DOC_QUERIES = [
     "toxicity_gate_docs",
     # exact integer/rational inputs -> engine-identical arithmetic chain
     "minhash_containment_estimate",
+    # graph/retrieval/tokenizer tier: pagerank is pure doc_id-derived
+    # integer algebra (corpus-agnostic); bm25 may legitimately return
+    # empty when a fuzzed corpus lacks the query terms (both engines
+    # empty => pass); bpe/orc exercise substr + format fidelity on
+    # adversarial unicode; confusion reuses the fuzz-proven lang_guess
+    "host_pagerank", "bm25_top_docs", "bm25_indexed", "bpe_pair_counts",
+    "orc_roundtrip_stats", "langid_confusion",
+    # KN LM counts: pure positional token algebra (zip_with slices ==
+    # DuckDB double-unnest zip), exact integers
+    "kn_bigram_counts", "kn_continuation_stats",
     # NOT fuzzed: pii_hit_counts_docs shares pii_scrub_docs' documented
     # RE2-vs-Java unicode \d/\b seam (see module docstring)
 ]

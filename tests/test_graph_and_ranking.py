@@ -128,6 +128,32 @@ def test_bm25_top_docs_query_green_shapes(spark, docs):
     assert all(1 <= r["matched"] <= len(E.BM25_QUERY_TERMS) for r in out)
 
 
+def test_bm25_indexed_identical_to_direct_and_partition_pruned(spark, docs, tmp_path):
+    terms = ["hash", "spark", "table"]
+    path = str(tmp_path / "termidx")
+    textagg.write_term_index(docs, "text", "doc_id", path)
+    direct = textagg.bm25_topk(docs, "text", "doc_id", terms, k=10)
+    probe = textagg.bm25_indexed(spark, path, "doc_id", terms, k=10)
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, probe.collect()))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # the postings scan must be pruned to the query terms' buckets
+    assert "PartitionFilters" in plan and "term_bucket" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*term_bucket[^\]]*)\]", plan)
+    assert pf, plan[:2000]
+
+
+def test_langid_confusion_conserves_docs(spark, docs):
+    import __spark_entry__ as E
+
+    out = E.q_langid_confusion(spark, SF).collect()
+    assert sum(r["n"] for r in out) == docs.count()
+    diag = {r["lang"]: r["n"] for r in out if r["lang"] == r["lang_guess"]}
+    # the heuristic should get the bulk of each labelled language right
+    assert diag and all(n > 0 for n in diag.values())
+
+
 def test_bpe_pair_counts_hand_case(spark):
     df = spark.createDataFrame(
         [(1, "abab cd"), (2, "ab x")], "doc_id long, text string"
@@ -135,6 +161,26 @@ def test_bpe_pair_counts_hand_case(spark):
     got = {r["pair"]: r["n"] for r in textagg.bpe_pair_counts(df, "text", k=10).collect()}
     # 'abab' → ab, ba, ab; 'cd' → cd; 'ab' → ab; 'x' dropped (len 1)
     assert got == {"ab": 3, "ba": 1, "cd": 1}
+
+
+def test_kn_counts_hand_case_and_invariants(spark, docs):
+    df = spark.createDataFrame([(1, "a b a b c"), (2, "x")], "doc_id long, text string")
+    bg = {(r["w1"], r["w2"]): r["n"] for r in textagg.kn_bigram_counts(df, "text").collect()}
+    assert bg == {("a", "b"): 2, ("b", "a"): 1, ("b", "c"): 1}
+    ks = {
+        r["word"]: (r["n_unigram"], r["n_left_ctx"], r["n_right_ctx"])
+        for r in textagg.kn_continuation_stats(df, "text").collect()
+    }
+    assert ks == {
+        "a": (2, 1, 1), "b": (2, 1, 2), "c": (1, 1, 0), "x": (1, 0, 0),
+    }
+    # corpus invariant: distinct contexts never exceed occurrences
+    big = textagg.kn_continuation_stats(docs.limit(500), "text")
+    bad = big.filter(
+        (F.col("n_left_ctx") > F.col("n_unigram"))
+        | (F.col("n_right_ctx") > F.col("n_unigram"))
+    ).count()
+    assert bad == 0
 
 
 def test_orc_roundtrip_fidelity_matches_source(spark, docs, tmp_path):
