@@ -1569,6 +1569,56 @@ def q_bpe_pair_counts(spark, sf_dir):
     return textagg.bpe_pair_counts(docs, "text", k=BPE_PAIRS_K)
 
 
+WINNOW_MAX_DF = 50
+SNAP_MOD = 5
+
+
+def q_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints: window-min over k-gram hashes —
+    the local-substring-similarity complement to minhash/simhash, with
+    the ~2/(w+1) density bound.  Zero-shuffle narrow map
+    (dedup.winnowing_fingerprints)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.winnowing_fingerprints(docs, "text", "doc_id")
+
+
+def q_winnowing_pairs(spark, sf_dir):
+    """Shared-fingerprint candidate pairs over the winnowing set: fp
+    equi-join (LSH band-join shape), boilerplate fps df-capped exactly
+    like star_edges/containment (dedup.winnowing_pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.winnowing_pairs(docs, "text", "doc_id", max_df=WINNOW_MAX_DF)
+
+
+def q_corpus_snapshot_diff(spark, sf_dir):
+    """Crawl-snapshot content diff: two overlapping snapshots (modeled
+    as doc_id % {SNAP_MOD} slices) compared by exact-dup fingerprint —
+    added / removed / common distinct-content counts.  Two map-side
+    distinct aggregates + one fp-keyed full join; corpus collapses to
+    O(distinct fps) before the join and to 3 rows at the end."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = dedup.fingerprint_col(F.col("text"))
+    old = (
+        docs.filter(F.col("doc_id") % SNAP_MOD != SNAP_MOD - 1)
+        .select(fp.alias("fp")).distinct().withColumn("_o", F.lit(1))
+    )
+    new = (
+        docs.filter(F.col("doc_id") % SNAP_MOD != 0)
+        .select(fp.alias("fp")).distinct().withColumn("_n", F.lit(1))
+    )
+    j = old.join(new, "fp", "full")
+    status = (
+        F.when(F.col("_o").isNull(), F.lit("added"))
+        .when(F.col("_n").isNull(), F.lit("removed"))
+        .otherwise(F.lit("common"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_fps"))
+    )
+
+
 def q_kn_bigram_counts(spark, sf_dir):
     """Distributed LM-training counts: the c(w1,w2) table the engine's
     own 5-gram perplexity scorer would retrain from at corpus scale.
@@ -1911,6 +1961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_confusion": q_langid_confusion,
         "kn_bigram_counts": q_kn_bigram_counts,
         "kn_continuation_stats": q_kn_continuation_stats,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
+        "winnowing_pairs": q_winnowing_pairs,
+        "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "bpe_pair_counts": q_bpe_pair_counts,
         "orc_roundtrip_stats": q_orc_roundtrip_stats,
         "dsir_bucket_ratios": q_dsir_bucket_ratios,
@@ -3273,6 +3326,48 @@ tot AS (SELECT doc_id, matched, {_bm_tot} AS score FROM piv)
 SELECT doc_id, round(score, 6) AS bm25, matched FROM tot
 ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}"""
     out["bm25_indexed"] = out["bm25_top_docs"]
+    _win_w = dedup.WINNOW_W
+    _win_ctes = f"""wsh AS (SELECT doc_id, {_ngram_expr_n(dedup.WINNOW_K)} AS ng FROM documents),
+wh AS (
+  SELECT doc_id,
+    list_transform(ng, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hl
+  FROM wsh
+),
+wfp AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, len(hl) - {_win_w - 1}),
+    i -> list_min(hl[i:i + {_win_w - 1}])))) AS fp
+  FROM wh WHERE len(hl) >= {_win_w}
+)"""
+    out["winnowing_fingerprints"] = f"""
+WITH {_win_ctes}
+SELECT doc_id, fp FROM wfp"""
+    out["winnowing_pairs"] = f"""
+WITH {_win_ctes},
+wcap AS (SELECT fp FROM wfp GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}),
+wp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM wfp a JOIN wcap c ON a.fp = c.fp JOIN wfp b ON b.fp = a.fp
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM wp GROUP BY doc_a, doc_b"""
+    out["corpus_snapshot_diff"] = f"""
+WITH o AS (
+  SELECT DISTINCT md5(lower(trim(text, ' '))) AS fp FROM documents
+  WHERE doc_id % {SNAP_MOD} != {SNAP_MOD - 1}
+),
+n AS (
+  SELECT DISTINCT md5(lower(trim(text, ' '))) AS fp FROM documents
+  WHERE doc_id % {SNAP_MOD} != 0
+),
+j AS (
+  SELECT CASE WHEN o.fp IS NULL THEN 'added'
+              WHEN n.fp IS NULL THEN 'removed'
+              ELSE 'common' END AS status
+  FROM o FULL OUTER JOIN n ON o.fp = n.fp
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_fps FROM j GROUP BY status"""
     _kn_toks = (
         "SELECT regexp_split_to_array(lower(trim(text, ' ')), '[ ]+') AS t"
         " FROM documents"

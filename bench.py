@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "segment_dedup_docs",     # min-struct partial-agg segment dedup
     "containment_pairs",      # df-capped segment containment join
     "semantic_dedup",         # k-means assign + cluster-bounded pair join
+    # round-4 graph/retrieval/local-dedup tier
+    "host_pagerank",          # iterative integer power iteration (3 rounds)
+    "bm25_top_docs",          # filtered explode + broadcast df dim + top-k
+    "winnowing_pairs",        # window-min fingerprints + df-capped fp join
 ]
 
 

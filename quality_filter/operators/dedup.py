@@ -55,6 +55,82 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+def winnowing_fingerprints(
+    df: DataFrame, text_col: str, id_col: str,
+    k: int = WINNOW_K, w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every word-k-gram (shared md5 universe), then
+    keep the MINIMUM hash of each w-window of consecutive k-grams —
+    position-robust selection with a guaranteed density bound of
+    ~2/(w+1), the local-similarity complement to minhash (global
+    Jaccard) and simhash (global cosine): any shared substring of
+    ≥ w+k-1 words MUST contribute at least one identical fingerprint.
+
+    Returns (id, fp) with per-doc-distinct fingerprints.  Zero-shuffle
+    narrow map (token slicing + HOF window minima, O(len·w) per doc);
+    docs with fewer than w k-grams emit nothing (strict-window form).
+    """
+    return df.select(
+        F.col(id_col),
+        F.explode(winnowing_fp_array_col(F.col(text_col), k, w)).alias("fp"),
+    )
+
+
+def winnowing_fp_array_col(text: Column, k: int = WINNOW_K, w: int = WINNOW_W) -> Column:
+    """Per-row distinct winnowing fingerprint array — ONE definition
+    shared by the batch explode and the streaming claim stage (the
+    minhash_from_shingles dual-surface discipline).  Pure narrow
+    expression: safe before any stateful streaming operator."""
+    sh = shingles(text, k)
+    h = F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+    )
+    m = F.size(h)
+    # guard BEFORE sequence: Spark's sequence(1, n) with n < 1 yields a
+    # DESCENDING sequence, not an empty one
+    idx = F.when(m >= w, F.sequence(F.lit(1), m - (w - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def _win_min(i):  # one-param lambda (the (x, i) index-binding trap)
+        return F.array_min(F.slice(h, i, w))
+
+    return F.array_distinct(F.transform(idx, _win_min))
+
+
+def winnowing_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    k: int = WINNOW_K, w: int = WINNOW_W, max_df: int = 50,
+) -> DataFrame:
+    """Local near-dup candidates: docs sharing winnowing fingerprints,
+    with shared-fp counts.  The fp equi-join is the LSH band-join shape
+    (bucketed, never all-pairs); boilerplate fingerprints shared by
+    more than ``max_df`` docs are excluded — the same hot-key cap as
+    star_edges/containment (a fingerprint in 10^6 docs is boilerplate,
+    not evidence, and would otherwise cost O(df²) pairs)."""
+    fps = winnowing_fingerprints(df, text_col, id_col, k, w)
+    capped = fps.join(
+        fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("fp"),
+        "fp",
+    )
+    a = capped.select("fp", F.col(id_col).alias("doc_a"))
+    b = capped.select("fp", F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
 def minhash_signature(
     df: DataFrame, text_col: str, id_col: str,
     num_hashes: int = DEFAULT_NUM_HASHES, shingle_n: int = 3,

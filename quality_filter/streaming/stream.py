@@ -324,6 +324,65 @@ def stream_url_dedup(
     )
 
 
+def stream_winnowing_dedup(
+    sdf: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+    ts_col: str = "warc_ts",
+    delay: str = "1 hour",
+    window: str = "1 hour",
+    k: int | None = None,
+    w: int | None = None,
+) -> DataFrame:
+    """Streaming LOCAL near-dup suppression on winnowing fingerprints:
+    first-seen-wins fp claims via ``dropDuplicatesWithinWatermark``,
+    survive iff every fingerprint was claimed (the
+    stream_near_dup_survivors algebra with fp keys instead of band
+    keys, and a per-doc claim quota instead of the fixed n_bands —
+    winnowing emits a variable fingerprint count per doc).
+
+    The fingerprint array is the SAME shared expression as the batch
+    operator (dedup.winnowing_fp_array_col — pure narrow map, legal
+    before the stateful stage), so batch and stream agree on what a
+    fingerprint is.  Docs below the w-window minimum (no fingerprints)
+    get a self-keyed sentinel claim that can never collide — they
+    always survive, matching the batch strict-window form where such
+    docs never pair.  State is bounded by the fp cardinality of one
+    watermark horizon.  Same greedy first-seen caveats as the band
+    variant (trigger-granular arrival order; bridge docs).
+
+    Output: (window_start, id) of surviving docs, append-mode."""
+    D = _dedup()
+    k = k or D.WINNOW_K
+    w = w or D.WINNOW_W
+    base = sdf.withColumn(
+        "_fps", D.winnowing_fp_array_col(F.col(text_col), k, w)
+    ).withColumn("_nreq", F.greatest(F.size("_fps"), F.lit(1)))
+    exploded = base.select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.col("_nreq"),
+        F.explode(
+            F.when(
+                F.size("_fps") == 0,
+                F.array(F.concat(F.lit("self:"), F.col(id_col).cast("string"))),
+            ).otherwise(F.transform(F.col("_fps"), lambda x: x.cast("string")))
+        ).alias("fp_key"),
+    )
+    claimed = exploded.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        ["fp_key"]
+    )
+    return (
+        claimed.groupBy(F.window(ts_col, window).alias("w"), F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("_n_claimed"),
+            F.max("_nreq").alias("_nreq"),
+        )
+        .filter(F.col("_n_claimed") == F.col("_nreq"))
+        .select(F.col("w.start").alias("window_start"), F.col(id_col))
+    )
+
+
 def stream_term_cms(
     sdf: DataFrame,
     text_col: str = "text",

@@ -85,6 +85,8 @@ DOC_QUERIES = [
     # KN LM counts: pure positional token algebra (zip_with slices ==
     # DuckDB double-unnest zip), exact integers
     "kn_bigram_counts", "kn_continuation_stats",
+    # winnowing (md5 universe window-min) + content snapshot diff
+    "winnowing_fingerprints", "winnowing_pairs", "corpus_snapshot_diff",
     # NOT fuzzed: pii_hit_counts_docs shares pii_scrub_docs' documented
     # RE2-vs-Java unicode \d/\b seam (see module docstring)
 ]

@@ -183,6 +183,59 @@ def test_kn_counts_hand_case_and_invariants(spark, docs):
     assert bad == 0
 
 
+def test_winnowing_shared_substring_guarantee(spark):
+    from quality_filter.operators import dedup
+
+    # docs 1 and 2 share a run of w+k-1 = 6 words -> MUST share >= 1 fp
+    common = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, "one two three " + common + " four five"),
+        (2, common + " completely different tail words here"),
+        (3, "unrelated content with no overlap at all whatsoever okay"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = dedup.winnowing_fingerprints(df, "text", "doc_id").collect()
+    by_doc = defaultdict(set)
+    for r in fps:
+        by_doc[r["doc_id"]].add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 6-word run must yield a shared fp"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # per-doc distinctness + density: never more fps than windows
+    for i, text in rows:
+        n_shingles = max(0, len(text.split()) - (dedup.WINNOW_K - 1))
+        n_windows = max(0, n_shingles - (dedup.WINNOW_W - 1))
+        assert len(by_doc[i]) <= n_windows
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in dedup.winnowing_pairs(df, "text", "doc_id").collect()
+    }
+    assert set(pairs) == {(1, 2)} and pairs[(1, 2)] == len(by_doc[1] & by_doc[2])
+
+
+def test_winnowing_pairs_hot_fp_cap(spark):
+    from quality_filter.operators import dedup
+
+    # identical boilerplate in many docs: df cap excludes it entirely
+    rows = [(i, "the same boiler plate text repeated everywhere again") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.winnowing_pairs(df, "text", "doc_id", max_df=5).count() == 0
+    # under the cap the clique appears
+    assert dedup.winnowing_pairs(df, "text", "doc_id", max_df=10).count() == 45
+
+
+def test_snapshot_diff_conserves_fingerprints(spark, docs):
+    import __spark_entry__ as E
+    from quality_filter.operators import dedup
+
+    out = {r["status"]: r["n_fps"] for r in E.q_corpus_snapshot_diff(spark, SF).collect()}
+    fp = dedup.fingerprint_col(F.col("text"))
+    old = docs.filter(F.col("doc_id") % E.SNAP_MOD != E.SNAP_MOD - 1).select(fp.alias("fp"))
+    new = docs.filter(F.col("doc_id") % E.SNAP_MOD != 0).select(fp.alias("fp"))
+    union_fps = old.union(new).distinct().count()
+    assert sum(out.values()) == union_fps
+    assert set(out) == {"added", "removed", "common"}
+
+
 def test_orc_roundtrip_fidelity_matches_source(spark, docs, tmp_path):
     from quality_filter.io import formats
 

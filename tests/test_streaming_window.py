@@ -370,3 +370,64 @@ def test_stream_term_cms_matches_batch_cells(spark, tmp_path):
             for r in term_cms_sketch(batch_rows, "text").collect()
         }
         assert cells == {k: v for k, v in got.items() if k[0] == w}
+
+
+def test_stream_winnowing_dedup_matches_batch_components(spark, tmp_path):
+    """Streaming winnowing fp-claim dedup vs batch winnowing pairs →
+    components: exactly one stream survivor per batch fp-cluster,
+    unclustered docs all survive, fingerprint-less docs (below the
+    window minimum) always survive via the self-keyed sentinel."""
+    import datetime
+    import time
+
+    import pandas as pd_
+    from pyspark.sql import functions as F
+
+    from quality_filter.operators import dedup
+    from quality_filter.streaming.stream import stream_winnowing_dedup
+
+    pages = generate_pages(80, seed=29, days=1).drop(columns=["cls"])
+    pages = pages[pages["text"].notna()].reset_index(drop=True)
+    dup = pages.iloc[:15].copy()
+    dup["url"] = dup["url"] + "?copy=1"
+    tiny = pages.iloc[:4].copy()
+    tiny["url"] = "tiny://" + tiny["url"]
+    tiny["text"] = "ok go"  # < k tokens -> zero fingerprints
+    corpus = pd_.concat([pages, dup, tiny], ignore_index=True)
+    sdf_b = spark.createDataFrame(corpus, schema=pages_spark_schema())
+    src = str(tmp_path / "win_src")
+    sdf_b.coalesce(1).write.parquet(src)
+    time.sleep(0.3)
+    far = corpus["warc_ts"].max() + datetime.timedelta(days=30)
+    sentinel = corpus.iloc[:1].copy()
+    sentinel["url"] = "sentinel://flush"
+    sentinel["warc_ts"] = far
+    spark.createDataFrame(sentinel, schema=pages_spark_schema()).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = read_pages_stream(spark, src, max_files=1)
+    surv = stream_winnowing_dedup(
+        stream, "text", "url", "warc_ts", delay="0 seconds", window="24 hours"
+    )
+    q = (
+        surv.writeStream.format("memory").queryName("winsurv")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["url"] for r in spark.sql("select url from winsurv").collect()
+        if not r["url"].startswith("sentinel://")
+    }
+
+    pairs = dedup.winnowing_pairs(sdf_b, "text", "url", max_df=10**6)
+    comp = dedup.connected_components_altstar(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    ).toPandas()
+    clusters = comp.groupby("comp")["x"].apply(set)
+    for members in clusters:
+        assert len(got & members) == 1, members
+    clustered = set(comp["x"])
+    all_urls = set(corpus["url"])
+    assert (all_urls - clustered) <= got  # every unclustered doc survives
+    assert all(u in got for u in corpus["url"] if u.startswith("tiny://"))
