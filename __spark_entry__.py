@@ -337,6 +337,53 @@ def q_quality_score_histogram(spark, sf_dir):
     )
 
 
+def q_score_drift_psi(spark, sf_dir):
+    """Population-stability-index drift monitor between two crawl
+    snapshots: per-bin quality-score shares (Laplace-smoothed so empty
+    bins stay defined) and the PSI contribution
+    (p_new - p_old)·ln(p_new/p_old) per bin — the batch-over-batch
+    distribution-shift alarm a production gate needs.  Both snapshot
+    histograms collapse map-side to ≤ {N_SCORE_BINS} rows; totals and
+    terms run on the bin DIMENSION only (single tiny task).  The final
+    PSI is the consumer's driver-side sum of psi_term (kept per-bin
+    here so the hash check is over exact expression trees, not a
+    shuffle-ordered float sum)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = R.feature_columns(F.col("text"), CFG)
+    feats["ppl_norm"] = F.lit(0.0)
+    q = R.quality_score_col(feats, CFG)
+    bin_ = F.least(F.floor(q * N_SCORE_BINS), F.lit(N_SCORE_BINS - 1)).cast("long")
+    b = docs.select(F.col("doc_id"), bin_.alias("bin"))
+    old = (
+        b.filter(F.col("doc_id") % SNAP_MOD != SNAP_MOD - 1)
+        .groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("n_old"))
+    )
+    new = (
+        b.filter(F.col("doc_id") % SNAP_MOD != 0)
+        .groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    j = old.join(new, "bin", "full").select(
+        "bin",
+        F.coalesce("n_old", F.lit(0).cast("long")).alias("n_old"),
+        F.coalesce("n_new", F.lit(0).cast("long")).alias("n_new"),
+    )
+    w = Window.partitionBy()
+    t = j.select(
+        "bin", "n_old", "n_new",
+        F.sum("n_old").over(w).alias("_to"), F.sum("n_new").over(w).alias("_tn"),
+    )
+    p_old = (F.col("n_old") + 1.0) / (F.col("_to") + float(N_SCORE_BINS))
+    p_new = (F.col("n_new") + 1.0) / (F.col("_tn") + float(N_SCORE_BINS))
+    return t.select(
+        "bin", "n_old", "n_new",
+        F.round(p_old, 6).alias("p_old"),
+        F.round(p_new, 6).alias("p_new"),
+        F.round((p_new - p_old) * F.log(p_new / p_old), 6).alias("psi_term"),
+    )
+
+
 CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48
 
@@ -1961,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_confusion": q_langid_confusion,
         "kn_bigram_counts": q_kn_bigram_counts,
         "kn_continuation_stats": q_kn_continuation_stats,
+        "score_drift_psi": q_score_drift_psi,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "winnowing_pairs": q_winnowing_pairs,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
@@ -3368,6 +3416,40 @@ j AS (
   FROM o FULL OUTER JOIN n ON o.fp = n.fp
 )
 SELECT status, CAST(count(*) AS BIGINT) AS n_fps FROM j GROUP BY status"""
+    _psi_bin = (
+        f"least(CAST(floor((1.0 / (1.0 + exp(-{qz}))) * {N_SCORE_BINS}) AS BIGINT),"
+        f" {N_SCORE_BINS - 1})"
+    )
+    out["score_drift_psi"] = f"""
+WITH {_features_cte()},
+pb AS (SELECT doc_id, {_psi_bin} AS bin FROM ratios),
+po AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_old FROM pb
+  WHERE doc_id % {SNAP_MOD} != {SNAP_MOD - 1} GROUP BY bin
+),
+pn AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_new FROM pb
+  WHERE doc_id % {SNAP_MOD} != 0 GROUP BY bin
+),
+pj AS (
+  SELECT coalesce(po.bin, pn.bin) AS bin,
+    coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+  FROM po FULL OUTER JOIN pn ON po.bin = pn.bin
+),
+pt AS (
+  SELECT bin, n_old, n_new,
+    sum(n_old) OVER () AS _to, sum(n_new) OVER () AS _tn
+  FROM pj
+),
+pp AS (
+  SELECT bin, n_old, n_new,
+    (n_old + 1.0) / (_to + {float(N_SCORE_BINS)!r}) AS p_old,
+    (n_new + 1.0) / (_tn + {float(N_SCORE_BINS)!r}) AS p_new
+  FROM pt
+)
+SELECT bin, n_old, n_new, round(p_old, 6) AS p_old, round(p_new, 6) AS p_new,
+  round((p_new - p_old) * ln(p_new / p_old), 6) AS psi_term
+FROM pp"""
     _kn_toks = (
         "SELECT regexp_split_to_array(lower(trim(text, ' ')), '[ ]+') AS t"
         " FROM documents"

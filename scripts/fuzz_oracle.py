@@ -87,6 +87,9 @@ DOC_QUERIES = [
     "kn_bigram_counts", "kn_continuation_stats",
     # winnowing (md5 universe window-min) + content snapshot diff
     "winnowing_fingerprints", "winnowing_pairs", "corpus_snapshot_diff",
+    # PSI drift: fuzz-proven feature CTE + exact-count shares + the ln
+    # precedent (tfidf/bm25)
+    "score_drift_psi",
     # NOT fuzzed: pii_hit_counts_docs shares pii_scrub_docs' documented
     # RE2-vs-Java unicode \d/\b seam (see module docstring)
 ]

@@ -236,6 +236,24 @@ def test_snapshot_diff_conserves_fingerprints(spark, docs):
     assert set(out) == {"added", "removed", "common"}
 
 
+def test_score_drift_psi_shape_and_conservation(spark, docs):
+    import math as _math
+
+    import __spark_entry__ as E
+
+    rows = E.q_score_drift_psi(spark, SF).collect()
+    assert rows
+    n_old_total = sum(r["n_old"] for r in rows)
+    n_new_total = sum(r["n_new"] for r in rows)
+    assert n_old_total == docs.filter(F.col("doc_id") % E.SNAP_MOD != E.SNAP_MOD - 1).count()
+    assert n_new_total == docs.filter(F.col("doc_id") % E.SNAP_MOD != 0).count()
+    for r in rows:
+        assert 0.0 < r["p_old"] < 1.0 and 0.0 < r["p_new"] < 1.0
+        assert _math.isfinite(r["psi_term"])
+        # (p_new - p_old) and ln(p_new/p_old) share sign -> psi_term >= 0
+        assert r["psi_term"] >= 0.0
+
+
 def test_orc_roundtrip_fidelity_matches_source(spark, docs, tmp_path):
     from quality_filter.io import formats
 
