@@ -1,0 +1,152 @@
+"""Outlink extraction: HTML → href list → resolved host edge list.
+
+The web-graph companion to ``text/extraction.py``: where extraction pulls
+the *content* out of a crawled page, this module pulls the *link
+structure* out — the input every crawl-frontier scheduler, host-reputation
+ranker (``operators/graph.pagerank``) and anchor-text index needs.  The
+reference library has no link operator; this is the engine's own tier
+(Common Crawl publishes exactly this product as its host-level web-graph
+releases built from WARC page sets).
+
+Everything here is a JVM-native narrow map — ``regexp_extract_all`` +
+array HOFs + ``try_parse_url`` — no UDF, no Python crossing, no shuffle
+until the final edge aggregation.  At 10^12 pages the extraction runs at
+scan speed; the only exchange is the map-side-combined ``groupBy(src,
+dst)`` whose output is O(unique host pairs), a dimension relative to the
+corpus (a host linked from 10^6 pages of one site collapses in the
+partial agg, so link-frequency skew self-mitigates exactly like
+``io/pages.url_dedup``).
+
+Regex discipline: patterns avoid backreferences and lookaround so the
+same pattern string is valid in Java regex (Spark) and RE2 (the DuckDB
+oracle); anchors' inner text is matched as ``[^<]*`` so greediness
+differences can never matter.
+
+Robustness contract (the ``canonical_url_col`` lesson): malformed hrefs
+NEVER abort a batch — ``try_parse_url`` yields NULL for unparseable
+absolute links and those rows drop out of the edge list; scheme-relative
+(``//host/...``), page-relative (``/path``) and opaque schemes
+(``mailto:``, ``javascript:``) are classified explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# href values inside <a> elements, double-quoted form (group 1 = the URL).
+HREF_PATTERN = '(?i)<a\\s[^>]*href="([^"]*)"'
+# Whole <a ...>text</a> elements with tag-free inner text (group 0 = the
+# element; inner text is re-extracted per element, so a page where some
+# anchors nest markup simply contributes nothing for those anchors).
+ANCHOR_ELEM_PATTERN = '(?i)<a\\s[^>]*href="[^"]*"[^>]*>[^<]*</a>'
+ANCHOR_HREF_PATTERN = 'href="([^"]*)"'
+ANCHOR_TEXT_PATTERN = ">([^<]*)</a>"
+# <meta name="robots" content="... noindex ..."> — the crawl-politeness
+# exclusion signal a corpus builder must honor before keeping a page.
+ROBOTS_NOINDEX_PATTERN = '(?i)<meta\\s[^>]*name="robots"[^>]*content="[^"]*noindex'
+
+
+def outlink_urls_col(html: Column) -> Column:
+    """Array of raw href values from an HTML string column."""
+    return F.regexp_extract_all(html, F.lit(HREF_PATTERN), F.lit(1))
+
+
+def link_host_col(link: Column, base_host: Column) -> Column:
+    """Resolve one href to a lowercase target host.
+
+    * absolute ``http(s)://...`` → parsed host (``try_parse_url``: a
+      malformed absolute link resolves to NULL, never an error);
+    * scheme-relative ``//host/...`` → parsed with ``https:`` prepended;
+    * page-relative ``/path`` or ``path`` (no scheme) → the page's own
+      host (``base_host``);
+    * opaque schemes (``mailto:``, ``javascript:``, ``tel:`` …) → NULL.
+    """
+    absolute = F.lower(F.try_parse_url(link, F.lit("HOST")))
+    scheme_rel = F.lower(
+        F.try_parse_url(F.concat(F.lit("https:"), link), F.lit("HOST"))
+    )
+    return (
+        F.when(link.rlike("^(?i)https?://"), absolute)
+        .when(link.startswith("//"), scheme_rel)
+        # any other explicit scheme (mailto:, javascript:, data:, tel:)
+        .when(link.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), F.lit(None).cast("string"))
+        .otherwise(F.lower(base_host))
+    )
+
+
+def host_edges(
+    df: DataFrame,
+    html_col: str = "html_str",
+    host_col: str = "host",
+    drop_self: bool = True,
+) -> DataFrame:
+    """Weighted host-level link graph ``(src, dst, w)`` from pages.
+
+    ``html_col`` is an HTML *string* column (decode upstream — the
+    pipeline's strict-UTF-8 stage already owns byte semantics);
+    ``host_col`` is the page's own host.  One narrow extraction map +
+    one map-side-combined exchange of O(unique host pairs).
+    ``drop_self`` excludes intra-host edges (relative links resolve to
+    the page's own host), the usual convention for host-graph
+    centrality — a site cannot vote for itself.
+    """
+    links = df.select(
+        F.lower(F.col(host_col)).alias("src"),
+        F.explode(outlink_urls_col(F.col(html_col))).alias("link"),
+    )
+    resolved = links.select(
+        "src", link_host_col(F.col("link"), F.col("src")).alias("dst")
+    ).filter(F.col("dst").isNotNull() & (F.col("dst") != ""))
+    if drop_self:
+        resolved = resolved.filter(F.col("dst") != F.col("src"))
+    return resolved.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+
+
+def anchor_terms(
+    df: DataFrame,
+    html_col: str = "html_str",
+    host_col: str = "host",
+    k: int = 50,
+) -> DataFrame:
+    """Top-k ``(dst, term, n)`` anchor-text terms per target host — the
+    aggregate behind anchor-text retrieval indexes (a page is described
+    better by the text of links pointing AT it than by itself).
+
+    Per-element parse (explode whole ``<a>`` elements, then re-extract
+    href + inner text from each) so a page where the two per-page
+    extract-all arrays would misalign cannot pair an href with the
+    wrong anchor.  Terms are lowercased whitespace tokens of length ≥ 2.
+    Narrow maps until the O(hosts × anchor vocabulary) count exchange;
+    deterministic top-k via (n DESC, dst ASC, term ASC).
+    """
+    elems = df.select(
+        F.lower(F.col(host_col)).alias("src"),
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_ELEM_PATTERN), F.lit(0))
+        ).alias("elem"),
+    )
+    pairs = elems.select(
+        "src",
+        F.regexp_extract(F.col("elem"), ANCHOR_HREF_PATTERN, 1).alias("link"),
+        F.lower(F.regexp_extract(F.col("elem"), ANCHOR_TEXT_PATTERN, 1)).alias("anchor"),
+    )
+    resolved = pairs.select(
+        link_host_col(F.col("link"), F.col("src")).alias("dst"),
+        F.explode(F.split(F.col("anchor"), " +")).alias("term"),
+    ).filter(F.col("dst").isNotNull() & (F.col("dst") != "") & (F.length("term") >= 2))
+    return (
+        resolved.groupBy("dst", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("dst").asc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def robots_noindex_col(html: Column) -> Column:
+    """True iff the page carries a ``<meta name="robots" ... noindex``
+    directive — pages a compliant corpus builder must drop regardless of
+    content quality.  Pure rlike narrow map."""
+    return html.rlike(ROBOTS_NOINDEX_PATTERN)

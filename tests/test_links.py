@@ -1,0 +1,158 @@
+"""Outlink extraction tier: href parse, host resolution, anchor terms,
+robots gate, edge aggregation, plan shape, and the registered
+composition with PageRank."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from quality_filter.operators import graph, links
+
+from tests.test_spark_pipeline import spark  # session fixture  # noqa: F401
+
+SF = "/root/testdata/sf0.01"
+
+
+def _resolve(spark, rows):
+    df = spark.createDataFrame(rows, "link string, src string")
+    return [
+        r["dst"]
+        for r in df.select(
+            links.link_host_col(F.col("link"), F.col("src")).alias("dst")
+        ).collect()
+    ]
+
+
+def test_link_host_resolution_classes(spark):
+    """Every href class resolves per the documented convention, and a
+    malformed absolute link yields NULL — never a job abort (the
+    try_parse_url contract)."""
+    rows = [
+        ("https://WWW-Host.Example.COM/p/1", "me.com"),   # absolute, case folds
+        ("http://a.example.org", "me.com"),               # absolute http
+        ("//cdn.example.net/x.js", "me.com"),             # scheme-relative
+        ("/about", "me.com"),                             # page-relative
+        ("contact.html", "me.com"),                       # bare relative
+        ("mailto:info@example.com", "me.com"),            # opaque scheme
+        ("javascript:void(0)", "me.com"),                 # opaque scheme
+        ("https://exa mple.com/x", "me.com"),             # malformed absolute
+        ("", "me.com"),                                   # empty href
+    ]
+    got = _resolve(spark, rows)
+    assert got == [
+        "www-host.example.com",
+        "a.example.org",
+        "cdn.example.net",
+        "me.com",
+        "me.com",
+        None,
+        None,
+        None,
+        "me.com",
+    ]
+
+
+HTML_A = (
+    '<html><body><nav><a href="/">home</a></nav>'
+    '<a href="https://b.com/x">to b</a>'
+    '<a href="https://b.com/y">b again</a>'
+    '<a href="//c.com/z">to c</a>'
+    '<a href="mailto:x@y.z">mail</a></body></html>'
+)
+HTML_B = '<p>no links here</p><a href="https://a.com/1">back to a</a>'
+
+
+def test_host_edges_hand_case(spark):
+    df = spark.createDataFrame(
+        [("a.com", HTML_A), ("b.com", HTML_B)], "host string, html_str string"
+    )
+    got = {(r["src"], r["dst"]): r["w"] for r in links.host_edges(df).collect()}
+    # relative "/" resolves to a.com itself -> self-loop dropped; mailto dropped
+    assert got == {("a.com", "b.com"): 2, ("a.com", "c.com"): 1, ("b.com", "a.com"): 1}
+
+
+def test_host_edges_keep_self_loops_flag(spark):
+    df = spark.createDataFrame([("a.com", HTML_A)], "host string, html_str string")
+    got = {
+        (r["src"], r["dst"]): r["w"]
+        for r in links.host_edges(df, drop_self=False).collect()
+    }
+    assert got[("a.com", "a.com")] == 1
+
+
+def test_anchor_terms_element_parse_cannot_misalign(spark):
+    """An anchor with nested markup is skipped wholesale (element regex
+    requires tag-free inner text) — it can never shift another anchor's
+    text onto the wrong href."""
+    html = (
+        '<a href="https://b.com/x"><b>bold</b> skipped</a>'
+        '<a href="https://c.com/y">real anchor words</a>'
+        '<a href="/local">home page</a>'
+    )
+    df = spark.createDataFrame([("a.com", html)], "host string, html_str string")
+    got = Counter(
+        {(r["dst"], r["term"]): r["n"] for r in links.anchor_terms(df).collect()}
+    )
+    assert got == Counter(
+        {
+            ("c.com", "real"): 1,
+            ("c.com", "anchor"): 1,
+            ("c.com", "words"): 1,
+            ("a.com", "home"): 1,
+            ("a.com", "page"): 1,
+        }
+    )
+
+
+def test_robots_noindex_col(spark):
+    rows = [
+        ('<meta name="robots" content="noindex,nofollow">', True),
+        ('<META NAME="robots" CONTENT="NOINDEX">', True),
+        ('<meta name="robots" content="index,follow">', False),
+        ("<p>no meta at all</p>", False),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "html_str string")
+    got = [
+        r["f"]
+        for r in df.select(
+            links.robots_noindex_col(F.col("html_str")).alias("f")
+        ).collect()
+    ]
+    assert got == [want for _, want in rows]
+
+
+def test_outlink_edges_plan_single_exchange_no_python(spark):
+    """Extraction + resolution are narrow JVM maps; the ONLY exchange is
+    the map-side-combined edge count, and no Python crossing exists."""
+    import __spark_entry__ as E
+
+    df = E.queries()["outlink_host_edges"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "EvalPython" not in plan, plan
+    assert "partial_count" in plan, plan  # map-side combine before the shuffle
+
+
+def test_outlink_edges_partition_invariant(spark):
+    import __spark_entry__ as E
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from __spark_entry__ import _ol_pages
+
+    a = sorted(map(tuple, links.host_edges(_ol_pages(docs)).collect()))
+    b = sorted(map(tuple, links.host_edges(_ol_pages(docs.repartition(13))).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_outlink_pagerank_node_universe_and_mass(spark):
+    """Composed crawl->graph->rank query covers the full host universe
+    and every host keeps at least the teleport mass."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["outlink_pagerank"](spark, SF).collect()
+    assert len(rows) == E.OL_HOSTS
+    base = (
+        (graph.DAMP_DEN - graph.DAMP_NUM) * graph.PAGERANK_R0 // graph.DAMP_DEN
+    )
+    assert all(r["rank_micro"] >= base for r in rows)

@@ -602,10 +602,14 @@ def test_corpus_curation_v2_partition_invariant(spark):
 
 
 def test_driver_window_covers_unreported_queries():
-    """Registry-order invariant: every query WITHOUT a driver-green row
-    in the last two CORRECTNESS reports must sit inside the driver's
-    ~50-entry window (the driver caps its report; a query outside both
-    is invisible to the judge)."""
+    """Registry-order invariant: queries WITHOUT a driver-green row in
+    the last two CORRECTNESS reports must be reachable by the remaining
+    driver windows.  The driver caps each report at ~50 entries, so (a)
+    unreported entries must lead the registry up to position 50 (this
+    round's window), and (b) any overflow beyond 50 must sit
+    CONTIGUOUSLY right after the window — one block that next round's
+    rotation moves to the front — and must itself fit in one window
+    (one more report remains after this one)."""
     import glob
     import json
 
@@ -615,4 +619,12 @@ def test_driver_window_covers_unreported_queries():
     for rp in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))[-2:]:
         seen |= set(json.load(open(rp)))
     names = list(E.queries().keys())
-    assert [n for n in names[50:] if n not in seen] == []
+    overflow = [n for n in names[50:] if n not in seen]
+    assert len(overflow) <= 50, "more unreported overflow than one driver window"
+    if overflow:
+        # contiguous block starting exactly at position 50
+        tail = names[50:]
+        assert tail[: len(overflow)] == overflow, (
+            "unreported overflow must be one contiguous block right after "
+            f"the 50-entry window, got stragglers: {overflow}"
+        )
