@@ -1620,6 +1620,20 @@ def q_bpe_pair_counts(spark, sf_dir):
     return textagg.bpe_pair_counts(docs, "text", k=BPE_PAIRS_K)
 
 
+BPE_MERGE_K = 40
+
+
+def q_bpe_merge_round(spark, sf_dir):
+    """One full BPE training iteration (count → winner → APPLY merge →
+    recount): the iterative tokenizer-training step, with the greedy
+    non-overlapping merge expressed as a literal replace over the
+    spaced symbol form — no UDF; the winner crosses the driver as one
+    string and re-enters the recount plan as a literal
+    (textagg.bpe_merge_round)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textagg.bpe_merge_round(docs, "text", k=BPE_MERGE_K)
+
+
 WINNOW_MAX_DF = 50
 SNAP_MOD = 5
 
@@ -2231,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_pagerank": q_outlink_pagerank,
         "anchor_text_terms": q_anchor_text_terms,
         "robots_noindex_flags": q_robots_noindex_flags,
+        "bpe_merge_round": q_bpe_merge_round,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -3720,6 +3735,41 @@ p AS (
 )
 SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p
 GROUP BY pair ORDER BY n DESC, pair ASC LIMIT {BPE_PAIRS_K}"""
+    # one BPE iteration: winner via scalar subquery (same n DESC, pair ASC
+    # tie-break), merge applied by LITERAL replace on the spaced symbol
+    # form, recount via the double-unnest positional zip of two aligned
+    # slices (the kn_pairs twin pattern)
+    out["bpe_merge_round"] = f"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text, ' ')), '[ ]+')) AS tok
+  FROM documents
+),
+t2 AS (SELECT tok FROM w WHERE len(tok) >= 2),
+p1 AS (
+  SELECT substr(tok, unnest(generate_series(1, len(tok) - 1)), 2) AS pair
+  FROM t2
+),
+top AS (
+  SELECT coalesce(
+    (SELECT pair FROM p1 GROUP BY pair ORDER BY count(*) DESC, pair ASC LIMIT 1),
+    chr(0) || chr(0)) AS mp
+),
+m AS (
+  SELECT top.mp,
+    regexp_split_to_array(
+      rtrim(replace(
+        regexp_replace(t2.tok, '(.)', '\\1 ', 'g'),
+        substr(top.mp, 1, 1) || ' ' || substr(top.mp, 2, 1) || ' ',
+        top.mp || ' ')), ' ') AS s
+  FROM t2, top
+),
+p2 AS (
+  SELECT mp, unnest(s[1:len(s) - 1]) AS s1, unnest(s[2:len(s)]) AS s2
+  FROM m WHERE len(s) >= 2
+)
+SELECT mp AS merged, s1, s2, CAST(count(*) AS BIGINT) AS n
+FROM p2 GROUP BY mp, s1, s2
+ORDER BY n DESC, s1 ASC, s2 ASC LIMIT {BPE_MERGE_K}"""
     out["dsir_bucket_ratios"] = f"""
 WITH {_dsir_ctes()}
 SELECT bucket, n_target, n_raw, lr_micro FROM ratios_d"""

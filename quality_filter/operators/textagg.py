@@ -279,6 +279,69 @@ def bpe_pair_counts(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
     )
 
 
+def bpe_top_pair(df: DataFrame, text_col: str) -> str:
+    """The deterministic winning pair of one BPE count round: max count,
+    ties by pair ASC — a bounded 1-row collect (the query-literal
+    pattern: tokenizer training is a driver-side loop over corpus-wide
+    aggregates by nature; each round moves ONE pair to the driver, never
+    data).  Returns a 2-symbol sentinel that occurs in no token when the
+    corpus has no pairs at all, so the merge step degrades to identity
+    instead of erroring."""
+    rows = bpe_pair_counts(df, text_col, k=1).collect()
+    return rows[0]["pair"] if rows else "\x00\x00"
+
+
+def bpe_merge_round(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
+    """One full BPE training iteration — count pairs, pick the winner,
+    APPLY the merge, re-count — returning the next round's top-k
+    ``(merged, s1, s2, n)`` symbol-pair counts.  This is the iterative
+    step ``bpe_pair_counts`` only measures: the engine training its own
+    tokenizer over the corpus it curates.
+
+    Merge application is greedy left-to-right non-overlapping (the BPE
+    spec), expressed without any UDF: each token becomes its
+    space-separated single-char symbol form (``regexp_replace`` with a
+    capture ref), the winning pair ``a b `` is collapsed to ``ab `` by a
+    LITERAL ``replace`` (both engines scan left-to-right and restart
+    after each hit — exactly BPE's non-overlap rule, e.g. ``aaa`` with
+    winner ``aa`` → ``[aa, a]``), and the re-count zips two pre-sliced
+    views of the symbol array (the shingles O(len) form).  Single-char
+    symbols make every ``a b`` occurrence a real adjacent pair, so the
+    literal replace is exact for ONE round; chaining further rounds
+    re-enters through the same function.
+
+    Scale shape: two corpus passes (count + recount), each collapsing
+    map-side to the O(symbol-vocab²) pair dimension; between them one
+    driver round-trip of a single pair string.  The winning pair rides
+    into the plan as a LITERAL, so the recount is one static plan —
+    no join against the count relation."""
+    pair = bpe_top_pair(df, text_col)
+    a, b = pair[0], pair[1]
+    toks = df.select(F.explode(_tokens_lower(F.col(text_col))).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    spaced = F.regexp_replace(F.col("tok"), "(.)", "$1 ")
+    merged = F.replace(spaced, F.lit(f"{a} {b} "), F.lit(f"{pair} "))
+    syms = toks.select(F.split(F.rtrim(merged), " ").alias("_s")).filter(
+        F.size("_s") >= 2
+    )
+    pairs2 = syms.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(_s, 1, size(_s) - 1), slice(_s, 2, size(_s) - 1),"
+                " (a, b) -> struct(a AS s1, b AS s2))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs2.select(F.lit(pair).alias("merged"), F.col("p.s1"), F.col("p.s2"))
+        .groupBy("merged", "s1", "s2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("s1").asc(), F.col("s2").asc())
+        .limit(k)
+    )
+
+
 def _bigram_pairs(df: DataFrame, text_col: str) -> DataFrame:
     """(w1, w2) adjacent-token pairs per occurrence, lowered tokenizer.
     Built by zipping two pre-sliced views of the token array (the

@@ -163,6 +163,37 @@ def test_bpe_pair_counts_hand_case(spark):
     assert got == {"ab": 3, "ba": 1, "cd": 1}
 
 
+def test_bpe_merge_round_hand_case_nonoverlap(spark):
+    """Winner 'ab' (3 hits) is merged greedily left-to-right; recount
+    sees the merged symbol adjacent to its neighbors."""
+    df = spark.createDataFrame(
+        [(1, "abab cd"), (2, "ab x")], "doc_id long, text string"
+    )
+    rows = textagg.bpe_merge_round(df, "text", k=10).collect()
+    assert all(r["merged"] == "ab" for r in rows)
+    got = {(r["s1"], r["s2"]): r["n"] for r in rows}
+    # 'abab' → [ab, ab] → (ab,ab); 'cd' → [c,d] → (c,d); 'ab' → [ab] dropped
+    assert got == {("ab", "ab"): 1, ("c", "d"): 1}
+
+
+def test_bpe_merge_round_overlap_is_greedy(spark):
+    """'aaaa' with winner 'aa' must become [aa, aa] (non-overlapping
+    restart after each hit), never [aa, aa, aa] from overlap."""
+    df = spark.createDataFrame([(1, "aaaa aaa")], "doc_id long, text string")
+    rows = textagg.bpe_merge_round(df, "text", k=10).collect()
+    got = {(r["s1"], r["s2"]): r["n"] for r in rows}
+    # aaaa → [aa, aa]; aaa → [aa, a]
+    assert got == {("aa", "aa"): 1, ("aa", "a"): 1}
+
+
+def test_bpe_merge_round_pairless_corpus_is_identity(spark):
+    """A corpus with no length≥2 token yields no winner — the merge
+    degrades to identity and the recount is simply empty, not an
+    error."""
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert textagg.bpe_merge_round(df, "text", k=10).collect() == []
+
+
 def test_kn_counts_hand_case_and_invariants(spark, docs):
     df = spark.createDataFrame([(1, "a b a b c"), (2, "x")], "doc_id long, text string")
     bg = {(r["w1"], r["w2"]): r["n"] for r in textagg.kn_bigram_counts(df, "text").collect()}
