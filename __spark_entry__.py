@@ -1854,6 +1854,41 @@ def q_robots_noindex_flags(spark, sf_dir):
     )
 
 
+CRAWL_FRONTIER_K = 100
+
+
+def q_crawl_frontier_topk(spark, sf_dir):
+    """Crawl-frontier scheduling, composed end-to-end: absolute URLs
+    DISCOVERED by href extraction, deduped, anti-joined against the
+    crawl log (already-fetched URLs), and prioritized by the target
+    host's extracted-link-graph PageRank — top-k next fetches.  Scale
+    shape: discovered URLs collapse map-side before the O(distinct
+    URLs) anti-join; the rank relation is a broadcast dim; the output
+    is a TakeOrderedAndProject heap."""
+    docs = _t(spark, sf_dir, "documents")
+    pages = _ol_pages(docs)
+    crawled = pages.select(
+        F.concat(
+            F.lit("https://"), F.col("host"), F.lit("/p/"), F.col("doc_id").cast("string")
+        ).alias("url")
+    )
+    lnk = pages.select(
+        F.col("host").alias("src"),
+        F.explode(links.outlink_urls_col(F.col("html_str"))).alias("link"),
+    )
+    disc = lnk.filter(F.col("link").rlike("^(?i)https?://")).select("link").distinct()
+    frontier = disc.join(crawled, disc["link"] == crawled["url"], "left_anti")
+    ranks = graph.pagerank(links.host_edges(pages), iters=OL_PR_ITERS)
+    tgt_host = links.link_host_col(F.col("link"), F.lit(None).cast("string"))
+    return (
+        frontier.select("link", tgt_host.alias("host"))
+        .join(F.broadcast(ranks), F.col("host") == F.col("node"))
+        .select(F.col("link").alias("url"), "host", "rank_micro")
+        .orderBy(F.col("rank_micro").desc(), F.col("url").asc())
+        .limit(CRAWL_FRONTIER_K)
+    )
+
+
 def q_kn_bigram_counts(spark, sf_dir):
     """Distributed LM-training counts: the c(w1,w2) table the engine's
     own 5-gram perplexity scorer would retrain from at corpus scale.
@@ -2246,6 +2281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_terms": q_anchor_text_terms,
         "robots_noindex_flags": q_robots_noindex_flags,
         "bpe_merge_round": q_bpe_merge_round,
+        "crawl_frontier_topk": q_crawl_frontier_topk,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -3556,6 +3592,26 @@ WHERE dst IS NOT NULL AND dst <> '' AND length(term) >= 2
 GROUP BY dst, term
 ORDER BY n DESC, dst ASC, term ASC
 LIMIT {ANCHOR_TERMS_K}"""
+    _ol_tgt_host = (
+        "lower(regexp_extract(link, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:@]+)', 1))"
+    )
+    out["crawl_frontier_topk"] = f"""
+WITH {_ol_edges_ctes()},
+{_pagerank_ctes("SELECT src, dst FROM ol_kept")},
+crawled AS (
+  SELECT 'https://' || host || '/p/' || CAST(doc_id AS VARCHAR) AS url FROM ol_pages
+),
+disc AS (
+  SELECT DISTINCT link FROM ol_links WHERE regexp_matches(link, '^(?i)https?://')
+),
+frontier AS (
+  SELECT link FROM disc d WHERE NOT EXISTS (SELECT 1 FROM crawled c WHERE c.url = d.link)
+)
+SELECT f.link AS url, {_ol_tgt_host} AS host, r.rank_micro
+FROM frontier f
+JOIN pr_r{OL_PR_ITERS} r ON r.node = {_ol_tgt_host}
+ORDER BY r.rank_micro DESC, url ASC
+LIMIT {CRAWL_FRONTIER_K}"""
     out["robots_noindex_flags"] = f"""
 WITH {_ol_pages_cte()}
 SELECT doc_id,

@@ -145,6 +145,27 @@ def test_outlink_edges_partition_invariant(spark):
     assert a == b and len(a) > 0
 
 
+def test_crawl_frontier_excludes_crawled_and_ranks(spark):
+    """Frontier URLs are never in the crawl log, are rank-ordered, and
+    the rank join rides a broadcast (61-host dim)."""
+    import __spark_entry__ as E
+
+    df = E.queries()["crawl_frontier_topk"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    rows = df.collect()
+    assert len(rows) == E.CRAWL_FRONTIER_K
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from __spark_entry__ import _ol_pages
+
+    crawled = {
+        f"https://{r['host']}/p/{r['doc_id']}" for r in _ol_pages(docs).collect()
+    }
+    assert all(r["url"] not in crawled for r in rows)
+    ranks = [r["rank_micro"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+
+
 def test_outlink_pagerank_node_universe_and_mass(spark):
     """Composed crawl->graph->rank query covers the full host universe
     and every host keeps at least the teleport mass."""
