@@ -1474,6 +1474,7 @@ def _roundtrip_stats(spark, sf_dir, fmt: str):
         "jsonl": formats.roundtrip_jsonl,
         "csv": formats.roundtrip_csv,
         "orc": formats.roundtrip_orc,
+        "warc": formats.roundtrip_warc,
     }[fmt]
     rt = rt_fn(docs, spark, path, formats.DOCUMENTS_SCHEMA)
     return formats.fidelity_summary(rt, "lang", FIDELITY_COLS)
@@ -1486,6 +1487,15 @@ def q_orc_roundtrip_stats(spark, sf_dir):
     textual-escaping failure modes impossible, but the contract is
     proved, not assumed (io/formats.roundtrip_orc)."""
     return _roundtrip_stats(spark, sf_dir, "orc")
+
+
+def q_warc_roundtrip_stats(spark, sf_dir):
+    """Crawl-native interchange fidelity: documents → WARC resource
+    records (Content-Length-framed payload — no quoting layer exists to
+    get wrong) → strict parse → the same per-lang fidelity reduction as
+    the JSONL/CSV/ORC twins.  One task per WARC file on read, the
+    Common-Crawl decomposition (io/warc.py)."""
+    return _roundtrip_stats(spark, sf_dir, "warc")
 
 
 PR_NODES = 97
@@ -2282,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_noindex_flags": q_robots_noindex_flags,
         "bpe_merge_round": q_bpe_merge_round,
         "crawl_frontier_topk": q_crawl_frontier_topk,
+        "warc_roundtrip_stats": q_warc_roundtrip_stats,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -3553,6 +3564,7 @@ FROM documents GROUP BY lang"""
     out["jsonl_roundtrip_stats"] = _roundtrip_sql
     out["csv_roundtrip_stats"] = _roundtrip_sql
     out["orc_roundtrip_stats"] = _roundtrip_sql
+    out["warc_roundtrip_stats"] = _roundtrip_sql
     out["host_pagerank"] = f"""
 WITH {_pagerank_ctes()}
 SELECT node, rank_micro,

@@ -93,6 +93,38 @@ def roundtrip_orc(df: DataFrame, spark: SparkSession, path: str,
     return spark.read.schema(schema).orc(path)
 
 
+def roundtrip_warc(df: DataFrame, spark: SparkSession, path: str,
+                   schema: T.StructType) -> DataFrame:
+    """Write the documents table as WARC resource records (payload =
+    utf-8 text, scalar columns as X- headers) and read it back through
+    the strict parser.  WARC's Content-Length framing makes arbitrary
+    payload bytes safe with no quoting layer at all — the crawl-native
+    member of the interchange family (io/warc.py)."""
+    from quality_filter.io import warc as W
+
+    pages = df.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2025-06-01T00:00:00Z").alias("warc_date"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("lang"),
+        F.col("source"),
+        F.col("n_chars").cast("string").alias("n_chars"),
+    )
+    W.write_warc(
+        pages, path, header_cols=("doc_id", "lang", "source", "n_chars")
+    )
+    rt = W.read_warc(spark, path)
+    out = rt.select(
+        F.col("headers")["x-doc-id"].cast("long").alias("doc_id"),
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+        F.col("headers")["x-lang"].alias("lang"),
+        F.col("headers")["x-source"].alias("source"),
+        F.col("headers")["x-n-chars"].cast("long").alias("n_chars"),
+    )
+    return out.select(*[f.name for f in schema.fields])
+
+
 def row_checksum(cols: list[Column]) -> Column:
     """Order-free row image checksum: md5-bucket of the '|'-joined
     stringified columns (bigint) — summing these over any subset of rows

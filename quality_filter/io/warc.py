@@ -1,0 +1,180 @@
+"""WARC container source/sink — the Common-Crawl interchange format.
+
+Crawl corpora arrive as WARC (ISO 28500): concatenated records, each a
+``WARC/1.0`` header block terminated by CRLFCRLF, a Content-Length-framed
+payload, then CRLFCRLF.  Length framing means ARBITRARY payload bytes are
+safe — no quoting/escaping layer to get wrong (the failure mode the
+JSONL/CSV fidelity twins exist to catch is impossible by construction
+here; the fidelity contract is proved anyway, like ORC).
+
+Spark shape:
+  * ``read_warc``: a ``binaryFile`` scan (one task per WARC file — the
+    Common-Crawl parallelism unit: CC ships millions of ~1 GB warc.gz
+    files, and gzip'd WARC is not block-splittable, so per-file tasks
+    are the real-world decomposition) + an Arrow-batched ``mapInPandas``
+    parse into (url, warc_date, headers, payload) rows.  Whole-file gzip
+    is handled transparently (magic-sniffed).
+  * ``write_warc``: an Arrow-batched ``mapInPandas`` partition writer —
+    one ``part-NNNNN.warc`` per input partition, returning a manifest
+    (file, n_records) DataFrame; the write IS a Spark job, sized by the
+    input partitioning.  Paths here are local-FS for the sandbox; on a
+    cluster the same writer targets a fused mount / NFS-style path —
+    the seam is the path string, not the code shape.
+
+Strictness discipline (the FAILFAST lesson from io/formats.py): the
+parser raises on any framing violation (missing version line, bad
+Content-Length, missing record terminator) instead of resyncing
+silently — a truncated crawl dump must abort the batch, not shrink it.
+The writer rejects header values containing CR/LF (ISO 28500 forbids
+bare CRLF in field values); payloads are unrestricted.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+CRLF = b"\r\n"
+_GZIP_MAGIC = b"\x1f\x8b"
+
+READ_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("headers", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def build_record(url: str, date: str, payload: bytes,
+                 extra_headers: dict[str, str] | None = None) -> bytes:
+    """One WARC resource record.  Header values must be CRLF-free (ISO
+    28500); violations raise — a corrupt header would desynchronize
+    every downstream reader of the file."""
+    fields = [("WARC-Type", "resource"), ("WARC-Target-URI", url), ("WARC-Date", date)]
+    for k, v in (extra_headers or {}).items():
+        fields.append((k, v))
+    for k, v in fields:
+        if "\r" in str(v) or "\n" in str(v) or "\r" in k or "\n" in k:
+            raise ValueError(f"WARC header field {k!r} contains CR/LF: {v!r}")
+    head = b"WARC/1.0\r\n" + b"".join(
+        f"{k}: {v}\r\n".encode("utf-8") for k, v in fields
+    ) + f"Content-Length: {len(payload)}\r\n".encode() + CRLF
+    return head + payload + CRLF + CRLF
+
+
+def iter_warc_records(data: bytes):
+    """Yield (headers_dict, payload) per record; header names lowercased.
+    Strict framing: any violation raises ValueError.  Whole-file gzip is
+    decompressed transparently."""
+    if data[:2] == _GZIP_MAGIC:
+        data = gzip.decompress(data)
+    pos, n = 0, len(data)
+    while pos < n:
+        if not data.startswith(b"WARC/", pos):
+            raise ValueError(f"expected WARC version line at byte {pos}")
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            raise ValueError(f"unterminated header block at byte {pos}")
+        lines = data[pos:hdr_end].decode("utf-8").split("\r\n")
+        headers: dict[str, str] = {}
+        for line in lines[1:]:
+            name, sep, value = line.partition(":")
+            if not sep:
+                raise ValueError(f"malformed header line {line!r}")
+            headers[name.strip().lower()] = value.strip()
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError) as e:
+            raise ValueError(f"bad Content-Length in record at byte {pos}") from e
+        body_start = hdr_end + 4
+        body_end = body_start + clen
+        if data[body_end:body_end + 4] != b"\r\n\r\n":
+            raise ValueError(f"missing record terminator at byte {body_end}")
+        yield headers, data[body_start:body_end]
+        pos = body_end + 4
+
+
+def write_warc(
+    df: DataFrame,
+    path: str,
+    url_col: str = "url",
+    date_col: str = "warc_date",
+    payload_col: str = "payload",
+    header_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Write ``df`` as one WARC file per partition under ``path``
+    (cleared first — overwrite semantics).  ``header_cols`` travel as
+    ``X-<Name>`` WARC headers (CRLF-free values enforced); the payload
+    column is raw bytes.  Returns the collected-but-small manifest
+    (file, n_records), one row per non-empty partition."""
+    import pandas as pd
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    cols = [url_col, date_col, payload_col, *header_cols]
+    hdr_names = [f"X-{c.replace('_', '-').title()}" for c in header_cols]
+
+    def _write(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(path, f"part-{pid:05d}.warc")
+        n = 0
+        fh = None
+        try:
+            for pdf in batches:
+                if fh is None:
+                    fh = open(fname, "wb")
+                for row in pdf.itertuples(index=False):
+                    extra = {
+                        h: str(getattr(row, c))
+                        for h, c in zip(hdr_names, header_cols)
+                    }
+                    payload = getattr(row, payload_col)
+                    fh.write(
+                        build_record(
+                            str(getattr(row, url_col)),
+                            str(getattr(row, date_col)),
+                            bytes(payload) if payload is not None else b"",
+                            extra,
+                        )
+                    )
+                    n += 1
+        finally:
+            if fh is not None:
+                fh.close()
+        if n:
+            yield pd.DataFrame({"file": [fname], "n_records": [n]})
+
+    manifest = df.select(*cols).mapInPandas(_write, "file string, n_records long").cache()
+    manifest.count()  # materialize the write job exactly once (manifest is O(partitions))
+    return manifest
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC files under ``path`` → (url, warc_date, headers, payload)
+    rows.  One task per file (the CC decomposition); parse is an
+    Arrow-batched mapInPandas over file contents."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(os.path.join(path, "*.warc"))
+
+    def _parse(batches):
+        for pdf in batches:
+            out = {"url": [], "warc_date": [], "headers": [], "payload": []}
+            for content in pdf["content"]:
+                for headers, payload in iter_warc_records(bytes(content)):
+                    out["url"].append(headers.get("warc-target-uri"))
+                    out["warc_date"].append(headers.get("warc-date"))
+                    out["headers"].append(headers)
+                    out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return files.select("content").mapInPandas(_parse, READ_SCHEMA)

@@ -76,3 +76,76 @@ def test_failfast_aborts_on_malformed_jsonl(spark, tmp_path):
     )
     with pytest.raises(Exception):
         bad.collect()
+
+
+# ---------------------------------------------------------------------------
+# WARC container (io/warc.py)
+# ---------------------------------------------------------------------------
+
+def test_warc_record_build_parse_roundtrip_adversarial():
+    """Length framing must survive payloads that embed the framing
+    bytes themselves (CRLFCRLF), multibyte text, and emptiness."""
+    from quality_filter.io import warc as W
+
+    payloads = [
+        b"plain",
+        b"",
+        b"embedded\r\n\r\nterminator bytes",
+        "unicode: 中文 café \U0001f600".encode("utf-8"),
+        b"WARC/1.0\r\nlooks like a record start",
+        bytes(range(256)),
+    ]
+    blob = b"".join(
+        W.build_record(f"doc://{i}", "2025-06-01T00:00:00Z", p, {"X-I": str(i)})
+        for i, p in enumerate(payloads)
+    )
+    got = list(W.iter_warc_records(blob))
+    assert [p for _, p in got] == payloads
+    assert [h["x-i"] for h, _ in got] == [str(i) for i in range(len(payloads))]
+    assert all(h["warc-target-uri"] == f"doc://{i}" for i, (h, _) in enumerate(got))
+
+
+def test_warc_gzip_transparent():
+    import gzip
+
+    from quality_filter.io import warc as W
+
+    blob = W.build_record("doc://0", "2025-06-01T00:00:00Z", b"abc")
+    assert [p for _, p in W.iter_warc_records(gzip.compress(blob))] == [b"abc"]
+
+
+def test_warc_strict_parser_rejects_corruption():
+    """Truncation, garbage between records, and a lying Content-Length
+    must ABORT (FAILFAST discipline), never resync silently."""
+    from quality_filter.io import warc as W
+
+    ok = W.build_record("doc://0", "2025-06-01T00:00:00Z", b"abcdef")
+    for bad in [
+        ok[:-4],                      # truncated terminator
+        ok + b"junk",                 # trailing garbage
+        b"HTTP/1.1 200 OK\r\n\r\n",   # not a WARC version line
+        ok.replace(b"Content-Length: 6", b"Content-Length: 5"),
+    ]:
+        with pytest.raises(ValueError):
+            list(W.iter_warc_records(bad))
+
+
+def test_warc_writer_rejects_crlf_header():
+    from quality_filter.io import warc as W
+
+    with pytest.raises(ValueError):
+        W.build_record("doc://0\r\nWARC-Date: fake", "2025", b"")
+
+
+def test_warc_spark_roundtrip_byte_identical(spark, adv_df, tmp_path):
+    """Distributed write (one file per partition) -> strict parallel
+    parse == source, including the empty string (WARC keeps it — framed
+    payload, unlike CSV's lossy cell)."""
+    rt = formats.roundtrip_warc(
+        adv_df.repartition(3), spark, str(tmp_path / "warc"), formats.DOCUMENTS_SCHEMA
+    )
+    got = {r["doc_id"]: r["text"] for r in rt.collect()}
+    assert got == {i: t for i, t in enumerate(ADVERSARIAL_TEXTS)}
+    import glob
+
+    assert len(glob.glob(str(tmp_path / "warc" / "*.warc"))) == 3
