@@ -3826,7 +3826,7 @@ m AS (
   SELECT top.mp,
     regexp_split_to_array(
       rtrim(replace(
-        regexp_replace(t2.tok, '(.)', '\\1 ', 'g'),
+        regexp_replace(t2.tok, '([\\s\\S])', '\\1 ', 'g'),
         substr(top.mp, 1, 1) || ' ' || substr(top.mp, 2, 1) || ' ',
         top.mp || ' ')), ' ') AS s
   FROM t2, top

@@ -320,7 +320,10 @@ def bpe_merge_round(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
     toks = df.select(F.explode(_tokens_lower(F.col(text_col))).alias("tok")).filter(
         F.length("tok") >= 2
     )
-    spaced = F.regexp_replace(F.col("tok"), "(.)", "$1 ")
+    # ([\s\S]) not (.): Java's dot excludes \r/\u2028-class line
+    # terminators while RE2's excludes only \n — the explicit class is the
+    # one spelling both engines read identically on ANY token bytes
+    spaced = F.regexp_replace(F.col("tok"), "([\\s\\S])", "$1 ")
     merged = F.replace(spaced, F.lit(f"{a} {b} "), F.lit(f"{pair} "))
     syms = toks.select(F.split(F.rtrim(merged), " ").alias("_s")).filter(
         F.size("_s") >= 2

@@ -90,8 +90,20 @@ DOC_QUERIES = [
     # PSI drift: fuzz-proven feature CTE + exact-count shares + the ln
     # precedent (tfidf/bm25)
     "score_drift_psi",
+    # outlink tier: the synthesized html blanks [<>"] from doc text in
+    # both engines, so the href set is exactly the generated one on ANY
+    # corpus; host parse/anchor split are ASCII-regex engine-identical
+    "outlink_host_edges", "outlink_pagerank", "anchor_text_terms",
+    "robots_noindex_flags", "crawl_frontier_topk",
+    # BPE iteration: spaced form uses ([\s\S]) — the one dot-class
+    # spelling Java and RE2 read identically on any token bytes; the
+    # merge is a literal replace (no regex on data)
+    "bpe_merge_round",
     # NOT fuzzed: pii_hit_counts_docs shares pii_scrub_docs' documented
-    # RE2-vs-Java unicode \d/\b seam (see module docstring)
+    # RE2-vs-Java unicode \d/\b seam (see module docstring);
+    # warc_roundtrip_stats' strict writer rejects CR/LF in header-borne
+    # columns (lang/source) BY DESIGN — fuzzed header values would turn
+    # the spec-correct abort into a false fuzz failure
 ]
 EVENT_QUERIES = [
     "decimated_events", "tumbling_agg_mean", "tumbling_agg_median",
