@@ -1864,6 +1864,32 @@ def q_robots_noindex_flags(spark, sf_dir):
     )
 
 
+def q_host_degree_stats(spark, sf_dir):
+    """Web-graph degree summary per host (the distribution CC publishes
+    with its host-graph releases): distinct out/in neighbor counts and
+    link-instance weights, from the extracted edge list.  Two
+    map-side-combined aggs over O(unique edges) + one O(hosts) full
+    join — all dimension-sized after the edge collapse."""
+    docs = _t(spark, sf_dir, "documents")
+    e = links.host_edges(_ol_pages(docs))
+    out_d = e.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg"),
+        F.sum("w").cast("long").alias("out_w"),
+    )
+    in_d = e.groupBy(F.col("dst").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_deg"),
+        F.sum("w").cast("long").alias("in_w"),
+    )
+    z = F.lit(0).cast("long")
+    return out_d.join(in_d, "host", "full").select(
+        "host",
+        F.coalesce("out_deg", z).alias("out_deg"),
+        F.coalesce("out_w", z).alias("out_w"),
+        F.coalesce("in_deg", z).alias("in_deg"),
+        F.coalesce("in_w", z).alias("in_w"),
+    )
+
+
 CRAWL_FRONTIER_K = 100
 
 
@@ -2293,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_round": q_bpe_merge_round,
         "crawl_frontier_topk": q_crawl_frontier_topk,
         "warc_roundtrip_stats": q_warc_roundtrip_stats,
+        "host_degree_stats": q_host_degree_stats,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -3624,6 +3651,22 @@ FROM frontier f
 JOIN pr_r{OL_PR_ITERS} r ON r.node = {_ol_tgt_host}
 ORDER BY r.rank_micro DESC, url ASC
 LIMIT {CRAWL_FRONTIER_K}"""
+    out["host_degree_stats"] = f"""
+WITH {_ol_edges_ctes()},
+od AS (
+  SELECT src AS host, CAST(count(*) AS BIGINT) AS out_deg,
+    CAST(sum(w) AS BIGINT) AS out_w
+  FROM ol_edges GROUP BY src
+),
+idg AS (
+  SELECT dst AS host, CAST(count(*) AS BIGINT) AS in_deg,
+    CAST(sum(w) AS BIGINT) AS in_w
+  FROM ol_edges GROUP BY dst
+)
+SELECT coalesce(od.host, idg.host) AS host,
+  coalesce(out_deg, 0) AS out_deg, coalesce(out_w, 0) AS out_w,
+  coalesce(in_deg, 0) AS in_deg, coalesce(in_w, 0) AS in_w
+FROM od FULL JOIN idg ON od.host = idg.host"""
     out["robots_noindex_flags"] = f"""
 WITH {_ol_pages_cte()}
 SELECT doc_id,

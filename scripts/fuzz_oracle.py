@@ -94,7 +94,7 @@ DOC_QUERIES = [
     # both engines, so the href set is exactly the generated one on ANY
     # corpus; host parse/anchor split are ASCII-regex engine-identical
     "outlink_host_edges", "outlink_pagerank", "anchor_text_terms",
-    "robots_noindex_flags", "crawl_frontier_topk",
+    "robots_noindex_flags", "crawl_frontier_topk", "host_degree_stats",
     # BPE iteration: spaced form uses ([\s\S]) — the one dot-class
     # spelling Java and RE2 read identically on any token bytes; the
     # merge is a literal replace (no regex on data)
