@@ -1925,6 +1925,37 @@ def q_crawl_frontier_topk(spark, sf_dir):
     )
 
 
+def q_frontier_politeness_rounds(spark, sf_dir):
+    """Per-host crawl politeness: every frontier URL is assigned a
+    fetch round such that each round touches a host AT MOST ONCE
+    (row_number per host over a deterministic order) — the scheduling
+    step between frontier ranking and actual fetching.  The window
+    partitions on host, the natural key: per-host fetch order is
+    inherently sequential, and the partition size is bounded by the
+    per-host frontier (already URL-deduped), so no global sort and no
+    unbounded skew."""
+    docs = _t(spark, sf_dir, "documents")
+    pages = _ol_pages(docs)
+    crawled = pages.select(
+        F.concat(
+            F.lit("https://"), F.col("host"), F.lit("/p/"), F.col("doc_id").cast("string")
+        ).alias("url")
+    )
+    lnk = pages.select(
+        F.explode(links.outlink_urls_col(F.col("html_str"))).alias("link")
+    )
+    disc = lnk.filter(F.col("link").rlike("^(?i)https?://")).select("link").distinct()
+    frontier = disc.join(crawled, disc["link"] == crawled["url"], "left_anti")
+    from pyspark.sql import Window as W
+
+    tgt_host = links.link_host_col(F.col("link"), F.lit(None).cast("string"))
+    rn = F.row_number().over(W.partitionBy("host").orderBy(F.col("url").asc()))
+    return (
+        frontier.select(F.col("link").alias("url"), tgt_host.alias("host"))
+        .withColumn("fetch_round", rn.cast("long"))
+    )
+
+
 def q_kn_bigram_counts(spark, sf_dir):
     """Distributed LM-training counts: the c(w1,w2) table the engine's
     own 5-gram perplexity scorer would retrain from at corpus scale.
@@ -2320,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier_topk": q_crawl_frontier_topk,
         "warc_roundtrip_stats": q_warc_roundtrip_stats,
         "host_degree_stats": q_host_degree_stats,
+        "frontier_politeness_rounds": q_frontier_politeness_rounds,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -3667,6 +3699,26 @@ SELECT coalesce(od.host, idg.host) AS host,
   coalesce(out_deg, 0) AS out_deg, coalesce(out_w, 0) AS out_w,
   coalesce(in_deg, 0) AS in_deg, coalesce(in_w, 0) AS in_w
 FROM od FULL JOIN idg ON od.host = idg.host"""
+    out["frontier_politeness_rounds"] = f"""
+WITH {_ol_pages_cte()},
+ol_links AS (
+  SELECT host AS src,
+    unnest(regexp_extract_all(html_str, '(?i)<a\\s[^>]*href="([^"]*)"', 1)) AS link
+  FROM ol_pages
+),
+crawled AS (
+  SELECT 'https://' || host || '/p/' || CAST(doc_id AS VARCHAR) AS url FROM ol_pages
+),
+disc AS (
+  SELECT DISTINCT link FROM ol_links WHERE regexp_matches(link, '^(?i)https?://')
+),
+frontier AS (
+  SELECT link FROM disc d WHERE NOT EXISTS (SELECT 1 FROM crawled c WHERE c.url = d.link)
+)
+SELECT link AS url, {_ol_tgt_host} AS host,
+  CAST(row_number() OVER (
+    PARTITION BY {_ol_tgt_host} ORDER BY link ASC) AS BIGINT) AS fetch_round
+FROM frontier"""
     out["robots_noindex_flags"] = f"""
 WITH {_ol_pages_cte()}
 SELECT doc_id,

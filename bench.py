@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "host_pagerank",          # iterative integer power iteration (3 rounds)
     "bm25_top_docs",          # filtered explode + broadcast df dim + top-k
     "winnowing_pairs",        # window-min fingerprints + df-capped fp join
+    # round-4 crawl-web tier
+    "outlink_pagerank",       # href extraction -> host edges -> 3 PR rounds
 ]
 
 

@@ -95,6 +95,7 @@ DOC_QUERIES = [
     # corpus; host parse/anchor split are ASCII-regex engine-identical
     "outlink_host_edges", "outlink_pagerank", "anchor_text_terms",
     "robots_noindex_flags", "crawl_frontier_topk", "host_degree_stats",
+    "frontier_politeness_rounds",
     # BPE iteration: spaced form uses ([\s\S]) — the one dot-class
     # spelling Java and RE2 read identically on any token bytes; the
     # merge is a literal replace (no regex on data)
