@@ -383,6 +383,46 @@ def stream_winnowing_dedup(
     )
 
 
+def stream_host_edges(
+    sdf: DataFrame,
+    html_col: str = "html_str",
+    host_col: str = "host",
+    ts_col: str = "warc_ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    drop_self: bool = True,
+) -> DataFrame:
+    """Crawl-time link-graph accumulation: per event-time window, the
+    weighted ``(src, dst, w)`` host edges extracted from the pages
+    streaming in — the live twin of ``operators/links.host_edges``
+    (same href/resolution expressions, so batch and stream agree on
+    every edge by construction).  Extraction and host resolution are
+    the same JVM-native narrow maps as batch; state is the windowed
+    (src, dst) count — O(windows × unique host pairs), a dimension
+    regardless of crawl volume (a host linked by every page of a
+    window collapses into one state row).  Windowed edge counts merge
+    downstream by addition, exactly like batch shard edge lists."""
+    from quality_filter.operators.links import link_host_col, outlink_urls_col
+
+    inst = sdf.select(
+        F.col(ts_col),
+        F.lower(F.col(host_col)).alias("src"),
+        F.explode(outlink_urls_col(F.col(html_col))).alias("link"),
+    )
+    resolved = inst.select(
+        F.col(ts_col), "src", link_host_col(F.col("link"), F.col("src")).alias("dst")
+    ).filter(F.col("dst").isNotNull() & (F.col("dst") != ""))
+    if drop_self:
+        resolved = resolved.filter(F.col("dst") != F.col("src"))
+    return (
+        resolved.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w_cnt"))
+        .select(F.col("w.start").alias("window_start"), "src", "dst",
+                F.col("w_cnt").alias("w"))
+    )
+
+
 def stream_term_cms(
     sdf: DataFrame,
     text_col: str = "text",

@@ -177,3 +177,60 @@ def test_outlink_pagerank_node_universe_and_mass(spark):
         (graph.DAMP_DEN - graph.DAMP_NUM) * graph.PAGERANK_R0 // graph.DAMP_DEN
     )
     assert all(r["rank_micro"] >= base for r in rows)
+
+
+def test_stream_host_edges_matches_batch_per_window(spark, tmp_path):
+    """Live windowed edge extraction == batch host_edges over each
+    window's pages (shared expressions make them agree edge-for-edge),
+    and summing windows reproduces the whole-corpus edge weights."""
+    import pandas as pd
+    from quality_filter.streaming.stream import stream_host_edges
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    from __spark_entry__ import _ol_pages
+
+    # give pages event times spanning 2 windows (deterministic by doc_id)
+    pages = _ol_pages(docs).withColumn(
+        "warc_ts",
+        F.to_timestamp(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("2025-06-01 01:10:00"))
+            .otherwise(F.lit("2025-06-01 07:20:00"))
+        ),
+    )
+    src = str(tmp_path / "she_src")
+    pages.write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    agg = stream_host_edges(stream, window="6 hours", watermark="0 seconds")
+    q = (
+        agg.writeStream.format("memory").queryName("sedges")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["window_start"], r["src"], r["dst"]): r["w"]
+        for r in spark.sql("select * from sedges").collect()
+    }
+    assert got
+    windows = sorted({w for w, _, _ in got})
+    assert len(windows) == 2
+    batch_pages = spark.read.parquet(src)
+    for w in windows:
+        in_w = batch_pages.filter(
+            (F.col("warc_ts") >= w) & (F.col("warc_ts") < F.lit(w) + F.expr("INTERVAL 6 HOURS"))
+        )
+        cells = {
+            (w, r["src"], r["dst"]): r["w"]
+            for r in links.host_edges(in_w).collect()
+        }
+        assert cells == {k: v for k, v in got.items() if k[0] == w}
+    # window sums == whole-corpus batch edges
+    total = {}
+    for (_, s, d), v in got.items():
+        total[(s, d)] = total.get((s, d), 0) + v
+    whole = {(r["src"], r["dst"]): r["w"] for r in links.host_edges(batch_pages).collect()}
+    assert total == whole
