@@ -1925,6 +1925,19 @@ def q_crawl_frontier_topk(spark, sf_dir):
     )
 
 
+SPAN_L = dedup.SPAN_WORDS
+
+
+def q_exact_substring_dedup(spark, sf_dir):
+    """ExactSubstr span dedup (Lee et al.): every overlapping 8-token
+    window duplicated anywhere earlier in the corpus is excised;
+    surviving token sequence pinned by md5.  Window relation is
+    O(tokens) like shingles; the keeper min-struct collapses hot spans
+    map-side (dedup.excise_duplicate_spans)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.excise_duplicate_spans(docs, "text", "doc_id")
+
+
 def q_frontier_politeness_rounds(spark, sf_dir):
     """Per-host crawl politeness: every frontier URL is assigned a
     fetch round such that each round touches a host AT MOST ONCE
@@ -2352,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip_stats": q_warc_roundtrip_stats,
         "host_degree_stats": q_host_degree_stats,
         "frontier_politeness_rounds": q_frontier_politeness_rounds,
+        "exact_substring_dedup": q_exact_substring_dedup,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -3699,6 +3713,42 @@ SELECT coalesce(od.host, idg.host) AS host,
   coalesce(out_deg, 0) AS out_deg, coalesce(out_w, 0) AS out_w,
   coalesce(in_deg, 0) AS in_deg, coalesce(in_w, 0) AS in_w
 FROM od FULL JOIN idg ON od.host = idg.host"""
+    out["exact_substring_dedup"] = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text, ' '), '[ ]+') AS t FROM documents
+),
+win0 AS (
+  SELECT doc_id, unnest(generate_series(1, len(t) - {SPAN_L} + 1)) AS i, t
+  FROM tok WHERE len(t) >= {SPAN_L}
+),
+win AS (
+  SELECT doc_id, i, md5(array_to_string(t[i : i + {SPAN_L} - 1], ' ')) AS wkey
+  FROM win0
+),
+keeper AS (
+  SELECT wkey, doc_id AS kd, i AS ki FROM win
+  QUALIFY row_number() OVER (PARTITION BY wkey ORDER BY doc_id, i) = 1
+),
+dups AS (
+  SELECT w.doc_id, w.i FROM win w JOIN keeper k USING (wkey)
+  WHERE w.doc_id <> k.kd OR w.i <> k.ki
+),
+covx AS (
+  SELECT doc_id, unnest(generate_series(i, i + {SPAN_L} - 1)) AS j FROM dups
+),
+cov AS (SELECT doc_id, list(DISTINCT j) AS js FROM covx GROUP BY doc_id),
+kept AS (
+  SELECT t.doc_id, t.t,
+    list_filter(
+      generate_series(1, greatest(len(t.t), 1)),
+      j -> j <= len(t.t) AND (c.js IS NULL OR NOT list_contains(c.js, j))) AS keep
+  FROM tok t LEFT JOIN cov c USING (doc_id)
+)
+SELECT doc_id,
+  CAST(len(t) AS BIGINT) AS n_tokens,
+  CAST(len(t) - len(keep) AS BIGINT) AS n_removed,
+  md5(coalesce(array_to_string(list_transform(keep, j -> t[j]), ' '), '')) AS dedup_fp
+FROM kept"""
     out["frontier_politeness_rounds"] = f"""
 WITH {_ol_pages_cte()},
 ol_links AS (

@@ -731,6 +731,101 @@ def segment_dedup(
 
 
 # ---------------------------------------------------------------------------
+# Exact-substring span dedup (ExactSubstr, Lee et al. 2022): excise
+# duplicated ≥L-token spans, keeping only their first occurrence
+# ---------------------------------------------------------------------------
+
+SPAN_WORDS = 8
+
+
+def span_occurrences(
+    df: DataFrame, text_col: str, id_col: str, span_len: int = SPAN_WORDS
+) -> DataFrame:
+    """Every OVERLAPPING ``span_len``-token window of every doc as
+    ``(id, i, wkey)`` — wkey = md5 of the space-joined window (the
+    shared portable hash universe).  One narrow map producing ~n rows
+    per n-token doc; docs shorter than the span emit nothing."""
+    base = df.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("_t")
+    ).withColumn("_n", F.size("_t"))
+    return (
+        base.filter(F.col("_n") >= span_len)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, _n - {span_len} + 1),"
+                    f" i -> struct(i AS i,"
+                    f" md5(array_join(slice(_t, i, {span_len}), ' ')) AS wkey))"
+                )
+            ).alias("_w"),
+        )
+        .select(F.col(id_col), F.col("_w.i").alias("i"), F.col("_w.wkey").alias("wkey"))
+    )
+
+
+def excise_duplicate_spans(
+    df: DataFrame, text_col: str, id_col: str, span_len: int = SPAN_WORDS
+) -> DataFrame:
+    """ExactSubstr dedup (arXiv:2107.06499 §4.1): any ``span_len``-token
+    window whose content occurs ANYWHERE earlier in the corpus (global
+    order = (id, position); self-repetition within a doc counts) is a
+    duplicate; the union of duplicate windows is excised and the doc
+    reassembled from the surviving tokens.  The span complement to
+    segment_dedup: segments are fixed non-overlapping blocks (cheap,
+    alignment-sensitive), spans are every overlapping window (catches
+    copied passages at ANY offset — the quote/mirror/boilerplate case
+    alignment breaks).
+
+    Scale shape: the window relation is O(total tokens) rows (like
+    shingles); the keeper aggregate ``min(struct(id, i))`` collapses a
+    boilerplate span repeated 10^9 times in the map-side partial agg
+    (the segment_dedup skew lesson); the join back is a 1:1 enrichment
+    on wkey (no pair blow-up — AQE splits any residual hot-key on the
+    shuffle join); per-doc reassembly is array math bounded by doc
+    length.  Output: (id, n_tokens, n_removed, dedup_fp) with dedup_fp
+    = md5 of the surviving token sequence, so a driver hash check pins
+    the exact excision."""
+    wins = span_occurrences(df, text_col, id_col, span_len)
+    keeper = wins.groupBy("wkey").agg(
+        F.min(F.struct(F.col(id_col), F.col("i"))).alias("_f")
+    )
+    dups = (
+        wins.join(keeper, "wkey")
+        .filter(
+            (F.col(id_col) != F.col(f"_f.{id_col}")) | (F.col("i") != F.col("_f.i"))
+        )
+        .select(F.col(id_col), F.col("i"))
+    )
+    cov = dups.groupBy(id_col).agg(F.collect_set("i").alias("_starts"))
+    base = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_t"))
+    joined = base.join(cov, id_col, "left").withColumn(
+        "_cov",
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.coalesce(F.col("_starts"), F.expr("array()")),
+                    lambda s: F.sequence(s, s + F.lit(span_len - 1)),
+                )
+            )
+        ),
+    )
+    kept = F.filter(
+        F.when(F.size("_t") > 0, F.sequence(F.lit(1), F.size("_t"))).otherwise(
+            F.expr("array()")
+        ),
+        lambda j: ~F.array_contains(F.col("_cov"), j),
+    )
+    kept_toks = F.transform(kept, lambda j: F.element_at(F.col("_t"), j))
+    return joined.select(
+        F.col(id_col),
+        F.size("_t").cast("long").alias("n_tokens"),
+        (F.size("_t") - F.size(kept_toks)).cast("long").alias("n_removed"),
+        F.md5(F.array_join(kept_toks, " ")).alias("dedup_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental near-dup: persisted band index + new-batch probe
 # ---------------------------------------------------------------------------
 

@@ -96,6 +96,9 @@ DOC_QUERIES = [
     "outlink_host_edges", "outlink_pagerank", "anchor_text_terms",
     "robots_noindex_flags", "crawl_frontier_topk", "host_degree_stats",
     "frontier_politeness_rounds",
+    # ExactSubstr span excision: md5 window universe + positional array
+    # algebra, NULL-vs-empty join seam pinned by coalesce in the oracle
+    "exact_substring_dedup",
     # BPE iteration: spaced form uses ([\s\S]) — the one dot-class
     # spelling Java and RE2 read identically on any token bytes; the
     # merge is a literal replace (no regex on data)

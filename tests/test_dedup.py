@@ -501,3 +501,71 @@ def test_lsh_param_planner_monotone_and_consistent_with_default():
     # S-curve sanity: collision prob is monotone in s and hits both ends
     ps = [dedup.lsh_collision_prob(s / 10, 4, 2) for s in range(11)]
     assert ps == sorted(ps) and ps[0] == 0.0 and abs(ps[-1] - 1.0) < 1e-12
+
+# ---------------------------------------------------------------------------
+# ExactSubstr span excision
+# ---------------------------------------------------------------------------
+
+def _spans(spark, rows, L=4):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["dedup_fp"])
+        for r in dedup.excise_duplicate_spans(df, "text", "doc_id", span_len=L).collect()
+    }
+
+
+def test_span_excision_keeps_first_occurrence(spark):
+    """Doc 2 copies a 5-token passage from doc 1 at a different offset:
+    the passage (and only it) is excised from doc 2; doc 1 untouched."""
+    passage = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"{passage} tail1 tail2 tail3"),
+        (2, f"head1 head2 head3 {passage} end1 end2"),
+    ]
+    got = _spans(spark, rows, L=5)
+    assert got[1][1] == 0                      # first occurrence intact
+    n2, rem2, _ = got[2]
+    assert (n2, rem2) == (10, 5)               # exactly the copied span gone
+    # surviving text of doc 2 = everything but the passage
+    import hashlib
+    want = "head1 head2 head3 end1 end2"
+    assert got[2][2] == hashlib.md5(want.encode()).hexdigest()
+
+
+def test_span_excision_self_repetition_within_doc(spark):
+    """A doc repeating its own 4-token phrase keeps only the first copy
+    (self-repetition counts, per ExactSubstr)."""
+    rows = [(1, "a b c d x a b c d")]
+    got = _spans(spark, rows, L=4)
+    n, rem, fp = got[1]
+    assert (n, rem) == (9, 4)
+    import hashlib
+    assert fp == hashlib.md5(b"a b c d x").hexdigest()
+
+
+def test_span_excision_short_docs_untouched(spark):
+    rows = [(1, "a b c"), (2, "a b c")]  # 3 tokens < span_len=4
+    got = _spans(spark, rows, L=4)
+    assert got[1][1] == 0 and got[2][1] == 0
+
+
+def test_span_excision_exact_duplicate_fully_removed(spark):
+    rows = [(1, "w1 w2 w3 w4 w5 w6"), (2, "w1 w2 w3 w4 w5 w6")]
+    got = _spans(spark, rows, L=4)
+    import hashlib
+    assert got[2][1] == 6 and got[2][2] == hashlib.md5(b"").hexdigest()
+    assert got[1][1] == 0
+
+
+def test_span_excision_partition_invariant(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = sorted(map(tuple, dedup.excise_duplicate_spans(docs, "text", "doc_id").collect()))
+    b = sorted(
+        map(
+            tuple,
+            dedup.excise_duplicate_spans(
+                docs.repartition(17), "text", "doc_id"
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 500
