@@ -1926,6 +1926,31 @@ def q_crawl_frontier_topk(spark, sf_dir):
 
 
 SPAN_L = dedup.SPAN_WORDS
+SAVINGS_K = 30
+
+
+def q_dedup_savings_report(spark, sf_dir):
+    """Dedup observability: the top-k duplicated SEGMENTS ranked by
+    wasted chars (occurrences beyond the first × segment size) — the
+    report a curation run publishes to justify its segment-dedup pass
+    (whole-doc exact dups are rarer than repeated boilerplate blocks,
+    and this surfaces exactly which blocks pay).  Segment relation
+    collapses map-side to O(distinct segments); only n > 1 groups
+    survive; md5 key keeps the hash check content-addressed;
+    TakeOrderedAndProject top-k."""
+    docs = _t(spark, sf_dir, "documents")
+    occ = dedup.segment_occurrences(docs, "text", "doc_id")
+    return (
+        occ.groupBy(F.md5(F.col("seg")).alias("seg_fp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.max(F.length("seg")).cast("long").alias("seg_chars"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .withColumn("wasted_chars", (F.col("n_copies") - 1) * F.col("seg_chars"))
+        .orderBy(F.col("wasted_chars").desc(), F.col("seg_fp").asc())
+        .limit(SAVINGS_K)
+    )
 
 
 def q_exact_substring_dedup(spark, sf_dir):
@@ -2366,6 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_degree_stats": q_host_degree_stats,
         "frontier_politeness_rounds": q_frontier_politeness_rounds,
         "exact_substring_dedup": q_exact_substring_dedup,
+        "dedup_savings_report": q_dedup_savings_report,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -3268,6 +3294,25 @@ best_t AS (SELECT *, {best} AS best FROM hits)
 SELECT doc_id, {lang_case} AS lang_guess FROM best_t""",
         "doc_fingerprints": """
 SELECT doc_id, md5(lower(trim(text, ' '))) AS fp FROM documents""",
+        "dedup_savings_report": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text, ' '), '[ ]+') AS t FROM documents
+),
+occ0 AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(0, CAST(ceil(len(t) / {SEGMENT_WORDS}.0) AS BIGINT) - 1),
+    i -> array_to_string(t[i*{SEGMENT_WORDS}+1 : i*{SEGMENT_WORDS}+{SEGMENT_WORDS}], ' '))) AS seg
+  FROM toks
+),
+grp AS (
+  SELECT md5(seg) AS seg_fp, CAST(count(*) AS BIGINT) AS n_copies,
+    CAST(max(length(seg)) AS BIGINT) AS seg_chars
+  FROM occ0 GROUP BY 1
+)
+SELECT seg_fp, n_copies, seg_chars,
+  (n_copies - 1) * seg_chars AS wasted_chars
+FROM grp WHERE n_copies > 1
+ORDER BY wasted_chars DESC, seg_fp ASC LIMIT {SAVINGS_K}""",
         "dedup_exact_docs": """
 SELECT md5(lower(trim(text, ' '))) AS fp, min(doc_id) AS rep_id,
   CAST(count(*) AS BIGINT) AS dup_count

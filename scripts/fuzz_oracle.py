@@ -99,6 +99,8 @@ DOC_QUERIES = [
     # ExactSubstr span excision: md5 window universe + positional array
     # algebra, NULL-vs-empty join seam pinned by coalesce in the oracle
     "exact_substring_dedup",
+    # segment-granular savings: fuzz-proven segment algebra + exact ints
+    "dedup_savings_report",
     # BPE iteration: spaced form uses ([\s\S]) — the one dot-class
     # spelling Java and RE2 read identically on any token bytes; the
     # merge is a literal replace (no regex on data)
