@@ -91,17 +91,52 @@ def winnowing_fp_array_col(text: Column, k: int = WINNOW_K, w: int = WINNOW_W) -
         sh,
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
     )
-    m = F.size(h)
-    # guard BEFORE sequence: Spark's sequence(1, n) with n < 1 yields a
-    # DESCENDING sequence, not an empty one
-    idx = F.when(m >= w, F.sequence(F.lit(1), m - (w - 1))).otherwise(
-        F.array().cast("array<int>")
+
+    # Sparse-table window minima (zip_with doubling) with LET-BINDING,
+    # not a per-window array_min(slice(h, i, w)) lambda: Catalyst
+    # inlines referenced expressions into HOF lambdas (no common-
+    # subexpression reuse), so the per-window form re-evaluates the
+    # ENTIRE md5 hash array once per window — O(len²) md5 calls per doc
+    # (measured 38s/5000 sf0.1 docs), and even a plain doubling chain
+    # re-evaluates each level once per reference (geometric, measured
+    # 17s).  `_let` binds a level's array as a lambda VARIABLE (a
+    # single-element-array transform), so each level is computed exactly
+    # once per row: total O(len·log w) work, bitwise identical (min is
+    # associative over the same bigints — pinned by the differential
+    # test).  Each pass doubles the covered span: m_2s[i] =
+    # least(m_s[i], m_s[i+s]); a final residue zip covers span w from
+    # the largest power p ≤ w: win[i] = least(m_p[i], m_p[i + w - p]).
+    def _let(expr, fn):
+        return F.transform(F.array(expr), fn)[0]
+
+    def _zipmin(m, d):
+        ln = F.size(m) - d
+        return F.zip_with(
+            F.slice(m, 1, ln), F.slice(m, 1 + d, ln), lambda x, y: F.least(x, y)
+        )
+
+    spans = []
+    span = 1
+    while span * 2 <= w:
+        spans.append(span)  # doubling step from this span
+        span *= 2
+    residue = w - span  # 0 when w is a power of two
+
+    def _chain(m, steps):
+        if not steps:
+            return F.array_distinct(_zipmin(m, residue) if residue else m)
+        s, rest = steps[0], steps[1:]
+        return _let(_zipmin(m, s), lambda nxt: _chain(nxt, rest))
+
+    # strict-window guard FIRST: docs with fewer than w k-grams emit
+    # nothing, and the when() short-circuit keeps every level's slice
+    # length positive on the evaluated branch
+    return _let(
+        h,
+        lambda hh: F.when(F.size(hh) >= w, _chain(hh, spans)).otherwise(
+            F.expr("array()").cast("array<bigint>")
+        ),
     )
-
-    def _win_min(i):  # one-param lambda (the (x, i) index-binding trap)
-        return F.array_min(F.slice(h, i, w))
-
-    return F.array_distinct(F.transform(idx, _win_min))
 
 
 def winnowing_pairs(

@@ -295,3 +295,56 @@ def test_orc_roundtrip_fidelity_matches_source(spark, docs, tmp_path):
     a = sorted(map(tuple, formats.fidelity_summary(rt, "lang", cols).collect()))
     b = sorted(map(tuple, formats.fidelity_summary(docs, "lang", cols).collect()))
     assert a == b
+
+
+def test_winnowing_doubling_bitwise_matches_per_window_spec(spark):
+    """BITWISE differential (the exact-fold kernel discipline): the
+    sparse-table zip_with doubling must reproduce the per-window
+    array_min(slice(h, i, w)) spec fingerprint-for-fingerprint on
+    adversarial token counts (0, 1, w-1, w, w+1, long, ties,
+    repetitions) — min over bigints is associative, so any mismatch is
+    a windowing bug, not float noise."""
+    from quality_filter.operators.dedup import (
+        WINNOW_K, WINNOW_W, shingles, winnowing_fp_array_col,
+    )
+
+    texts = [
+        "",                       # no tokens
+        "a b",                    # < k tokens: no shingles
+        "a b c",                  # 1 shingle < w
+        "a b c d e f",            # exactly w shingles
+        "a b c d e f g",          # w+1
+        " ".join(f"t{i}" for i in range(60)),
+        ("dup " * 40).strip(),    # maximal ties
+        "x y z x y z x y z w",    # periodic
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+
+    def spec(text_col, k=WINNOW_K, w=WINNOW_W):
+        h = F.transform(
+            shingles(text_col, k),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+        )
+        m = F.size(h)
+        idx = F.when(m >= w, F.sequence(F.lit(1), m - (w - 1))).otherwise(
+            F.expr("array()").cast("array<int>")
+        )
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_min(F.slice(h, i, w)))
+        )
+
+    rows = df.select(
+        spec(F.col("text")).alias("want"),
+        winnowing_fp_array_col(F.col("text")).alias("got"),
+    ).collect()
+    for r in rows:
+        assert r["got"] == r["want"]
+
+    # non-power-of-two windows exercise the residue zip
+    for w in (3, 5, 6, 7):
+        rows = df.select(
+            spec(F.col("text"), w=w).alias("want"),
+            winnowing_fp_array_col(F.col("text"), w=w).alias("got"),
+        ).collect()
+        for r in rows:
+            assert r["got"] == r["want"], (w, r)
