@@ -36,6 +36,17 @@ def _tokens(text: Column) -> Column:
     return F.split(F.trim(text), "[ ]+")
 
 
+def let_bound(expr: Column, fn) -> Column:
+    """LET-binding for HOF pipelines: bind ``expr`` as a lambda VARIABLE
+    (single-element-array transform) so every reference inside ``fn``
+    reuses one evaluation per row.  Catalyst inlines referenced
+    expressions into HOF lambdas with no common-subexpression reuse —
+    an expression referenced inside a per-element lambda is otherwise
+    re-evaluated once PER ELEMENT (the O(len²) winnowing kernel,
+    BENCH/ROUND4.md)."""
+    return F.transform(F.array(expr), fn)[0]
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Positional word n-gram shingles (space-joined); [] if < n tokens.
 
@@ -72,8 +83,9 @@ def winnowing_fingerprints(
     ≥ w+k-1 words MUST contribute at least one identical fingerprint.
 
     Returns (id, fp) with per-doc-distinct fingerprints.  Zero-shuffle
-    narrow map (token slicing + HOF window minima, O(len·w) per doc);
-    docs with fewer than w k-grams emit nothing (strict-window form).
+    narrow map (let-bound sparse-table window minima, O(len·log w) per
+    doc — BENCH/ROUND4.md kernel note); docs with fewer than w k-grams
+    emit nothing (strict-window form).
     """
     return df.select(
         F.col(id_col),
@@ -106,8 +118,7 @@ def winnowing_fp_array_col(text: Column, k: int = WINNOW_K, w: int = WINNOW_W) -
     # test).  Each pass doubles the covered span: m_2s[i] =
     # least(m_s[i], m_s[i+s]); a final residue zip covers span w from
     # the largest power p ≤ w: win[i] = least(m_p[i], m_p[i + w - p]).
-    def _let(expr, fn):
-        return F.transform(F.array(expr), fn)[0]
+    _let = let_bound
 
     def _zipmin(m, d):
         ln = F.size(m) - d
@@ -694,11 +705,17 @@ def segments_col(text: Column, k: int = SEGMENT_WORDS) -> Column:
     (reference pattern: corpus-level repeated-span removal); k-word
     windows give the same operator a delimiter-free segmentation that
     both engines compute identically."""
-    toks = _tokens(text)
-    n_seg = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), n_seg - F.lit(1)),
-        lambda i: F.array_join(F.slice(toks, i * F.lit(k) + F.lit(1), k), " "),
+    # let-bind the token array: referenced inside the per-segment lambda
+    # it would otherwise be re-split once per segment (O(len²/k) per doc
+    # — the winnowing kernel trap, see let_bound)
+    return let_bound(
+        _tokens(text),
+        lambda toks: F.transform(
+            F.sequence(
+                F.lit(0), F.ceil(F.size(toks) / F.lit(float(k))).cast("int") - F.lit(1)
+            ),
+            lambda i: F.array_join(F.slice(toks, i * F.lit(k) + F.lit(1), k), " "),
+        ),
     )
 
 
@@ -783,18 +800,22 @@ def span_occurrences(
     base = df.select(
         F.col(id_col), _tokens(F.col(text_col)).alias("_t")
     ).withColumn("_n", F.size("_t"))
+    # let-bind the token array: Catalyst inlines the split() into the
+    # per-window lambda otherwise — O(len) re-tokenization per window,
+    # quadratic in doc length (the winnowing kernel lesson, let_bound)
+    wins = let_bound(
+        F.col("_t"),
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.col("_n") - F.lit(span_len - 1)),
+            lambda i: F.struct(
+                i.alias("i"),
+                F.md5(F.array_join(F.slice(t, i, span_len), " ")).alias("wkey"),
+            ),
+        ),
+    )
     return (
         base.filter(F.col("_n") >= span_len)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, _n - {span_len} + 1),"
-                    f" i -> struct(i AS i,"
-                    f" md5(array_join(slice(_t, i, {span_len}), ' ')) AS wkey))"
-                )
-            ).alias("_w"),
-        )
+        .select(F.col(id_col), F.explode(wins).alias("_w"))
         .select(F.col(id_col), F.col("_w.i").alias("i"), F.col("_w.wkey").alias("wkey"))
     )
 
