@@ -1645,6 +1645,7 @@ def q_bpe_merge_round(spark, sf_dir):
 
 
 WINNOW_MAX_DF = 50
+WINNOW_MIN_SHARED = 2
 SNAP_MOD = 5
 
 
@@ -1663,6 +1664,26 @@ def q_winnowing_pairs(spark, sf_dir):
     like star_edges/containment (dedup.winnowing_pairs)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.winnowing_pairs(docs, "text", "doc_id", max_df=WINNOW_MAX_DF)
+
+
+def q_winnowing_survivors(spark, sf_dir):
+    """The winnowing dedup tier end-to-end: fp candidate pairs →
+    connected components (min-label + pointer jumping, O(log diameter)
+    rounds) → one survivor per local-similarity cluster + all
+    unclustered docs.  The survivors verb near_dup_survivors already
+    provides for the minhash tier, applied to the LOCAL-substring
+    tier.  Edges require >= WINNOW_MIN_SHARED shared fingerprints (the
+    MOSS match-evidence threshold — a single shared fp is one hash
+    collision away from noise and over-connects a small-vocab corpus
+    into one giant component)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.winnowing_pairs(docs, "text", "doc_id", max_df=WINNOW_MAX_DF)
+    comp = dedup.connected_components(
+        pairs.filter(F.col("n_shared") >= WINNOW_MIN_SHARED).select("doc_a", "doc_b"),
+        src="doc_a",
+        dst="doc_b",
+    ).select(F.col("x").alias("doc_id"), "comp")
+    return dedup.near_dup_survivors(docs, "doc_id", comp)
 
 
 def q_corpus_snapshot_diff(spark, sf_dir):
@@ -2392,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_politeness_rounds": q_frontier_politeness_rounds,
         "exact_substring_dedup": q_exact_substring_dedup,
         "dedup_savings_report": q_dedup_savings_report,
+        "winnowing_survivors": q_winnowing_survivors,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -3894,6 +3916,28 @@ wp AS (
 )
 SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
 FROM wp GROUP BY doc_a, doc_b"""
+    out["winnowing_survivors"] = f"""
+WITH RECURSIVE {_win_ctes},
+wcap AS (SELECT fp FROM wfp GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}),
+wp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM wfp a JOIN wcap c ON a.fp = c.fp JOIN wfp b ON b.fp = a.fp
+  WHERE a.doc_id < b.doc_id
+),
+wpair2 AS (
+  SELECT doc_a, doc_b FROM wp GROUP BY doc_a, doc_b
+  HAVING count(*) >= {WINNOW_MIN_SHARED}
+),
+wedges AS (SELECT doc_a AS x, doc_b AS y FROM wpair2
+           UNION SELECT doc_b, doc_a FROM wpair2),
+wreach(x, y) AS (
+  SELECT x, y FROM wedges
+  UNION
+  SELECT r.x, e.y FROM wreach r JOIN wedges e ON r.y = e.x
+),
+wcomp AS (SELECT x AS doc_id, least(x, min(y)) AS comp FROM wreach GROUP BY x)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM wcomp WHERE doc_id <> comp)"""
     out["corpus_snapshot_diff"] = f"""
 WITH o AS (
   SELECT DISTINCT md5(lower(trim(text, ' '))) AS fp FROM documents

@@ -101,6 +101,8 @@ DOC_QUERIES = [
     "exact_substring_dedup",
     # segment-granular savings: fuzz-proven segment algebra + exact ints
     "dedup_savings_report",
+    # winnowing components: recursive-closure twin, >=2-fp evidence edges
+    "winnowing_survivors",
     # BPE iteration: spaced form uses ([\s\S]) — the one dot-class
     # spelling Java and RE2 read identically on any token bytes; the
     # merge is a literal replace (no regex on data)
