@@ -1666,6 +1666,35 @@ def q_winnowing_pairs(spark, sf_dir):
     return dedup.winnowing_pairs(docs, "text", "doc_id", max_df=WINNOW_MAX_DF)
 
 
+def q_host_reputation(spark, sf_dir):
+    """Host reputation = content quality × link centrality, the two
+    signals a crawl planner combines: per-host exact-integer quality
+    mass (floor(score·1e6) micro-units summed as BIGINT — order-free,
+    the gate_distill_stats pattern; mean = ONE division of exact ints)
+    joined with the extracted-link-graph PageRank.  Both sides collapse
+    to the O(hosts) dimension before the join."""
+    docs = _t(spark, sf_dir, "documents")
+    pages = _ol_pages(docs).select("doc_id", "host")
+    feats = R.feature_columns(F.col("text"), CFG)
+    feats["ppl_norm"] = F.lit(0.0)
+    qm = F.floor(F.round(R.quality_score_col(feats, CFG), 6) * 1e6).cast("long")
+    scored = docs.select("doc_id", qm.alias("q_micro")).join(pages, "doc_id")
+    agg = scored.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.sum("q_micro").cast("long").alias("sum_q_micro"),
+    )
+    ranks = graph.pagerank(links.host_edges(_ol_pages(docs)), iters=OL_PR_ITERS)
+    return agg.join(ranks, agg["host"] == ranks["node"]).select(
+        "host",
+        "n_pages",
+        "sum_q_micro",
+        F.round(
+            F.col("sum_q_micro") / F.col("n_pages") / F.lit(1000000.0), 6
+        ).alias("mean_quality"),
+        "rank_micro",
+    )
+
+
 def q_winnowing_survivors(spark, sf_dir):
     """The winnowing dedup tier end-to-end: fp candidate pairs →
     connected components (min-label + pointer jumping, O(log diameter)
@@ -2414,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_dedup": q_exact_substring_dedup,
         "dedup_savings_report": q_dedup_savings_report,
         "winnowing_survivors": q_winnowing_survivors,
+        "host_reputation": q_host_reputation,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -3836,6 +3866,24 @@ SELECT link AS url, {_ol_tgt_host} AS host,
   CAST(row_number() OVER (
     PARTITION BY {_ol_tgt_host} ORDER BY link ASC) AS BIGINT) AS fetch_round
 FROM frontier"""
+    out["host_reputation"] = f"""
+WITH {_features_cte()},
+{_ol_edges_ctes()},
+{_pagerank_ctes("SELECT src, dst FROM ol_kept")},
+qd AS (
+  SELECT doc_id,
+    CAST(floor(round(1.0 / (1.0 + exp(-{qz})), 6) * 1e6) AS BIGINT) AS q_micro
+  FROM ratios
+),
+hq AS (
+  SELECT p.host, CAST(count(*) AS BIGINT) AS n_pages,
+    CAST(sum(q.q_micro) AS BIGINT) AS sum_q_micro
+  FROM ol_pages p JOIN qd q USING (doc_id) GROUP BY p.host
+)
+SELECT h.host, h.n_pages, h.sum_q_micro,
+  round(h.sum_q_micro / h.n_pages / 1000000.0, 6) AS mean_quality,
+  r.rank_micro
+FROM hq h JOIN pr_r{OL_PR_ITERS} r ON r.node = h.host"""
     out["robots_noindex_flags"] = f"""
 WITH {_ol_pages_cte()}
 SELECT doc_id,

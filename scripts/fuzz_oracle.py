@@ -103,6 +103,9 @@ DOC_QUERIES = [
     "dedup_savings_report",
     # winnowing components: recursive-closure twin, >=2-fp evidence edges
     "winnowing_survivors",
+    # quality-mass x centrality: fuzz-proven features CTE + exact micro
+    # sums + the outlink graph (itself fuzz-safe by construction)
+    "host_reputation",
     # BPE iteration: spaced form uses ([\s\S]) — the one dot-class
     # spelling Java and RE2 read identically on any token bytes; the
     # merge is a literal replace (no regex on data)
