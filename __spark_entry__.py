@@ -1539,7 +1539,7 @@ def q_host_pagerank(spark, sf_dir):
     )
 
 
-def _pagerank_ctes(inst_sql: str | None = None) -> str:
+def _pagerank_ctes(inst_sql: str | None = None, iters: int = PR_ITERS) -> str:
     """DuckDB twin of graph.pagerank over any edge-instance relation:
     ``inst_sql`` must select ``(src, dst)`` rows (one per link
     instance); default is the md5-universe multigraph twin of
@@ -1567,7 +1567,7 @@ def _pagerank_ctes(inst_sql: str | None = None) -> str:
         f"pr_r0 AS (SELECT node, CAST({graph.PAGERANK_R0} AS BIGINT) AS rank_micro"
         " FROM pr_nodes)",
     ]
-    for i in range(1, PR_ITERS + 1):
+    for i in range(1, iters + 1):
         ctes.append(
             f"pr_c{i} AS (\n"
             f"  SELECT e.dst AS node,\n"
@@ -1674,16 +1674,18 @@ def q_host_reputation(spark, sf_dir):
     joined with the extracted-link-graph PageRank.  Both sides collapse
     to the O(hosts) dimension before the join."""
     docs = _t(spark, sf_dir, "documents")
-    pages = _ol_pages(docs).select("doc_id", "host")
+    pages = _ol_pages(docs)  # bound ONCE: host map + edges share the subtree
     feats = R.feature_columns(F.col("text"), CFG)
     feats["ppl_norm"] = F.lit(0.0)
     qm = F.floor(F.round(R.quality_score_col(feats, CFG), 6) * 1e6).cast("long")
-    scored = docs.select("doc_id", qm.alias("q_micro")).join(pages, "doc_id")
+    scored = docs.select("doc_id", qm.alias("q_micro")).join(
+        pages.select("doc_id", "host"), "doc_id"
+    )
     agg = scored.groupBy("host").agg(
         F.count(F.lit(1)).cast("long").alias("n_pages"),
         F.sum("q_micro").cast("long").alias("sum_q_micro"),
     )
-    ranks = graph.pagerank(links.host_edges(_ol_pages(docs)), iters=OL_PR_ITERS)
+    ranks = graph.pagerank(links.host_edges(pages), iters=OL_PR_ITERS)
     return agg.join(ranks, agg["host"] == ranks["node"]).select(
         "host",
         "n_pages",
@@ -1846,7 +1848,7 @@ def _ol_edges_ctes() -> str:
     return f"""{_ol_pages_cte()},
 ol_links AS (
   SELECT host AS src,
-    unnest(regexp_extract_all(html_str, '(?i)<a\\s[^>]*href="([^"]*)"', 1)) AS link
+    unnest(regexp_extract_all(html_str, '(?i)<a\\s(?:[^>]*\\s)?href="([^"]*)"', 1)) AS link
   FROM ol_pages
 ),
 ol_inst AS (
@@ -1943,6 +1945,23 @@ def q_host_degree_stats(spark, sf_dir):
 CRAWL_FRONTIER_K = 100
 
 
+def _ol_frontier(pages):
+    """Frontier URL relation shared by the scheduling queries: distinct
+    absolute discovered links anti-joined against the crawl log.  ONE
+    definition — a drift between the two registered schedulers would
+    silently desynchronize crawl planning."""
+    crawled = pages.select(
+        F.concat(
+            F.lit("https://"), F.col("host"), F.lit("/p/"), F.col("doc_id").cast("string")
+        ).alias("url")
+    )
+    lnk = pages.select(
+        F.explode(links.outlink_urls_col(F.col("html_str"))).alias("link")
+    )
+    disc = lnk.filter(F.col("link").rlike("^(?i)https?://")).select("link").distinct()
+    return disc.join(crawled, disc["link"] == crawled["url"], "left_anti")
+
+
 def q_crawl_frontier_topk(spark, sf_dir):
     """Crawl-frontier scheduling, composed end-to-end: absolute URLs
     DISCOVERED by href extraction, deduped, anti-joined against the
@@ -1953,17 +1972,7 @@ def q_crawl_frontier_topk(spark, sf_dir):
     is a TakeOrderedAndProject heap."""
     docs = _t(spark, sf_dir, "documents")
     pages = _ol_pages(docs)
-    crawled = pages.select(
-        F.concat(
-            F.lit("https://"), F.col("host"), F.lit("/p/"), F.col("doc_id").cast("string")
-        ).alias("url")
-    )
-    lnk = pages.select(
-        F.col("host").alias("src"),
-        F.explode(links.outlink_urls_col(F.col("html_str"))).alias("link"),
-    )
-    disc = lnk.filter(F.col("link").rlike("^(?i)https?://")).select("link").distinct()
-    frontier = disc.join(crawled, disc["link"] == crawled["url"], "left_anti")
+    frontier = _ol_frontier(pages)
     ranks = graph.pagerank(links.host_edges(pages), iters=OL_PR_ITERS)
     tgt_host = links.link_host_col(F.col("link"), F.lit(None).cast("string"))
     return (
@@ -2023,17 +2032,7 @@ def q_frontier_politeness_rounds(spark, sf_dir):
     per-host frontier (already URL-deduped), so no global sort and no
     unbounded skew."""
     docs = _t(spark, sf_dir, "documents")
-    pages = _ol_pages(docs)
-    crawled = pages.select(
-        F.concat(
-            F.lit("https://"), F.col("host"), F.lit("/p/"), F.col("doc_id").cast("string")
-        ).alias("url")
-    )
-    lnk = pages.select(
-        F.explode(links.outlink_urls_col(F.col("html_str"))).alias("link")
-    )
-    disc = lnk.filter(F.col("link").rlike("^(?i)https?://")).select("link").distinct()
-    frontier = disc.join(crawled, disc["link"] == crawled["url"], "left_anti")
+    frontier = _ol_frontier(_ol_pages(docs))
     from pyspark.sql import Window as W
 
     tgt_host = links.link_host_col(F.col("link"), F.lit(None).cast("string"))
@@ -3745,7 +3744,7 @@ WITH {_ol_edges_ctes()}
 SELECT src, dst, w FROM ol_edges"""
     out["outlink_pagerank"] = f"""
 WITH {_ol_edges_ctes()},
-{_pagerank_ctes("SELECT src, dst FROM ol_kept")}
+{_pagerank_ctes("SELECT src, dst FROM ol_kept", OL_PR_ITERS)}
 SELECT node, rank_micro,
   round(rank_micro / {float(graph.PAGERANK_R0)!r}, 6) AS rank
 FROM pr_r{OL_PR_ITERS}"""
@@ -3754,13 +3753,13 @@ WITH {_ol_pages_cte()},
 ol_elems AS (
   SELECT host AS src,
     unnest(regexp_extract_all(html_str,
-      '(?i)<a\\s[^>]*href="[^"]*"[^>]*>[^<]*</a>', 0)) AS elem
+      '(?i)<a\\s(?:[^>]*\\s)?href="[^"]*"[^>]*>[^<]*</a>', 0)) AS elem
   FROM ol_pages
 ),
 ol_anchor_pairs AS (
   SELECT src,
-    regexp_extract(elem, 'href="([^"]*)"', 1) AS link,
-    lower(regexp_extract(elem, '>([^<]*)</a>', 1)) AS anchor
+    regexp_extract(elem, '(?:^|\\s)href="([^"]*)"', 1) AS link,
+    lower(regexp_extract(elem, '>([^<>]*)</a>$', 1)) AS anchor
   FROM ol_elems
 ),
 ol_terms AS (
@@ -3777,10 +3776,8 @@ LIMIT {ANCHOR_TERMS_K}"""
     _ol_tgt_host = (
         "lower(regexp_extract(link, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:@]+)', 1))"
     )
-    out["crawl_frontier_topk"] = f"""
-WITH {_ol_edges_ctes()},
-{_pagerank_ctes("SELECT src, dst FROM ol_kept")},
-crawled AS (
+    # twin of _ol_frontier — ONE definition for both scheduling oracles
+    _ol_frontier_ctes = """crawled AS (
   SELECT 'https://' || host || '/p/' || CAST(doc_id AS VARCHAR) AS url FROM ol_pages
 ),
 disc AS (
@@ -3788,7 +3785,11 @@ disc AS (
 ),
 frontier AS (
   SELECT link FROM disc d WHERE NOT EXISTS (SELECT 1 FROM crawled c WHERE c.url = d.link)
-)
+)"""
+    out["crawl_frontier_topk"] = f"""
+WITH {_ol_edges_ctes()},
+{_pagerank_ctes("SELECT src, dst FROM ol_kept", OL_PR_ITERS)},
+{_ol_frontier_ctes}
 SELECT f.link AS url, {_ol_tgt_host} AS host, r.rank_micro
 FROM frontier f
 JOIN pr_r{OL_PR_ITERS} r ON r.node = {_ol_tgt_host}
@@ -3850,18 +3851,10 @@ FROM kept"""
 WITH {_ol_pages_cte()},
 ol_links AS (
   SELECT host AS src,
-    unnest(regexp_extract_all(html_str, '(?i)<a\\s[^>]*href="([^"]*)"', 1)) AS link
+    unnest(regexp_extract_all(html_str, '(?i)<a\\s(?:[^>]*\\s)?href="([^"]*)"', 1)) AS link
   FROM ol_pages
 ),
-crawled AS (
-  SELECT 'https://' || host || '/p/' || CAST(doc_id AS VARCHAR) AS url FROM ol_pages
-),
-disc AS (
-  SELECT DISTINCT link FROM ol_links WHERE regexp_matches(link, '^(?i)https?://')
-),
-frontier AS (
-  SELECT link FROM disc d WHERE NOT EXISTS (SELECT 1 FROM crawled c WHERE c.url = d.link)
-)
+{_ol_frontier_ctes}
 SELECT link AS url, {_ol_tgt_host} AS host,
   CAST(row_number() OVER (
     PARTITION BY {_ol_tgt_host} ORDER BY link ASC) AS BIGINT) AS fetch_round
@@ -3869,7 +3862,7 @@ FROM frontier"""
     out["host_reputation"] = f"""
 WITH {_features_cte()},
 {_ol_edges_ctes()},
-{_pagerank_ctes("SELECT src, dst FROM ol_kept")},
+{_pagerank_ctes("SELECT src, dst FROM ol_kept", OL_PR_ITERS)},
 qd AS (
   SELECT doc_id,
     CAST(floor(round(1.0 / (1.0 + exp(-{qz})), 6) * 1e6) AS BIGINT) AS q_micro

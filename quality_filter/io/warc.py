@@ -60,8 +60,18 @@ def build_record(url: str, date: str, payload: bytes,
     for k, v in (extra_headers or {}).items():
         fields.append((k, v))
     for k, v in fields:
-        if "\r" in str(v) or "\n" in str(v) or "\r" in k or "\n" in k:
+        if v is None:
+            raise ValueError(f"WARC header field {k!r} is None — headers carry "
+                             "strings only (encode NULLs upstream)")
+        v = str(v)
+        if "\r" in v or "\n" in v or "\r" in k or "\n" in k:
             raise ValueError(f"WARC header field {k!r} contains CR/LF: {v!r}")
+        if v != v.strip() or k != k.strip():
+            # the parser (and the WARC grammar) strips surrounding
+            # whitespace from field values — padded values cannot
+            # round-trip byte-identically, so refuse rather than mutate
+            raise ValueError(f"WARC header field {k!r} has surrounding "
+                             f"whitespace (not round-trippable): {v!r}")
     head = b"WARC/1.0\r\n" + b"".join(
         f"{k}: {v}\r\n".encode("utf-8") for k, v in fields
     ) + f"Content-Length: {len(payload)}\r\n".encode() + CRLF
@@ -162,9 +172,15 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """WARC files under ``path`` → (url, warc_date, headers, payload)
     rows.  One task per file (the CC decomposition); parse is an
     Arrow-batched mapInPandas over file contents."""
+    import glob as _glob
+
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(os.path.join(path, "*.warc"))
+    if not _glob.glob(os.path.join(path, "*.warc*")):
+        # empty input wrote no files; the other interchange twins return
+        # an empty frame here, not an AnalysisException
+        return spark.createDataFrame([], READ_SCHEMA)
+    files = spark.read.format("binaryFile").load(os.path.join(path, "*.warc*"))
 
     def _parse(batches):
         for pdf in batches:

@@ -34,14 +34,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# href values inside <a> elements, double-quoted form (group 1 = the URL).
-HREF_PATTERN = '(?i)<a\\s[^>]*href="([^"]*)"'
+# href values inside <a> elements, double-quoted form (group 1 = the URL;
+# the (?:[^>]*\s)? boundary keeps data-href/xlink:href from matching —
+# href must start the tag's attribute list or follow whitespace).
+HREF_PATTERN = '(?i)<a\\s(?:[^>]*\\s)?href="([^"]*)"'
 # Whole <a ...>text</a> elements with tag-free inner text (group 0 = the
 # element; inner text is re-extracted per element, so a page where some
 # anchors nest markup simply contributes nothing for those anchors).
-ANCHOR_ELEM_PATTERN = '(?i)<a\\s[^>]*href="[^"]*"[^>]*>[^<]*</a>'
-ANCHOR_HREF_PATTERN = 'href="([^"]*)"'
-ANCHOR_TEXT_PATTERN = ">([^<]*)</a>"
+ANCHOR_ELEM_PATTERN = '(?i)<a\\s(?:[^>]*\\s)?href="[^"]*"[^>]*>[^<]*</a>'
+ANCHOR_HREF_PATTERN = '(?:^|\\s)href="([^"]*)"'
+# inner text must be bracket-free: [^<>]* cannot cross the open tag's
+# closing '>', so the match is forced to start at the LAST '>' — an href
+# containing '>' can never leak into the anchor text (an anchor whose
+# TEXT contains a literal '>' yields '' and contributes no terms).
+ANCHOR_TEXT_PATTERN = ">([^<>]*)</a>$"
 # <meta name="robots" content="... noindex ..."> — the crawl-politeness
 # exclusion signal a corpus builder must honor before keeping a page.
 ROBOTS_NOINDEX_PATTERN = '(?i)<meta\\s[^>]*name="robots"[^>]*content="[^"]*noindex'

@@ -149,3 +149,32 @@ def test_warc_spark_roundtrip_byte_identical(spark, adv_df, tmp_path):
     import glob
 
     assert len(glob.glob(str(tmp_path / "warc" / "*.warc"))) == 3
+
+
+def test_warc_writer_rejects_unroundtrippable_headers():
+    """Padded or NULL header values cannot round-trip byte-identically
+    (the parser strips surrounding whitespace) — the writer must abort,
+    never silently mutate."""
+    from quality_filter.io import warc as W
+
+    with pytest.raises(ValueError):
+        W.build_record("doc://0", "2025", b"", {"X-Source": " web "})
+    with pytest.raises(ValueError):
+        W.build_record("doc://0", "2025", b"", {"X-Lang": None})
+
+
+def test_warc_read_handles_gz_files_and_empty_dir(spark, tmp_path):
+    import gzip
+
+    from quality_filter.io import warc as W
+
+    d = tmp_path / "wgz"
+    d.mkdir()
+    blob = W.build_record("doc://7", "2025-06-01T00:00:00Z", b"payload")
+    (d / "part-00000.warc.gz").write_bytes(gzip.compress(blob))
+    rows = W.read_warc(spark, str(d)).collect()
+    assert len(rows) == 1 and bytes(rows[0]["payload"]) == b"payload"
+    # empty dir: empty typed frame, not an AnalysisException
+    e = tmp_path / "empty"
+    e.mkdir()
+    assert W.read_warc(spark, str(e)).collect() == []

@@ -234,3 +234,39 @@ def test_stream_host_edges_matches_batch_per_window(spark, tmp_path):
         total[(s, d)] = total.get((s, d), 0) + v
     whole = {(r["src"], r["dst"]): r["w"] for r in links.host_edges(batch_pages).collect()}
     assert total == whole
+
+
+def test_href_boundary_rejects_data_href(spark):
+    """data-href/xlink:href must not be extracted as links (href must
+    start the attribute list or follow whitespace)."""
+    html = (
+        '<a data-href="https://tracker.example/x">t</a>'
+        '<a xlink:href="https://svg.example/y">s</a>'
+        '<a href="https://real.example/z">ok</a>'
+    )
+    df = spark.createDataFrame([("a.com", html)], "host string, html_str string")
+    got = {(r["src"], r["dst"]) for r in links.host_edges(df).collect()}
+    assert got == {("a.com", "real.example")}
+
+
+def test_anchor_text_not_polluted_by_gt_in_href(spark):
+    """An href containing '>' must never leak its tail into anchor
+    text: the bracket-free capture can't cross the open tag's '>' and
+    try_parse_url rejects the malformed URL anyway — the whole anchor
+    drops, leaving neighbors untouched (no misattribution either
+    way)."""
+    html = (
+        '<a href="https://x.com/a>b">polluted tail</a>'
+        '<a href="https://y.com/ok">real words</a>'
+    )
+    df = spark.createDataFrame([("a.com", html)], "host string, html_str string")
+    got = {(r["dst"], r["term"]) for r in links.anchor_terms(df).collect()}
+    assert got == {("y.com", "real"), ("y.com", "words")}
+    # and the capture itself is clean even before host resolution
+    anchor = df.select(
+        F.regexp_extract(
+            F.lit('<a href="https://x.com/a>b">polluted tail</a>'),
+            links.ANCHOR_TEXT_PATTERN, 1,
+        ).alias("a")
+    ).first()["a"]
+    assert anchor == "polluted tail"
