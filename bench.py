@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "winnowing_pairs",        # window-min fingerprints + df-capped fp join
     # round-4 crawl-web tier
     "outlink_pagerank",       # href extraction -> host edges -> 3 PR rounds
+    "exact_substring_dedup",  # overlapping-window keeper agg + excision
 ]
 
 
