@@ -178,3 +178,44 @@ def test_warc_read_handles_gz_files_and_empty_dir(spark, tmp_path):
     e = tmp_path / "empty"
     e.mkdir()
     assert W.read_warc(spark, str(e)).collect() == []
+
+
+def test_warc_crawl_ingest_feeds_pipeline_end_to_end(spark, tmp_path):
+    """The crawl-native path composed: pages → WARC shards (binary html
+    payload + url/ts headers) → strict parallel parse → the SAME
+    quality pipeline outputs as scoring the original table directly —
+    WARC ingest is a transparent source for the gate."""
+    import pandas as pd
+
+    from quality_filter.corpus import generate_pages, pages_spark_schema
+    from quality_filter.io import warc as W
+    from quality_filter.pipeline import score_documents
+    from pyspark.sql import functions as F
+
+    pages = generate_pages(120, seed=77).drop(columns=["cls"])
+    sdf = spark.createDataFrame(pages, schema=pages_spark_schema())
+    # ship html bytes as payload; text-passthrough rows ride an empty
+    # payload + a presence flag (WARC headers carry strings only)
+    shipped = sdf.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_date"),
+        F.coalesce(F.col("html"), F.encode(F.coalesce("text", F.lit("")), "UTF-8")).alias("payload"),
+        F.when(F.col("html").isNotNull(), F.lit("html")).otherwise(F.lit("text")).alias("kind"),
+        F.coalesce("lang", F.lit("und")).alias("lang"),
+    )
+    W.write_warc(shipped.repartition(3), str(tmp_path / "crawl"), header_cols=("kind", "lang"))
+    rt = W.read_warc(spark, str(tmp_path / "crawl"))
+    rebuilt = rt.select(
+        F.col("url"),
+        F.to_timestamp(F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
+        F.when(F.col("headers")["x-kind"] == "html", F.col("payload"))
+        .otherwise(F.lit(None).cast("binary")).alias("html"),
+        F.when(F.col("headers")["x-kind"] == "text", F.decode(F.col("payload"), "UTF-8"))
+        .otherwise(F.lit(None).cast("string")).alias("text"),
+        F.col("headers")["x-lang"].alias("lang"),
+    )
+    a = score_documents(sdf).select("url", "status", "extracted_text").toPandas()
+    b = score_documents(rebuilt).select("url", "status", "extracted_text").toPandas()
+    a = a.sort_values("url").reset_index(drop=True)
+    b = b.sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
