@@ -2043,6 +2043,30 @@ def q_frontier_politeness_rounds(spark, sf_dir):
     )
 
 
+PMI_K = 50
+PMI_MIN_COUNT = 5
+NOVELTY_NGRAM = 3
+
+
+def q_collocation_pmi(spark, sf_dir):
+    """Top-k adjacent-pair collocations by PMI — phrase mining for
+    tokenizer/vocabulary construction.  Exact BIGINT counts feed one
+    fixed ln expression tree (the bm25 ln precedent), so the double is
+    engine-identical (textagg.collocation_pmi_topk)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textagg.collocation_pmi_topk(docs, "text", k=PMI_K, min_count=PMI_MIN_COUNT)
+
+
+def q_doc_novelty(spark, sf_dir):
+    """Per-doc novelty: fraction of the doc's distinct 3-gram shingles
+    first seen in THIS doc (corpus-wide min-id first occurrence) — the
+    originality signal separating source pages from mirrors/recombined
+    boilerplate.  All exact ints until one final division
+    (dedup.doc_novelty)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.doc_novelty(docs, "text", "doc_id", n=NOVELTY_NGRAM)
+
+
 def q_kn_bigram_counts(spark, sf_dir):
     """Distributed LM-training counts: the c(w1,w2) table the engine's
     own 5-gram perplexity scorer would retrain from at corpus scale.
@@ -2443,6 +2467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_savings_report": q_dedup_savings_report,
         "winnowing_survivors": q_winnowing_survivors,
         "host_reputation": q_host_reputation,
+        "collocation_pmi": q_collocation_pmi,
+        "doc_novelty_docs": q_doc_novelty,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -4039,6 +4065,38 @@ FROM pp"""
         "SELECT unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2"
         " FROM kn_toks WHERE len(t) >= 2"
     )
+    out["collocation_pmi"] = f"""
+WITH kn_toks AS ({_kn_toks}),
+kn_pairs AS ({_kn_pairs}),
+pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM kn_pairs GROUP BY w1, w2),
+uc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS word FROM kn_toks) GROUP BY word
+),
+nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uc)
+SELECT p.w1, p.w2, p.n,
+  round(ln(CAST(p.n AS DOUBLE) * CAST(nt.n_tok AS DOUBLE)
+    / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6) AS pmi
+FROM pc p JOIN uc u1 ON u1.word = p.w1 JOIN uc u2 ON u2.word = p.w2, nt
+WHERE p.n >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT {PMI_K}"""
+    out["doc_novelty_docs"] = f"""
+WITH nv0 AS (
+  SELECT doc_id, unnest(list_distinct({_ngram_expr_n(NOVELTY_NGRAM)})) AS sh
+  FROM documents
+),
+nvf AS (SELECT sh, min(doc_id) AS first_id FROM nv0 GROUP BY sh),
+nvp AS (
+  SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+    CAST(sum(CASE WHEN f.first_id = o.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM nv0 o JOIN nvf f USING (sh) GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+  coalesce(p.n_shingles, 0) AS n_shingles,
+  coalesce(p.n_novel, 0) AS n_novel,
+  CASE WHEN coalesce(p.n_shingles, 0) > 0
+       THEN round(p.n_novel / p.n_shingles, 6) END AS novelty
+FROM documents d LEFT JOIN nvp p USING (doc_id)"""
     out["kn_bigram_counts"] = f"""
 WITH kn_toks AS ({_kn_toks}),
 kn_pairs AS ({_kn_pairs})

@@ -782,6 +782,49 @@ def segment_dedup(
     )
 
 
+def doc_novelty(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Per-doc novelty: the fraction of a doc's DISTINCT word n-gram
+    shingles whose corpus-wide first occurrence (min id) is this doc —
+    the curriculum/curation signal that separates original content from
+    recombined boilerplate (a mirror page scores ~0, the page it copies
+    scores high).  Shingle-less docs (< n tokens) report NULL novelty
+    (no evidence), not 0 or 1.
+
+    Scale shape: distinct-per-doc shingles collapse map-side; the
+    first-occurrence aggregate is O(distinct shingles) (hot boilerplate
+    shingles collapse in the partial agg — the segment_dedup skew
+    lesson); the join back is 1:1 enrichment; per-doc reduction is one
+    more map-side-combined aggregate.  Output: (id, n_shingles,
+    n_novel, novelty) with novelty one exact-int division."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
+    )
+    first = sh.groupBy("sh").agg(F.min(id_col).alias("_first"))
+    per = (
+        sh.join(first, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("_first") == F.col(id_col), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    z = F.lit(0).cast("long")
+    return df.select(F.col(id_col)).join(per, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_shingles", z).alias("n_shingles"),
+        F.coalesce("n_novel", z).alias("n_novel"),
+        F.when(
+            F.coalesce("n_shingles", z) > 0,
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6),
+        ).alias("novelty"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact-substring span dedup (ExactSubstr, Lee et al. 2022): excise
 # duplicated ≥L-token spans, keeping only their first occurrence

@@ -407,6 +407,49 @@ def kn_continuation_stats(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def collocation_pmi_topk(
+    df: DataFrame, text_col: str, k: int = 50, min_count: int = 5
+) -> DataFrame:
+    """Top-k adjacent-pair collocations by pointwise mutual information
+    — the phrase-mining verb tokenizer/vocabulary builders run over a
+    curated corpus: PMI(w1,w2) = ln(n_pair · N / (c(w1) · c(w2))) over
+    occurrence counts.
+
+    Determinism: all inputs to the ln are EXACT BIGINTs combined in one
+    fixed expression tree (the bm25 ln precedent), so the double is
+    engine-identical.  Plan: the bigram and unigram relations collapse
+    map-side to O(distinct pairs) / O(vocabulary); two broadcast-sized
+    dimension joins; TakeOrderedAndProject top-k.  ``min_count`` drops
+    the low-support pairs whose PMI is pure noise (the standard
+    collocation guard)."""
+    pairs = kn_bigram_counts(df, text_col)
+    uni = (
+        df.select(F.explode(_tokens_lower(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c")).first()[0] or 1  # driver scalar → plan literal
+    scored = (
+        pairs.filter(F.col("n") >= min_count)
+        .join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))), "w2")
+        .select(
+            "w1", "w2", "n",
+            F.round(
+                F.log(
+                    F.col("n").cast("double")
+                    * F.lit(float(n_tok))
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)
+
+
 CMS_DEPTH = 4
 CMS_WIDTH = 64
 

@@ -106,6 +106,8 @@ DOC_QUERIES = [
     # quality-mass x centrality: fuzz-proven features CTE + exact micro
     # sums + the outlink graph (itself fuzz-safe by construction)
     "host_reputation",
+    # exact-count ln expression (bm25 precedent) + exact-int novelty ratio
+    "collocation_pmi", "doc_novelty_docs",
     # BPE iteration: spaced form uses ([\s\S]) — the one dot-class
     # spelling Java and RE2 read identically on any token bytes; the
     # merge is a literal replace (no regex on data)

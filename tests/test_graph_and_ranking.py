@@ -348,3 +348,45 @@ def test_winnowing_doubling_bitwise_matches_per_window_spec(spark):
         ).collect()
         for r in rows:
             assert r["got"] == r["want"], (w, r)
+
+
+def test_collocation_pmi_hand_case(spark):
+    """'new york' co-occurs exclusively → highest PMI; a pair of
+    independent frequent words scores near zero."""
+    rows = [(i, "new york " + ("the cat " * 5).strip()) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["w1"], r["w2"]): (r["n"], r["pmi"])
+        for r in textagg.collocation_pmi_topk(df, "text", k=10, min_count=5).collect()
+    }
+    import math
+
+    n_tok = 12 * 5  # 12 tokens per doc, 5 docs
+    # new->york: pair 5, c(new)=c(york)=5
+    want = round(math.log(5 * n_tok / (5 * 5)), 6)
+    assert got[("new", "york")] == (5, want)
+    # exclusive pair must out-score the frequent generic pair
+    assert got[("new", "york")][1] > got[("the", "cat")][1]
+
+
+def test_doc_novelty_first_vs_mirror(spark):
+    """The source doc owns all its shingles; an exact mirror with a
+    higher id scores novelty 0; a short doc reports NULL novelty."""
+    from quality_filter.operators import dedup as D
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e f"),       # mirror
+        (3, "x y"),               # < 3 tokens: no shingles
+        (4, "a b c totally new tail"),  # copies a prefix shingle
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty"])
+        for r in D.doc_novelty(df, "text", "doc_id").collect()
+    }
+    assert got[1] == (4, 4, 1.0)
+    assert got[2] == (4, 0, 0.0)
+    assert got[3] == (0, 0, None)
+    n, novel, frac = got[4]
+    assert n == 4 and novel == 3 and frac == 0.75
