@@ -2012,6 +2012,42 @@ def q_dedup_savings_report(spark, sf_dir):
     )
 
 
+MIRROR_MAX_HOST_DF = 10
+MIRROR_MIN_SHARED = 3
+
+
+def q_mirror_host_pairs(spark, sf_dir):
+    """Mirror-site detection: host pairs sharing ≥ MIRROR_MIN_SHARED
+    distinct content segments, excluding segments present on more than
+    MIRROR_MAX_HOST_DF hosts (corpus-wide boilerplate is not mirror
+    evidence — the LSH hot-band df-cap applied at host granularity).
+    The (host, segment) relation collapses map-side to distinct before
+    the capped equi-join, so pair work is O(segments × host_df²) with
+    host_df bounded."""
+    docs = _t(spark, sf_dir, "documents")
+    pages = _ol_pages(docs).select("doc_id", "host")
+    hs = (
+        docs.join(pages, "doc_id")
+        .select("host", F.explode(dedup.segments_col(F.col("text"))).alias("seg"))
+        .distinct()
+    )
+    capped = hs.join(
+        hs.groupBy("seg").agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= MIRROR_MAX_HOST_DF)
+        .select("seg"),
+        "seg",
+    )
+    a = capped.select("seg", F.col("host").alias("host_a"))
+    b = capped.select("seg", F.col("host").alias("host_b"))
+    return (
+        a.join(b, "seg")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_segments"))
+        .filter(F.col("n_shared_segments") >= MIRROR_MIN_SHARED)
+    )
+
+
 def q_exact_substring_dedup(spark, sf_dir):
     """ExactSubstr span dedup (Lee et al.): every overlapping 8-token
     window duplicated anywhere earlier in the corpus is excised;
@@ -2469,6 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_reputation": q_host_reputation,
         "collocation_pmi": q_collocation_pmi,
         "doc_novelty_docs": q_doc_novelty,
+        "mirror_host_pairs": q_mirror_host_pairs,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -4097,6 +4134,25 @@ SELECT d.doc_id,
   CASE WHEN coalesce(p.n_shingles, 0) > 0
        THEN round(p.n_novel / p.n_shingles, 6) END AS novelty
 FROM documents d LEFT JOIN nvp p USING (doc_id)"""
+    out["mirror_host_pairs"] = f"""
+WITH {_ol_pages_cte()},
+mh0 AS (
+  SELECT DISTINCT p.host,
+    unnest(list_transform(
+      generate_series(0, CAST(ceil(len(regexp_split_to_array(trim(d.text, ' '), '[ ]+')) / {SEGMENT_WORDS}.0) AS BIGINT) - 1),
+      i -> array_to_string(regexp_split_to_array(trim(d.text, ' '), '[ ]+')[i*{SEGMENT_WORDS}+1 : i*{SEGMENT_WORDS}+{SEGMENT_WORDS}], ' '))) AS seg
+  FROM documents d JOIN ol_pages p USING (doc_id)
+),
+mh AS (SELECT DISTINCT host, seg FROM mh0),
+mcap AS (SELECT seg FROM mh GROUP BY seg HAVING count(*) <= {MIRROR_MAX_HOST_DF}),
+mp AS (
+  SELECT a.host AS host_a, b.host AS host_b
+  FROM mh a JOIN mcap c ON a.seg = c.seg JOIN mh b ON b.seg = a.seg
+  WHERE a.host < b.host
+)
+SELECT host_a, host_b, CAST(count(*) AS BIGINT) AS n_shared_segments
+FROM mp GROUP BY host_a, host_b
+HAVING count(*) >= {MIRROR_MIN_SHARED}"""
     out["kn_bigram_counts"] = f"""
 WITH kn_toks AS ({_kn_toks}),
 kn_pairs AS ({_kn_pairs})

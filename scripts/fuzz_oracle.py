@@ -108,6 +108,8 @@ DOC_QUERIES = [
     "host_reputation",
     # exact-count ln expression (bm25 precedent) + exact-int novelty ratio
     "collocation_pmi", "doc_novelty_docs",
+    # host-granular df-capped segment join (fuzz-proven segment algebra)
+    "mirror_host_pairs",
     # BPE iteration: spaced form uses ([\s\S]) — the one dot-class
     # spelling Java and RE2 read identically on any token bytes; the
     # merge is a literal replace (no regex on data)
