@@ -2103,6 +2103,38 @@ def q_doc_novelty(spark, sf_dir):
     return dedup.doc_novelty(docs, "text", "doc_id", n=NOVELTY_NGRAM)
 
 
+def q_word_entropy(spark, sf_dir):
+    """Shannon word-entropy + type-token ratio per doc — the
+    low-entropy gibberish/boilerplate detector of CCNet/Gopher-style
+    webtext filters (templated or repeated text scores near 0; TTR is
+    the vocabulary-diversity companion).  Shuffle-free per-row HOF
+    array math: the token array is LET-bound once per row
+    (dedup.let_bound — Catalyst would otherwise re-split the text once
+    per distinct word), counts via the repetition_profile
+    distinct×filter pattern, entropy via one aggregate fold.  `+ 0.0`
+    canonicalizes the all-identical-words -0.0 on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def ent_ttr(toks):
+        n = F.size(toks).cast("double")
+        counts = F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)).cast("double"),
+        )
+        ent = -F.aggregate(
+            counts, F.lit(0.0), lambda acc, c: acc + (c / n) * F.log2(c / n)
+        ) + F.lit(0.0)
+        ttr = F.size(F.array_distinct(toks)).cast("double") / n
+        return F.struct(
+            F.round(ent, 6).alias("word_entropy"), F.round(ttr, 6).alias("ttr")
+        )
+
+    return docs.select(
+        "doc_id",
+        dedup.let_bound(F.split(F.trim(F.col("text")), "[ ]+"), ent_ttr).alias("_e"),
+    ).select("doc_id", "_e.word_entropy", "_e.ttr")
+
+
 def q_kn_bigram_counts(spark, sf_dir):
     """Distributed LM-training counts: the c(w1,w2) table the engine's
     own 5-gram perplexity scorer would retrain from at corpus scale.
@@ -2506,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocation_pmi": q_collocation_pmi,
         "doc_novelty_docs": q_doc_novelty,
         "mirror_host_pairs": q_mirror_host_pairs,
+        "word_entropy_docs": q_word_entropy,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -4153,6 +4186,22 @@ mp AS (
 SELECT host_a, host_b, CAST(count(*) AS BIGINT) AS n_shared_segments
 FROM mp GROUP BY host_a, host_b
 HAVING count(*) >= {MIRROR_MIN_SHARED}"""
+    out["word_entropy_docs"] = f"""
+WITH we AS (
+  SELECT doc_id, {_SIMPLE_TOKS} AS toks,
+    CAST(len({_SIMPLE_TOKS}) AS DOUBLE) AS n
+  FROM documents
+),
+wc AS (
+  SELECT doc_id, n,
+    list_transform(list_distinct(toks),
+      w -> CAST(len(list_filter(toks, x -> x = w)) AS DOUBLE)) AS cnts
+  FROM we
+)
+SELECT doc_id,
+  round((-list_sum(list_transform(cnts, c -> (c / n) * log2(c / n)))) + 0.0, 6) AS word_entropy,
+  round(CAST(len(cnts) AS DOUBLE) / n, 6) AS ttr
+FROM wc"""
     out["kn_bigram_counts"] = f"""
 WITH kn_toks AS ({_kn_toks}),
 kn_pairs AS ({_kn_pairs})

@@ -108,6 +108,9 @@ DOC_QUERIES = [
     "host_reputation",
     # exact-count ln expression (bm25 precedent) + exact-int novelty ratio
     "collocation_pmi", "doc_novelty_docs",
+    # ASCII-space tokens + log2-of-rational-counts (same class as the
+    # pmi/bm25 ln expressions), 6-dp rounded on both engines
+    "word_entropy_docs",
     # host-granular df-capped segment join (fuzz-proven segment algebra)
     "mirror_host_pairs",
     # BPE iteration: spaced form uses ([\s\S]) — the one dot-class
