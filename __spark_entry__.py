@@ -2082,6 +2082,8 @@ def q_frontier_politeness_rounds(spark, sf_dir):
 PMI_K = 50
 PMI_MIN_COUNT = 5
 NOVELTY_NGRAM = 3
+TFIDF_COS_MAX_DF = 50
+TFIDF_COS_MIN = 0.5
 
 
 def q_collocation_pmi(spark, sf_dir):
@@ -2133,6 +2135,21 @@ def q_word_entropy(spark, sf_dir):
         "doc_id",
         dedup.let_bound(F.split(F.trim(F.col("text")), "[ ]+"), ent_ttr).alias("_e"),
     ).select("doc_id", "_e.word_entropy", "_e.ttr")
+
+
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """TF-IDF-weighted cosine near-dup pairs — the weighted-vocabulary
+    complement to ngram_jaccard (set overlap) and simhash (sketch):
+    catches paraphrases that keep distinctive terms but break shingle
+    order.  Exact-integer weights (idf via integer division in
+    micro-units) + DECIMAL(38,0) sums make the cosine bit-identical
+    cross-engine; terms hotter than df 50 dropped (hot-key cap) so the
+    term join never goes corpus-quadratic (dedup.tfidf_cosine_pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.tfidf_cosine_pairs(
+        docs, "text", "doc_id", min_df=1, max_df=TFIDF_COS_MAX_DF,
+        min_cos=TFIDF_COS_MIN,
+    )
 
 
 def q_kn_bigram_counts(spark, sf_dir):
@@ -2539,6 +2556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_novelty_docs": q_doc_novelty,
         "mirror_host_pairs": q_mirror_host_pairs,
         "word_entropy_docs": q_word_entropy,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -4202,6 +4220,33 @@ SELECT doc_id,
   round((-list_sum(list_transform(cnts, c -> (c / n) * log2(c / n)))) + 0.0, 6) AS word_entropy,
   round(CAST(len(cnts) AS DOUBLE) / n, 6) AS ttr
 FROM wc"""
+    out["tfidf_cosine_pairs"] = f"""
+WITH tc_occ AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text, ' ')), '[ ]+')) AS term
+  FROM documents
+),
+tc_tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tc_occ GROUP BY 1, 2),
+tc_nd AS (SELECT count(*) AS n FROM documents),
+tc_df AS (
+  SELECT term, (n * 1000000) // count(DISTINCT doc_id) AS idf_micro
+  FROM tc_occ, tc_nd GROUP BY term, n
+  HAVING count(DISTINCT doc_id) BETWEEN 1 AND {TFIDF_COS_MAX_DF}
+),
+tc_w AS (SELECT doc_id, term, tf * idf_micro AS w FROM tc_tf JOIN tc_df USING (term)),
+tc_norm AS (SELECT doc_id, SUM(CAST(w AS HUGEINT) * w) AS n2 FROM tc_w GROUP BY doc_id),
+tc_dot AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(CAST(a.w AS HUGEINT) * b.w) AS dot
+  FROM tc_w a JOIN tc_w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  round(CAST(dot AS DOUBLE)
+        / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos_sim
+FROM tc_dot
+JOIN tc_norm na ON na.doc_id = id_a
+JOIN tc_norm nb ON nb.doc_id = id_b
+WHERE CAST(dot AS DOUBLE)
+      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= {TFIDF_COS_MIN}"""
     out["kn_bigram_counts"] = f"""
 WITH kn_toks AS ({_kn_toks}),
 kn_pairs AS ({_kn_pairs})

@@ -1072,3 +1072,79 @@ def plan_lsh_params(
             best = (err, (bands, band_size))
     assert best is not None
     return best[1]
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    min_df: int = 1, max_df: int = 50, min_cos: float = 0.5,
+) -> DataFrame:
+    """Weighted bag-of-words cosine near-dup pairs — the tf-idf-weighted
+    complement to n-gram Jaccard (set overlap) and simhash (unweighted
+    cosine sketch): catches rewrites that keep the distinctive
+    vocabulary but reorder/paraphrase structure, where shingle overlap
+    collapses.  Output: (id_a, id_b, cos_sim) with id_a < id_b and
+    cos_sim >= min_cos.
+
+    Determinism seam: weights are EXACT integers — idf in micro-units
+    via INTEGER division (N*1e6 div df; both engines floor identically,
+    no transcendental in the weight), w = tf * idf_micro as BIGINT,
+    dot products and norms summed in DECIMAL(38,0) (the
+    gate_distill_stats pattern: order/retry/partition-invariant, never
+    a float sum over shuffle-ordered rows).  The final cosine is ONE
+    double expression over exact integer inputs (cast, sqrt, divide —
+    all IEEE correctly-rounded), so Spark and DuckDB emit bit-identical
+    doubles and the min_cos boundary can never flip cross-engine.
+
+    Scale shape: terms hotter than max_df are dropped (stopword cap ==
+    the LSH hot-band mitigation), so the term equi-join fans out
+    <= max_df per side — pair work O(distinct terms x max_df^2), never
+    corpus-quadratic; tf/df/norm aggregates all map-side combined; the
+    df relation is vocabulary-bounded and broadcast.  N*1e6 stays
+    inside BIGINT to ~9e12 docs — at larger corpora drop the idf scale
+    to 1e3 (keyword arg if ever needed).
+
+    min_df defaults to 1 ON PURPOSE: df=1 terms never reach any dot
+    product (only one doc holds them — the equi-join emits nothing) but
+    they MUST count toward the holder's norm, else two docs sharing
+    only common vocabulary score a spurious 1.0 (their distinctive
+    singletons would vanish from both vectors).  The idf is LINEAR
+    (N/df) rather than ln(N/df) — the price of exact integer
+    cross-engine arithmetic; it over-weights rare terms relative to
+    standard tf-idf, which for near-dup detection errs strict."""
+    nd = df.count()  # driver scalar: one count job, reused as a literal
+    occ = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.trim(F.col(text_col))), "[ ]+")).alias("term")
+    )
+    tf = occ.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        occ.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .filter((F.col("_df") >= min_df) & (F.col("_df") <= max_df))
+        .withColumn("idf_micro", F.expr(f"{nd * 1_000_000}L div _df"))
+        .select("term", "idf_micro")
+    )
+    wts = tf.join(F.broadcast(dfreq), "term").select(
+        F.col(id_col), "term",
+        (F.col("tf") * F.col("idf_micro")).alias("w"),
+    )
+    wd = F.col("w").cast("decimal(38,0)")
+    norms = wts.groupBy(id_col).agg(F.sum(wd * F.col("w")).alias("n2"))
+    a = wts.select(F.col(id_col).alias("id_a"), "term", F.col("w").alias("wa"))
+    b = wts.select(F.col(id_col).alias("id_b"), "term", F.col("w").alias("wb"))
+    num = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa").cast("decimal(38,0)") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("n2").alias("_na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("n2").alias("_nb"))
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.col("_nb").cast("double"))
+    )
+    return (
+        num.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(cos >= F.lit(min_cos))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+    )

@@ -111,6 +111,9 @@ DOC_QUERIES = [
     # ASCII-space tokens + log2-of-rational-counts (same class as the
     # pmi/bm25 ln expressions), 6-dp rounded on both engines
     "word_entropy_docs",
+    # exact-integer micro-unit weights (integer div, DECIMAL sums) →
+    # bit-identical cosine; lower() parity fuzz-proven via tfidf_top_docs
+    "tfidf_cosine_pairs",
     # host-granular df-capped segment join (fuzz-proven segment algebra)
     "mirror_host_pairs",
     # BPE iteration: spaced form uses ([\s\S]) — the one dot-class

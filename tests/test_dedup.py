@@ -569,3 +569,62 @@ def test_span_excision_partition_invariant(spark):
         )
     )
     assert a == b and len(a) == 500
+
+
+def test_tfidf_cosine_pairs_hand_built(spark):
+    """Weighted cosine on a hand corpus: identical docs hit 1.0; docs
+    sharing distinctive vocabulary pair above threshold even with word
+    order broken (the paraphrase case shingles miss); docs sharing only
+    capped-hot terms never pair; cosine matches a numpy recomputation
+    of the exact-integer spec."""
+    import math
+
+    rows = [
+        (1, "quantum flux capacitor drives temporal resonance"),
+        (2, "temporal resonance drives quantum flux capacitor"),  # reorder of 1
+        (3, "quantum flux capacitor drives temporal resonance"),  # exact dup of 1
+        (4, "gardening tips for spring tomato seedlings today"),
+        (5, "gardening tips for winter rose pruning today"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in dedup.tfidf_cosine_pairs(
+            docs, "text", "doc_id", max_df=50, min_cos=0.2
+        ).collect()
+    }
+    # reordered and exact-dup docs share ALL weighted terms -> cos 1.0
+    assert got[(1, 2)] == 1.0 and got[(1, 3)] == 1.0 and got[(2, 3)] == 1.0
+    # 4/5 share common terms but each holds 3 distinctive singletons
+    # that count toward its norm -> well below 1.0
+    assert (4, 5) in got and 0.2 <= got[(4, 5)] < 0.5
+    # cross-topic docs never pair
+    assert not any({a, b} & {1, 2, 3} and {a, b} & {4, 5} for a, b in got)
+    # numpy recomputation of the exact-integer spec for the (4, 5) pair
+    toks4, toks5 = rows[3][1].split(), rows[4][1].split()
+    n = 5
+    vocab = sorted(set(toks4) | set(toks5))
+    dfreq = {
+        t: sum(t in r[1].split() for r in rows) for t in vocab
+    }
+    kept = [t for t in vocab if dfreq[t] <= 50]
+    w4 = {t: toks4.count(t) * ((n * 1_000_000) // dfreq[t]) for t in kept}
+    w5 = {t: toks5.count(t) * ((n * 1_000_000) // dfreq[t]) for t in kept}
+    dot = sum(w4.get(t, 0) * w5.get(t, 0) for t in kept)
+    exp = dot / (
+        math.sqrt(sum(v * v for v in w4.values()))
+        * math.sqrt(sum(v * v for v in w5.values()))
+    )
+    assert got[(4, 5)] == round(exp, 6)
+
+
+def test_tfidf_cosine_hot_term_cap_excludes_stopword_only_overlap(spark):
+    """Docs whose only common vocabulary is hotter than max_df share no
+    weighted terms and must not pair."""
+    hot = "the " * 3
+    rows = [(i, hot + f"unique{i} filler{i}") for i in range(8)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.tfidf_cosine_pairs(
+        docs, "text", "doc_id", max_df=5, min_cos=0.01
+    ).collect()
+    assert out == []
