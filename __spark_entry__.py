@@ -1984,6 +1984,39 @@ def q_crawl_frontier_topk(spark, sf_dir):
     )
 
 
+def q_frontier_robots(spark, sf_dir):
+    """RFC 9309 robots gate over the crawl frontier: per-host
+    Disallow/Allow path-prefix rule groups (synthesized from the shared
+    md5 universe — Disallow '/p/<d1>', Allow '/p/<d1><d2>', the longer
+    Allow genuinely exercising longest-match-wins), decided per
+    discovered URL by links.robots_decision.  The compliant-fetch
+    complement to the noindex meta gate and politeness rounds: frontier
+    → robots filter → per-host scheduling.  Scale shape: rules are an
+    O(hosts) broadcast dim; the frontier is never shuffled except the
+    map-side-combined max-struct winner per URL."""
+    docs = _t(spark, sf_dir, "documents")
+    frontier = _ol_frontier(_ol_pages(docs))
+    tgt_host = links.link_host_col(F.col("link"), F.lit(None).cast("string"))
+    urls = frontier.select(
+        F.col("link").alias("url"),
+        tgt_host.alias("host"),
+        F.try_parse_url(F.col("link"), F.lit("PATH")).alias("path"),
+    )
+    hosts = urls.select("host").distinct()
+    d1 = (sampling.hash_bucket(F.concat(F.col("host"), F.lit(":rbd"))) % 10).cast("string")
+    d2 = (sampling.hash_bucket(F.concat(F.col("host"), F.lit(":rba"))) % 10).cast("string")
+    rules = hosts.select(
+        "host", F.lit("disallow").alias("rule"),
+        F.concat(F.lit("/p/"), d1).alias("prefix"),
+    ).unionByName(
+        hosts.select(
+            "host", F.lit("allow").alias("rule"),
+            F.concat(F.lit("/p/"), d1, d2).alias("prefix"),
+        )
+    )
+    return links.robots_decision(urls, rules)
+
+
 SPAN_L = dedup.SPAN_WORDS
 SAVINGS_K = 30
 
@@ -2557,6 +2590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_host_pairs": q_mirror_host_pairs,
         "word_entropy_docs": q_word_entropy,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "frontier_robots": q_frontier_robots,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -3909,6 +3943,34 @@ FROM frontier f
 JOIN pr_r{OL_PR_ITERS} r ON r.node = {_ol_tgt_host}
 ORDER BY r.rank_micro DESC, url ASC
 LIMIT {CRAWL_FRONTIER_K}"""
+    _rb_d = "CAST(('0x' || substr(md5(host || ':rbd'), 1, 8))::BIGINT % 10 AS VARCHAR)"
+    _rb_a = "CAST(('0x' || substr(md5(host || ':rba'), 1, 8))::BIGINT % 10 AS VARCHAR)"
+    out["frontier_robots"] = f"""
+WITH {_ol_edges_ctes()},
+{_ol_frontier_ctes},
+rb_urls AS (
+  SELECT link AS url, {_ol_tgt_host} AS host,
+    regexp_extract(link, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+  FROM frontier
+),
+rb_hosts AS (SELECT DISTINCT host FROM rb_urls),
+rb_rules AS (
+  SELECT host, 'disallow' AS rule, '/p/' || {_rb_d} AS prefix FROM rb_hosts
+  UNION ALL
+  SELECT host, 'allow' AS rule, '/p/' || {_rb_d} || {_rb_a} AS prefix FROM rb_hosts
+),
+rb_m AS (
+  SELECT u.url, r.rule, r.prefix,
+    row_number() OVER (
+      PARTITION BY u.url
+      ORDER BY length(r.prefix) DESC, (r.rule = 'allow') DESC, r.prefix DESC
+    ) AS rn
+  FROM rb_urls u JOIN rb_rules r ON u.host = r.host AND starts_with(u.path, r.prefix)
+)
+SELECT u.url, u.host, u.path,
+  CASE WHEN m.rule = 'disallow' THEN 'blocked' ELSE 'allowed' END AS verdict,
+  m.rule AS matched_rule, m.prefix AS matched_prefix
+FROM rb_urls u LEFT JOIN (SELECT * FROM rb_m WHERE rn = 1) m ON u.url = m.url"""
     out["host_degree_stats"] = f"""
 WITH {_ol_edges_ctes()},
 od AS (

@@ -156,3 +156,58 @@ def robots_noindex_col(html: Column) -> Column:
     directive — pages a compliant corpus builder must drop regardless of
     content quality.  Pure rlike narrow map."""
     return html.rlike(ROBOTS_NOINDEX_PATTERN)
+
+
+def robots_decision(
+    urls: DataFrame, rules: DataFrame,
+    url_col: str = "url", host_col: str = "host", path_col: str = "path",
+) -> DataFrame:
+    """RFC 9309 path-prefix matching: decide fetch/blocked per URL from
+    a per-host rules relation ``(host, rule, prefix)`` with rule in
+    {'allow', 'disallow'}.  The most specific (LONGEST) matching prefix
+    wins; on an exact length tie the 'allow' rule wins (RFC 9309 §2.2.2
+    least-restrictive tie-break); a URL matching no rule is allowed.
+
+    Scale shape: the rules relation is an O(hosts × rules-per-host)
+    dimension — broadcast into the join, so the frontier is never
+    shuffled; the winner per URL is a max-struct aggregate
+    (longest, allow-wins, prefix) that combines map-side.  The prefix
+    match is a plain startswith, JVM-native (robots '*' wildcards and
+    '$' anchors are deliberately out of scope — CC's own fetcher
+    treats them as literal in the common fast path; extend the rules
+    relation with a regex column if ever needed)."""
+    u = urls.select(
+        F.col(url_col).alias("url"), F.col(host_col).alias("host"),
+        F.col(path_col).alias("path"),
+    )
+    matched = (
+        u.join(F.broadcast(rules), "host")
+        .filter(F.col("path").startswith(F.col("prefix")))
+        .groupBy("url")
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("prefix").alias("_l"),
+                    (F.col("rule") == "allow").cast("int").alias("_a"),
+                    F.col("prefix").alias("prefix"),
+                    F.col("rule").alias("rule"),
+                )
+            ).alias("_w")
+        )
+        .select(
+            "url", F.col("_w.rule").alias("matched_rule"),
+            F.col("_w.prefix").alias("matched_prefix"),
+        )
+    )
+    return (
+        u.join(matched, "url", "left")
+        .select(
+            "url", "host", "path",
+            F.coalesce(
+                F.when(F.col("matched_rule") == "allow", F.lit("allowed"))
+                .when(F.col("matched_rule") == "disallow", F.lit("blocked")),
+                F.lit("allowed"),
+            ).alias("verdict"),
+            "matched_rule", "matched_prefix",
+        )
+    )

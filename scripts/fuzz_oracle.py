@@ -96,6 +96,9 @@ DOC_QUERIES = [
     "outlink_host_edges", "outlink_pagerank", "anchor_text_terms",
     "robots_noindex_flags", "crawl_frontier_topk", "host_degree_stats",
     "frontier_politeness_rounds",
+    # robots gate: md5-universe rules + startswith over synthesized
+    # paths — fuzz-safe by the same construction as the outlink tier
+    "frontier_robots",
     # ExactSubstr span excision: md5 window universe + positional array
     # algebra, NULL-vs-empty join seam pinned by coalesce in the oracle
     "exact_substring_dedup",

@@ -270,3 +270,40 @@ def test_anchor_text_not_polluted_by_gt_in_href(spark):
         ).alias("a")
     ).first()["a"]
     assert anchor == "polluted tail"
+
+
+def test_robots_decision_longest_match_and_tiebreak(spark):
+    """RFC 9309 semantics pinned: longest matching prefix wins in both
+    directions (a longer Allow re-opens a Disallowed subtree, a longer
+    Disallow closes an Allowed one); an exact length tie goes to allow
+    (least-restrictive); no matching rule means allowed."""
+    urls = spark.createDataFrame(
+        [
+            ("u1", "h1", "/p/12"),   # disallow /p/1 wins (no allow match)
+            ("u2", "h1", "/p/145"),  # allow /p/14 overrides disallow /p/1
+            ("u3", "h1", "/q/7"),    # no rule matches -> allowed
+            ("u4", "h2", "/a/x"),    # equal-length tie /a/ vs /a/ -> allow
+            ("u5", "h3", "/b/deep"), # longer DISALLOW beats shorter allow
+        ],
+        ["url", "host", "path"],
+    )
+    rules = spark.createDataFrame(
+        [
+            ("h1", "disallow", "/p/1"),
+            ("h1", "allow", "/p/14"),
+            ("h2", "disallow", "/a/"),
+            ("h2", "allow", "/a/"),
+            ("h3", "allow", "/b/"),
+            ("h3", "disallow", "/b/deep"),
+        ],
+        ["host", "rule", "prefix"],
+    )
+    got = {
+        r["url"]: (r["verdict"], r["matched_prefix"])
+        for r in links.robots_decision(urls, rules).collect()
+    }
+    assert got["u1"] == ("blocked", "/p/1")
+    assert got["u2"] == ("allowed", "/p/14")
+    assert got["u3"] == ("allowed", None)
+    assert got["u4"] == ("allowed", "/a/")
+    assert got["u5"] == ("blocked", "/b/deep")
