@@ -2170,6 +2170,16 @@ def q_word_entropy(spark, sf_dir):
     ).select("doc_id", "_e.word_entropy", "_e.ttr")
 
 
+def q_encoding_noise(spark, sf_dir):
+    """Mojibake / encoding-damage signals per doc: U+FFFD count,
+    control-char count, non-ASCII ratio, and the suspect flag —
+    codegen'd regexp_count narrow maps (functions/textstats
+    .encoding_noise_cols); patterns are \\xNN-escape-only so Java and
+    RE2 read them identically on any corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", *TS.encoding_noise_cols(F.col("text")))
+
+
 def q_tfidf_cosine_pairs(spark, sf_dir):
     """TF-IDF-weighted cosine near-dup pairs — the weighted-vocabulary
     complement to ngram_jaccard (set overlap) and simhash (sketch):
@@ -2591,6 +2601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_entropy_docs": q_word_entropy,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "frontier_robots": q_frontier_robots,
+        "encoding_noise_docs": q_encoding_noise,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -4282,6 +4293,16 @@ SELECT doc_id,
   round((-list_sum(list_transform(cnts, c -> (c / n) * log2(c / n)))) + 0.0, 6) AS word_entropy,
   round(CAST(len(cnts) AS DOUBLE) / n, 6) AS ttr
 FROM wc"""
+    out["encoding_noise_docs"] = rf"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{TS.REPLACEMENT_CHAR}')) AS BIGINT) AS n_replacement,
+  CAST(len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS BIGINT) AS n_ctrl,
+  round(CASE WHEN length(text) = 0 THEN 0.0
+        ELSE CAST(len(regexp_extract_all(text, '[^\x00-\x7f]')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) END, 6) AS nonascii_ratio,
+  (len(regexp_extract_all(text, '{TS.REPLACEMENT_CHAR}')) > 0
+   OR len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) > 0) AS encoding_suspect
+FROM documents"""
     out["tfidf_cosine_pairs"] = f"""
 WITH tc_occ AS (
   SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text, ' ')), '[ ]+')) AS term

@@ -51,3 +51,34 @@ def lang_guess(text: Column) -> Column:
     for lang in reversed(langs):
         expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
     return expr
+
+
+# Encoding-noise patterns shared with the DuckDB oracle VERBATIM: only
+# \xNN hex escapes and explicit chars, which Java regex and RE2 read
+# identically (the (?U) seam does not arise — no \d/\w/\b classes).
+REPLACEMENT_CHAR = "�"
+CTRL_PATTERN = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"  # controls minus \t \n \r
+NON_ASCII_PATTERN = r"[^\x00-\x7f]"
+
+
+def encoding_noise_cols(text: Column) -> list[Column]:
+    """Mojibake / encoding-damage signals (the CCNet-class filter that
+    catches mis-decoded crawls before they poison an LM corpus):
+    U+FFFD replacement-char count (a decoder already gave up), raw
+    control-character count (binary bleed-through), and the non-ASCII
+    character ratio (legitimate for non-Latin languages — a RATIO, not
+    a gate, so downstream mixes it with the langid signal).  All
+    codegen'd regexp_count narrow maps, zero shuffle."""
+    n_repl = F.regexp_count(text, F.lit(REPLACEMENT_CHAR)).cast("long")
+    n_ctrl = F.regexp_count(text, F.lit(CTRL_PATTERN)).cast("long")
+    n_chars = F.length(text)
+    ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        F.regexp_count(text, F.lit(NON_ASCII_PATTERN)).cast("double")
+        / n_chars.cast("double")
+    )
+    return [
+        n_repl.alias("n_replacement"),
+        n_ctrl.alias("n_ctrl"),
+        F.round(ratio, 6).alias("nonascii_ratio"),
+        ((n_repl > 0) | (n_ctrl > 0)).alias("encoding_suspect"),
+    ]

@@ -117,6 +117,9 @@ DOC_QUERIES = [
     # exact-integer micro-unit weights (integer div, DECIMAL sums) →
     # bit-identical cosine; lower() parity fuzz-proven via tfidf_top_docs
     "tfidf_cosine_pairs",
+    # \xNN-escape-only regex classes (no \d/\w/\b — the (?U) seam never
+    # arises); astral chars count 1 in both length() implementations
+    "encoding_noise_docs",
     # host-granular df-capped segment join (fuzz-proven segment algebra)
     "mirror_host_pairs",
     # BPE iteration: spaced form uses ([\s\S]) — the one dot-class

@@ -384,3 +384,32 @@ def test_cms_never_underestimates_and_merges(spark, docs):
     for k, v in list(ca.items()) + list(cb.items()):
         merged[k] = merged.get(k, 0) + v
     assert merged == cf
+
+
+def test_encoding_noise_signals_hand_case(spark):
+    """Mojibake signals on hand-built damaged text: FFFD and control
+    counts exact, non-ASCII ratio counts codepoints (astral chars = 1),
+    clean ASCII scores all-zero, empty text safe."""
+    from quality_filter.functions import textstats as TS
+
+    rows = [
+        (1, "clean ascii text only"),
+        (2, "bad � decode � here"),
+        (3, "ctrl\x01chars\x02embedded"),
+        (4, "café déjà vu"),          # 3 non-ASCII of 12 chars
+        (5, "emoji \U0001F600 end"),  # astral char counts once
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (
+            r["n_replacement"], r["n_ctrl"], r["nonascii_ratio"], r["encoding_suspect"]
+        )
+        for r in df.select("doc_id", *TS.encoding_noise_cols(F.col("text"))).collect()
+    }
+    assert got[1] == (0, 0, 0.0, False)
+    assert got[2][0] == 2 and got[2][3] is True
+    assert got[3][1] == 2 and got[3][3] is True
+    assert got[4] == (0, 0, round(3 / 12, 6), False)
+    assert got[5] == (0, 0, round(1 / 11, 6), False)
+    assert got[6] == (0, 0, 0.0, False)
