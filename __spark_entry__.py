@@ -2180,6 +2180,30 @@ def q_encoding_noise(spark, sf_dir):
     return docs.select("doc_id", *TS.encoding_noise_cols(F.col("text")))
 
 
+def q_corpus_datasheet(spark, sf_dir):
+    """Corpus datasheet: the CUBE over (source, lang_guess) a curation
+    run publishes with each release — doc / whitespace-token / char
+    totals and encoding-suspect counts at every marginal (per source,
+    per language, per cell, grand total).  All exact-integer aggregates
+    that collapse map-side to O(|sources| × |langs|) rows before the
+    one exchange; the CUBE expansion runs on the collapsed dimension,
+    never the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        TS.lang_guess(F.col("text")).alias("lang_guess"),
+        F.size(TS.tokens_simple(F.col("text"))).cast("long").alias("_tok"),
+        F.length("text").cast("long").alias("_chr"),
+        TS.encoding_noise_cols(F.col("text"))[3].cast("long").alias("_sus"),
+    )
+    return base.cube("source", "lang_guess").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_tok").cast("long").alias("n_tokens"),
+        F.sum("_chr").cast("long").alias("n_chars"),
+        F.sum("_sus").cast("long").alias("n_suspect"),
+    )
+
+
 def q_tfidf_cosine_pairs(spark, sf_dir):
     """TF-IDF-weighted cosine near-dup pairs — the weighted-vocabulary
     complement to ngram_jaccard (set overlap) and simhash (sketch):
@@ -2602,6 +2626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "frontier_robots": q_frontier_robots,
         "encoding_noise_docs": q_encoding_noise,
+        "corpus_datasheet": q_corpus_datasheet,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -4358,6 +4383,27 @@ WITH hits AS (
 best_t AS (SELECT *, {best} AS best FROM hits)
 SELECT lang, {lang_case} AS lang_guess, CAST(count(*) AS BIGINT) AS n
 FROM best_t GROUP BY lang, lang_guess"""
+    _ds_sus = (
+        rf"(len(regexp_extract_all(text, '{TS.REPLACEMENT_CHAR}')) > 0"
+        r" OR len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) > 0)"
+    )
+    out["corpus_datasheet"] = f"""
+WITH ds_hits AS (
+  SELECT source,
+    {lang_hits},
+    CAST(len({_SIMPLE_TOKS}) AS BIGINT) AS _tok,
+    CAST(length(text) AS BIGINT) AS _chr,
+    CAST({_ds_sus} AS BIGINT) AS _sus
+  FROM documents
+),
+ds_best AS (SELECT *, {best} AS best FROM ds_hits),
+ds_base AS (SELECT source, {lang_case} AS lang_guess, _tok, _chr, _sus FROM ds_best)
+SELECT source, lang_guess,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(_tok) AS BIGINT) AS n_tokens,
+  CAST(sum(_chr) AS BIGINT) AS n_chars,
+  CAST(sum(_sus) AS BIGINT) AS n_suspect
+FROM ds_base GROUP BY CUBE (source, lang_guess)"""
     out["bpe_pair_counts"] = f"""
 WITH w AS (
   SELECT unnest(regexp_split_to_array(lower(trim(text, ' ')), '[ ]+')) AS tok

@@ -120,6 +120,8 @@ DOC_QUERIES = [
     # \xNN-escape-only regex classes (no \d/\w/\b — the (?U) seam never
     # arises); astral chars count 1 in both length() implementations
     "encoding_noise_docs",
+    # CUBE over fuzz-proven lang_guess + exact-int totals
+    "corpus_datasheet",
     # host-granular df-capped segment join (fuzz-proven segment algebra)
     "mirror_host_pairs",
     # BPE iteration: spaced form uses ([\s\S]) — the one dot-class
