@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     # round-4 crawl-web tier
     "outlink_pagerank",       # href extraction -> host edges -> 3 PR rounds
     "exact_substring_dedup",  # overlapping-window keeper agg + excision
+    # round-4 weighted-vocabulary dedup
+    "tfidf_cosine_pairs",     # exact-int tfidf weights + df-capped term join
 ]
 
 
