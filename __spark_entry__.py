@@ -1102,6 +1102,18 @@ def q_knn_bruteforce(spark, sf_dir):
     return similarity.knn_bruteforce(emb, "embedding", "vec_id", list(qvec), k=10)
 
 
+def q_knn_quantized_int8(spark, sf_dir):
+    """Top-k cosine over int8-QUANTIZED embeddings — the 4x-compressed
+    ANN variant (quantize at ingest, exact integer dot products;
+    similarity.knn_bruteforce_int8).  Quantization is one IEEE
+    expression tree, so Spark / DuckDB / the driver-side query path
+    emit identical integers and the scores hash-match with no
+    tolerance."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.knn_bruteforce_int8(emb, "embedding", "vec_id", list(qvec), k=10)
+
+
 def q_purchase_last_view_asof(spark, sf_dir):
     """As-of join: each purchase picks up the latest strictly-earlier view
     value for the same user (union + forward-fill composition; the DuckDB
@@ -2627,6 +2639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_robots": q_frontier_robots,
         "encoding_noise_docs": q_encoding_noise,
         "corpus_datasheet": q_corpus_datasheet,
+        "knn_quantized_int8": q_knn_quantized_int8,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -4318,6 +4331,32 @@ SELECT doc_id,
   round((-list_sum(list_transform(cnts, c -> (c / n) * log2(c / n)))) + 0.0, 6) AS word_entropy,
   round(CAST(len(cnts) AS DOUBLE) / n, 6) AS ttr
 FROM wc"""
+    _q8 = (
+        "CASE WHEN list_max(list_transform({v}, x -> abs(x))) = 0"
+        " THEN list_transform({v}, x -> CAST(0 AS BIGINT))"
+        " ELSE list_transform({v}, x -> CAST(floor(x * (127.0"
+        " / list_max(list_transform({v}, y -> abs(y)))) + 0.5) AS BIGINT)) END"
+    )
+    out["knn_quantized_int8"] = f"""
+WITH q8qv AS (
+  SELECT {_q8.format(v="embedding::DOUBLE[]")} AS q
+  FROM embeddings WHERE vec_id = 0
+),
+q8c AS (
+  SELECT vec_id, {_q8.format(v="embedding::DOUBLE[]")} AS p FROM embeddings
+),
+q8s AS (
+  SELECT vec_id,
+    list_sum(list_transform(range(1, len(p) + 1), i -> p[i] * q[i])) AS dot,
+    list_sum(list_transform(p, v -> v * v)) AS pp,
+    list_sum(list_transform(q, v -> v * v)) AS qq
+  FROM q8c, q8qv
+)
+SELECT vec_id,
+  round(CAST(dot AS DOUBLE) / (sqrt(CAST(pp AS DOUBLE)) * sqrt(CAST(qq AS DOUBLE))), 6)
+    AS cos_sim_q8
+FROM q8s WHERE pp > 0
+ORDER BY cos_sim_q8 DESC, vec_id ASC LIMIT 10"""
     out["encoding_noise_docs"] = rf"""
 SELECT doc_id,
   CAST(len(regexp_extract_all(text, '{TS.REPLACEMENT_CHAR}')) AS BIGINT) AS n_replacement,

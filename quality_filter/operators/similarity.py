@@ -855,3 +855,86 @@ def semantic_dedup(
         .distinct()
     )
     return assigned.join(dropped, id_col, "left_anti")
+
+
+def quantize_int8_col(vec: Column) -> Column:
+    """Per-vector symmetric int8 quantization: q_i = floor(x_i * (127 /
+    max|x|) + 0.5) as BIGINT (zeros if the vector is all-zero).  The
+    whole transform is ONE IEEE expression tree over doubles (cast,
+    abs, max, divide, multiply, add, floor — all correctly-rounded
+    ops), so Spark, DuckDB, and driver-side Python produce IDENTICAL
+    integers from identical input floats: downstream integer dot
+    products are exact and engine-comparable with no tolerance.  The
+    100-TB lever: 4x less vector memory/shuffle than float32, 8x less
+    than float64, with scores within quantization error of exact."""
+    from quality_filter.operators.dedup import let_bound
+
+    xd = F.transform(vec, lambda x: x.cast("double"))
+
+    def with_xd(x):
+        m = F.aggregate(x, F.lit(0.0), lambda a, v: F.greatest(a, F.abs(v)))
+
+        def with_m(mm):
+            return F.when(
+                mm == 0.0,
+                F.transform(x, lambda v: F.lit(0).cast("long")),
+            ).otherwise(
+                F.transform(
+                    x,
+                    lambda v: F.floor(v * (F.lit(127.0) / mm) + F.lit(0.5)).cast("long"),
+                )
+            )
+
+        return let_bound(m, with_m)
+
+    return let_bound(xd, with_xd)
+
+
+def knn_bruteforce_int8(
+    df: DataFrame, vec_col: str, id_col: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k over int8-QUANTIZED vectors: the memory-compressed
+    ANN baseline (quantize once at ingest, score with exact integer
+    dot products).  Driver-side query quantization repeats the same
+    IEEE expression as quantize_int8_col, so corpus and query live in
+    the same integer space; all sums are exact BIGINTs (<= 127² × dim
+    per dot — double-exact far beyond any real dim), the final cosine
+    is one double expression over exact ints.  Zero-norm vectors
+    (pp = 0) are excluded, as in every knn_* path.  Plan: narrow map +
+    TakeOrderedAndProject — no sort materialization, no shuffle."""
+    import math
+
+    from quality_filter.operators.dedup import let_bound
+
+    m = max(abs(float(x)) for x in query_vec)
+    if m == 0.0:
+        raise ValueError("query vector has zero norm")
+    qint = [int(math.floor(float(x) * (127.0 / m) + 0.5)) for x in query_vec]
+    qq = sum(v * v for v in qint)
+    qarr = F.array([F.lit(v).cast("long") for v in qint])
+
+    def dots(p):
+        return F.struct(
+            F.aggregate(
+                F.zip_with(p, qarr, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+            F.aggregate(
+                p, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+            ).alias("pp"),
+        )
+
+    st = df.select(
+        F.col(id_col),
+        let_bound(quantize_int8_col(F.col(vec_col)), dots).alias("_d"),
+    )
+    score = F.col("_d.dot").cast("double") / (
+        F.sqrt(F.col("_d.pp").cast("double")) * F.lit(math.sqrt(float(qq)))
+    )
+    return (
+        st.filter(F.col("_d.pp") > 0)
+        .select(F.col(id_col), F.round(score, 6).alias("cos_sim_q8"))
+        .orderBy(F.col("cos_sim_q8").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
