@@ -1551,13 +1551,19 @@ def q_host_pagerank(spark, sf_dir):
     )
 
 
-def _pagerank_ctes(inst_sql: str | None = None, iters: int = PR_ITERS) -> str:
+def _pagerank_ctes(
+    inst_sql: str | None = None, iters: int = PR_ITERS,
+    teleport_sql: str | None = None,
+) -> str:
     """DuckDB twin of graph.pagerank over any edge-instance relation:
     ``inst_sql`` must select ``(src, dst)`` rows (one per link
     instance); default is the md5-universe multigraph twin of
     ``_pr_edge_instances``.  Then PR_ITERS unrolled rounds of the same
     integer floor-division recurrence (`//` in DuckDB == `div` in Spark
-    for the all-positive operands here)."""
+    for the all-positive operands here).  ``teleport_sql`` (selecting
+    ``(node, tw)``) switches to graph.pagerank_personalized's spec:
+    per-node base = ((tw*1000) // ΣTW) * (BASE // 1000), absent nodes
+    base 0."""
     if inst_sql is None:
         insts = []
         for j in range(1, PR_FANOUT + 1):
@@ -1579,6 +1585,16 @@ def _pagerank_ctes(inst_sql: str | None = None, iters: int = PR_ITERS) -> str:
         f"pr_r0 AS (SELECT node, CAST({graph.PAGERANK_R0} AS BIGINT) AS rank_micro"
         " FROM pr_nodes)",
     ]
+    if teleport_sql is not None:
+        ctes.append("pr_tw AS (\n" + teleport_sql + "\n)")
+        ctes.append("pr_twt AS (SELECT sum(tw) AS twt FROM pr_tw)")
+        ctes.append(
+            "pr_base AS (\n"
+            "  SELECT n.node,\n"
+            f"    CAST(((coalesce(t.tw, 0) * 1000) // twt) * {base // 1000} AS BIGINT)"
+            " AS nbase\n"
+            "  FROM pr_nodes n LEFT JOIN pr_tw t ON t.node = n.node, pr_twt\n)"
+        )
     for i in range(1, iters + 1):
         ctes.append(
             f"pr_c{i} AS (\n"
@@ -1589,11 +1605,18 @@ def _pagerank_ctes(inst_sql: str | None = None, iters: int = PR_ITERS) -> str:
             f"  JOIN pr_r{i - 1} r ON r.node = e.src\n"
             f"  GROUP BY e.dst\n)"
         )
-        ctes.append(
-            f"pr_r{i} AS (\n"
-            f"  SELECT n.node, CAST({base} + coalesce(c.cin, 0) AS BIGINT) AS rank_micro\n"
-            f"  FROM pr_nodes n LEFT JOIN pr_c{i} c USING (node)\n)"
-        )
+        if teleport_sql is None:
+            ctes.append(
+                f"pr_r{i} AS (\n"
+                f"  SELECT n.node, CAST({base} + coalesce(c.cin, 0) AS BIGINT) AS rank_micro\n"
+                f"  FROM pr_nodes n LEFT JOIN pr_c{i} c USING (node)\n)"
+            )
+        else:
+            ctes.append(
+                f"pr_r{i} AS (\n"
+                f"  SELECT b.node, CAST(b.nbase + coalesce(c.cin, 0) AS BIGINT) AS rank_micro\n"
+                f"  FROM pr_base b LEFT JOIN pr_c{i} c USING (node)\n)"
+            )
     return ",\n".join(ctes)
 
 
@@ -1706,6 +1729,32 @@ def q_host_reputation(spark, sf_dir):
             F.col("sum_q_micro") / F.col("n_pages") / F.lit(1000000.0), 6
         ).alias("mean_quality"),
         "rank_micro",
+    )
+
+
+def q_host_trustrank(spark, sf_dir):
+    """TrustRank (Gyöngyi et al., VLDB 2004): personalized PageRank
+    whose teleport mass lands proportionally to each host's exact
+    quality mass — rank flows outward from trusted (high-quality)
+    hosts, demoting link farms that uniform PageRank rewards.  The
+    composition host_reputation only JOINS; this one feeds quality
+    INTO the rank recurrence.  Teleport weights are the same
+    floor(score·1e6) BIGINT masses; the whole recurrence stays exact
+    integer (graph.pagerank_personalized)."""
+    docs = _t(spark, sf_dir, "documents")
+    pages = _ol_pages(docs)  # bound ONCE: host map + edges share the subtree
+    feats = R.feature_columns(F.col("text"), CFG)
+    feats["ppl_norm"] = F.lit(0.0)
+    qm = F.floor(F.round(R.quality_score_col(feats, CFG), 6) * 1e6).cast("long")
+    hq = (
+        docs.select("doc_id", qm.alias("q_micro"))
+        .join(pages.select("doc_id", "host"), "doc_id")
+        .groupBy("host")
+        .agg(F.sum("q_micro").cast("long").alias("tw"))
+        .select(F.col("host").alias("node"), "tw")
+    )
+    return graph.pagerank_personalized(
+        links.host_edges(pages), hq, iters=OL_PR_ITERS
     )
 
 
@@ -2640,6 +2689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_noise_docs": q_encoding_noise,
         "corpus_datasheet": q_corpus_datasheet,
         "knn_quantized_int8": q_knn_quantized_int8,
+        "host_trustrank": q_host_trustrank,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -4102,6 +4152,19 @@ SELECT h.host, h.n_pages, h.sum_q_micro,
   round(h.sum_q_micro / h.n_pages / 1000000.0, 6) AS mean_quality,
   r.rank_micro
 FROM hq h JOIN pr_r{OL_PR_ITERS} r ON r.node = h.host"""
+    _tr_qd = f"""qd AS (
+  SELECT doc_id,
+    CAST(floor(round(1.0 / (1.0 + exp(-{qz})), 6) * 1e6) AS BIGINT) AS q_micro
+  FROM ratios
+)"""
+    _tr_tw = """SELECT p.host AS node, CAST(sum(q.q_micro) AS BIGINT) AS tw
+  FROM ol_pages p JOIN qd q USING (doc_id) GROUP BY p.host"""
+    out["host_trustrank"] = f"""
+WITH {_features_cte()},
+{_ol_edges_ctes()},
+{_tr_qd},
+{_pagerank_ctes("SELECT src, dst FROM ol_kept", OL_PR_ITERS, teleport_sql=_tr_tw)}
+SELECT node, rank_micro FROM pr_r{OL_PR_ITERS}"""
     out["robots_noindex_flags"] = f"""
 WITH {_ol_pages_cte()}
 SELECT doc_id,

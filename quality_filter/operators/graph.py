@@ -116,3 +116,88 @@ def pagerank(
             .alias("rank_micro"),
         )
     return ranks
+
+
+def pagerank_personalized(
+    edges: DataFrame,
+    teleport: DataFrame,
+    iters: int = 3,
+    r0: int = PAGERANK_R0,
+    damp_num: int = DAMP_NUM,
+    damp_den: int = DAMP_DEN,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+    node: str = "node",
+    tw: str = "tw",
+    reliable_checkpoint: bool | None = None,
+) -> DataFrame:
+    """Personalized (TrustRank-style) PageRank: the (1-d) teleport mass
+    lands proportionally to integer ``teleport`` weights ``(node, tw)``
+    instead of uniformly — rank flows outward from trusted seeds
+    (high-quality hosts), the crawl-prioritization / spam-demotion verb
+    of Gyöngyi et al. (VLDB 2004).
+
+    Exact-integer spec (identical expression in the DuckDB twin):
+      share_ppk(v) = (tw(v) * 1000) div ΣTW     (per-mille, floor)
+      nbase(v)     = share_ppk(v) * (BASE div 1000),
+                     BASE = (damp_den-damp_num)·r0 div damp_den
+      rank_0(v)    = r0;  rank_{i+1}(v) = nbase(v) + Σ_in floor(d·r·w / out_w)
+    Nodes absent from ``teleport`` (or with tw 0) get nbase 0 — they
+    are reachable through links only, never by teleport.  ΣTW must be
+    positive.  ``tw`` must stay ≤ ~9.2e15 so tw*1000 fits BIGINT —
+    pre-scale hot teleport masses at ingest if needed (the tfidf idf
+    scale note pattern).
+
+    Scale shape identical to ``pagerank``: loop-invariant edge fact +
+    node universe + the O(nodes) base relation materialized ONCE
+    through the checkpoint seam; each round is one broadcast join +
+    map-side-combined agg over the truncated state."""
+    from quality_filter.operators.dedup import _truncate_lineage
+
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"), F.col(w).cast("long").alias("_w")
+    )
+    outw = e.groupBy("_s").agg(F.sum("_w").alias("_ow"))
+    fact = _truncate_lineage(e.join(outw, "_s"), eager=False, reliable=reliable_checkpoint)
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    t = teleport.select(F.col(node).alias("node"), F.col(tw).cast("long").alias("_tw"))
+    twt = t.agg(F.sum("_tw").alias("_twt"))
+    base = (damp_den - damp_num) * r0 // damp_den
+    nb = _truncate_lineage(
+        nodes.join(t, "node", "left")
+        .crossJoin(F.broadcast(twt))
+        .select(
+            "node",
+            (
+                F.expr("(coalesce(_tw, 0) * 1000) div _twt")
+                * F.lit(base // 1000)
+            ).cast("long").alias("_nb"),
+        ),
+        eager=False,
+        reliable=reliable_checkpoint,
+    )
+    ranks = nb.select("node", F.lit(r0).cast("long").alias("rank_micro"))
+    for _ in range(iters):
+        contrib = (
+            fact.join(F.broadcast(ranks), fact["_s"] == ranks["node"])
+            .select(
+                F.col("_d").alias("node"),
+                F.expr(
+                    f"({damp_num}L * rank_micro * _w) div ({damp_den}L * _ow)"
+                ).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = nb.join(contrib, "node", "left").select(
+            "node",
+            (F.col("_nb") + F.coalesce(F.col("_in"), F.lit(0).cast("long")))
+            .cast("long")
+            .alias("rank_micro"),
+        )
+    return ranks

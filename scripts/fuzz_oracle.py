@@ -147,6 +147,9 @@ EMB_QUERIES = [
     "embedding_clusters", "knn_bruteforce", "knn_lsh", "knn_lsh_multiprobe",
     "knn_ivf", "knn_join", "knn_join_broadcast", "embedding_centroids_by_label",
     "semantic_dedup",
+    # int8 quantization: one IEEE expression tree over the same doubles
+    # in both engines → identical integers on ANY fuzzed vectors
+    "knn_quantized_int8",
 ]
 
 WORD_POOLS = (

@@ -390,3 +390,45 @@ def test_doc_novelty_first_vs_mirror(spark):
     assert got[3] == (0, 0, None)
     n, novel, frac = got[4]
     assert n == 4 and novel == 3 and frac == 0.75
+
+
+def test_personalized_pagerank_exact_hand_case(spark):
+    """One unrolled round of the TrustRank spec by hand: teleport mass
+    splits per-mille across trusted nodes (floor), untrusted nodes get
+    base 0 and only link-borne rank; values exact to the integer."""
+    edges = spark.createDataFrame(
+        [("A", "B", 1), ("C", "B", 1)], ["src", "dst", "w"]
+    )
+    teleport = spark.createDataFrame([("A", 3), ("B", 1)], ["node", "tw"])
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in graph.pagerank_personalized(edges, teleport, iters=1).collect()
+    }
+    r0 = graph.PAGERANK_R0
+    base_k = ((graph.DAMP_DEN - graph.DAMP_NUM) * r0 // graph.DAMP_DEN) // 1000
+    contrib = (graph.DAMP_NUM * r0 * 1) // (graph.DAMP_DEN * 1)
+    assert got["A"] == 750 * base_k                     # 3/4 of teleport
+    assert got["B"] == 250 * base_k + 2 * contrib       # 1/4 + two in-links
+    assert got["C"] == 0                                # absent from teleport
+
+
+def test_personalized_pagerank_demotes_linkfarm_vs_uniform(spark):
+    """A link farm (many zero-quality hosts pointing at one target)
+    outranks a trusted content host under UNIFORM PageRank but not
+    under quality-teleport TrustRank — the spam-demotion property the
+    operator exists for."""
+    farm = [(f"f{i}", "spam", 1) for i in range(8)]
+    edges = spark.createDataFrame(
+        farm + [("good", "partner", 1), ("partner", "good", 1)],
+        ["src", "dst", "w"],
+    )
+    teleport = spark.createDataFrame(
+        [("good", 100), ("partner", 50)], ["node", "tw"]
+    )
+    uni = {r["node"]: r["rank_micro"] for r in graph.pagerank(edges, iters=3).collect()}
+    per = {
+        r["node"]: r["rank_micro"]
+        for r in graph.pagerank_personalized(edges, teleport, iters=3).collect()
+    }
+    assert uni["spam"] > uni["good"]   # uniform PR rewards the farm
+    assert per["good"] > per["spam"]   # TrustRank does not
