@@ -1591,8 +1591,9 @@ def _pagerank_ctes(
         ctes.append(
             "pr_base AS (\n"
             "  SELECT n.node,\n"
-            f"    CAST(((coalesce(t.tw, 0) * 1000) // twt) * {base // 1000} AS BIGINT)"
-            " AS nbase\n"
+            "    CAST(CASE WHEN coalesce(twt, 0) = 0 THEN 0\n"
+            f"      ELSE ((coalesce(t.tw, 0) * 1000) // twt) * {base // 1000} END"
+            " AS BIGINT) AS nbase\n"
             "  FROM pr_nodes n LEFT JOIN pr_tw t ON t.node = n.node, pr_twt\n)"
         )
     for i in range(1, iters + 1):

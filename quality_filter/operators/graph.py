@@ -144,10 +144,11 @@ def pagerank_personalized(
                      BASE = (damp_den-damp_num)·r0 div damp_den
       rank_0(v)    = r0;  rank_{i+1}(v) = nbase(v) + Σ_in floor(d·r·w / out_w)
     Nodes absent from ``teleport`` (or with tw 0) get nbase 0 — they
-    are reachable through links only, never by teleport.  ΣTW must be
-    positive.  ``tw`` must stay ≤ ~9.2e15 so tw*1000 fits BIGINT —
-    pre-scale hot teleport masses at ingest if needed (the tfidf idf
-    scale note pattern).
+    are reachable through links only, never by teleport.  ΣTW = 0
+    degrades to zero teleport everywhere (rank decays toward 0 — a
+    well-defined spec both engines share, not an error).  ``tw`` must
+    stay ≤ ~9.2e15 so tw*1000 fits BIGINT — pre-scale hot teleport
+    masses at ingest if needed (the tfidf idf scale note pattern).
 
     Scale shape identical to ``pagerank``: loop-invariant edge fact +
     node universe + the O(nodes) base relation materialized ONCE
@@ -174,7 +175,10 @@ def pagerank_personalized(
         .select(
             "node",
             (
-                F.expr("(coalesce(_tw, 0) * 1000) div _twt")
+                F.expr(
+                    "CASE WHEN coalesce(_twt, 0) = 0 THEN 0"
+                    " ELSE (coalesce(_tw, 0) * 1000) div _twt END"
+                )
                 * F.lit(base // 1000)
             ).cast("long").alias("_nb"),
         ),

@@ -109,6 +109,9 @@ DOC_QUERIES = [
     # quality-mass x centrality: fuzz-proven features CTE + exact micro
     # sums + the outlink graph (itself fuzz-safe by construction)
     "host_reputation",
+    # TrustRank: same inputs, exact-integer recurrence; the TW=0
+    # degenerate case is spec'd to zero teleport on both engines
+    "host_trustrank",
     # exact-count ln expression (bm25 precedent) + exact-int novelty ratio
     "collocation_pmi", "doc_novelty_docs",
     # ASCII-space tokens + log2-of-rational-counts (same class as the
