@@ -166,12 +166,16 @@ def pagerank_personalized(
         .union(e.select(F.col("_d").alias("node")))
         .distinct()
     )
+    from pyspark.sql import Window as W
+
     t = teleport.select(F.col(node).alias("node"), F.col(tw).cast("long").alias("_tw"))
-    twt = t.agg(F.sum("_tw").alias("_twt"))
+    # ΣTW as a global window over the TELEPORT relation (its own total,
+    # independent of the node universe) — a single-partition window on
+    # an O(hosts) dimension, never a nested-loop join into the plan
+    t = t.withColumn("_twt", F.sum("_tw").over(W.partitionBy()))
     base = (damp_den - damp_num) * r0 // damp_den
     nb = _truncate_lineage(
         nodes.join(t, "node", "left")
-        .crossJoin(F.broadcast(twt))
         .select(
             "node",
             (
