@@ -1551,6 +1551,85 @@ def q_host_pagerank(spark, sf_dir):
     )
 
 
+def _pr_default_inst_sql() -> str:
+    """DuckDB twin of _pr_edge_instances: the md5-universe synthetic
+    host multigraph (shared by the pagerank and HITS oracles)."""
+    insts = []
+    for j in range(1, PR_FANOUT + 1):
+        insts.append(
+            f"SELECT doc_id % {PR_NODES} AS src,\n"
+            f"  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{j}'), 1, 8))::BIGINT"
+            f" % {PR_NODES} AS dst\n"
+            f"FROM documents"
+        )
+    return "\nUNION ALL\n".join(insts)
+
+
+def _hits_ctes(
+    inst_sql: str | None = None, iters: int = PR_ITERS, r0: int | None = None
+) -> str:
+    """DuckDB twin of graph.hits over any (src, dst) edge-instance
+    relation: ``iters`` unrolled rounds of the exact-integer HITS
+    recurrence — auth half-step, L1 renormalization to ~r0 via
+    ``raw // greatest(1, Σraw // r0)`` (a window total, the Spark
+    spelling), then the hub half-step the same way."""
+    from quality_filter.operators import graph as _g
+
+    if inst_sql is None:
+        inst_sql = _pr_default_inst_sql()
+    if r0 is None:
+        r0 = _g.HITS_R0
+    ctes = [
+        "pr_inst AS (\n" + inst_sql + "\n)",
+        "pr_edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w"
+        " FROM pr_inst GROUP BY src, dst)",
+        "pr_nodes AS (SELECT src AS node FROM pr_edges"
+        " UNION SELECT dst AS node FROM pr_edges)",
+        f"h0 AS (SELECT node, CAST({r0} AS BIGINT) AS hub FROM pr_nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"ar{i} AS (SELECT e.dst AS node, sum(h.hub * e.w) AS raw\n"
+            f"  FROM pr_edges e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"an{i} AS (SELECT node, raw, sum(raw) OVER () AS tot FROM ar{i})"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT n.node,\n"
+            f"  CAST(coalesce(r.raw // greatest(1, r.tot // {r0}), 0) AS BIGINT)"
+            f" AS auth\n"
+            f"  FROM pr_nodes n LEFT JOIN an{i} r USING (node))"
+        )
+        ctes.append(
+            f"hr{i} AS (SELECT e.src AS node, sum(a.auth * e.w) AS raw\n"
+            f"  FROM pr_edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src)"
+        )
+        ctes.append(
+            f"hn{i} AS (SELECT node, raw, sum(raw) OVER () AS tot FROM hr{i})"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT n.node,\n"
+            f"  CAST(coalesce(r.raw // greatest(1, r.tot // {r0}), 0) AS BIGINT)"
+            f" AS hub\n"
+            f"  FROM pr_nodes n LEFT JOIN hn{i} r USING (node))"
+        )
+    return ",\n".join(ctes)
+
+
+def q_host_hits(spark, sf_dir):
+    """Exact integerized HITS (hubs & authorities) over the synthetic
+    host graph — the link-analysis complement of host_pagerank that
+    separates directory/link-farm hosts (hub-heavy) from content hosts
+    (authority-heavy).  Each half-step is one broadcast join + BIGINT
+    partial-agg sum; the L1 renormalization is integer floor division
+    by a window total, so every round is order-free and hash-exact
+    (operators/graph.py:hits)."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = graph.edge_weights(_pr_edge_instances(docs))
+    return graph.hits(edges, iters=PR_ITERS)
+
+
 def _pagerank_ctes(
     inst_sql: str | None = None, iters: int = PR_ITERS,
     teleport_sql: str | None = None,
@@ -1565,15 +1644,7 @@ def _pagerank_ctes(
     per-node base = ((tw*1000) // ΣTW) * (BASE // 1000), absent nodes
     base 0."""
     if inst_sql is None:
-        insts = []
-        for j in range(1, PR_FANOUT + 1):
-            insts.append(
-                f"SELECT doc_id % {PR_NODES} AS src,\n"
-                f"  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{j}'), 1, 8))::BIGINT"
-                f" % {PR_NODES} AS dst\n"
-                f"FROM documents"
-            )
-        inst_sql = "\nUNION ALL\n".join(insts)
+        inst_sql = _pr_default_inst_sql()
     base = (graph.DAMP_DEN - graph.DAMP_NUM) * graph.PAGERANK_R0 // graph.DAMP_DEN
     ctes = [
         "pr_inst AS (\n" + inst_sql + "\n)",
@@ -2298,6 +2369,16 @@ def q_kn_continuation_stats(spark, sf_dir):
     return textagg.kn_continuation_stats(docs, "text")
 
 
+def q_kn_doc_surprisal(spark, sf_dir):
+    """Per-doc Kneser-Ney bigram surprisal + perplexity, trained on the
+    corpus itself — the in-engine KenLM analog: exact-integer KN
+    probability ratios through ONE log2 expression per bigram type, the
+    per-doc sum folded in (w1, w2)-sorted order so no float SUM ever
+    crosses a shuffle (textagg.kn_doc_surprisal)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textagg.kn_doc_surprisal(docs, "text", "doc_id")
+
+
 def q_jsonl_roundtrip_stats(spark, sf_dir):
     """Interchange-source fidelity, proven not assumed: documents →
     JSON Lines → explicit-schema FAILFAST read → per-lang counts + an
@@ -2691,6 +2772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datasheet": q_corpus_datasheet,
         "knn_quantized_int8": q_knn_quantized_int8,
         "host_trustrank": q_host_trustrank,
+        "kn_doc_surprisal": q_kn_doc_surprisal,
+        "host_hits": q_host_hits,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -3987,6 +4070,10 @@ WITH {_pagerank_ctes()}
 SELECT node, rank_micro,
   round(rank_micro / {float(graph.PAGERANK_R0)!r}, 6) AS rank
 FROM pr_r{PR_ITERS}"""
+    out["host_hits"] = f"""
+WITH {_hits_ctes()}
+SELECT a.node, a.auth, h.hub
+FROM a{PR_ITERS} a JOIN h{PR_ITERS} h USING (node)"""
     out["outlink_host_edges"] = f"""
 WITH {_ol_edges_ctes()}
 SELECT src, dst, w FROM ol_edges"""
@@ -4477,6 +4564,47 @@ SELECT u.word, u.n_unigram,
   coalesce(lc.n_left_ctx, 0) AS n_left_ctx,
   coalesce(rc.n_right_ctx, 0) AS n_right_ctx
 FROM uc u LEFT JOIN lc USING (word) LEFT JOIN rc USING (word)"""
+    _kn_toksd = (
+        "SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ')), '[ ]+') AS t"
+        " FROM documents"
+    )
+    _kn_dn, _kn_dd = textagg.KN_DISCOUNT_NUM, textagg.KN_DISCOUNT_DEN
+    # the per-doc fold: list(contrib ORDER BY w1, w2) then list_sum is
+    # DuckDB's in-order left fold — the twin of Spark's
+    # aggregate(array_sort(collect_list(struct(w1, w2, contrib))))
+    _kn_bits = (
+        "(-(list_sum(list(contrib ORDER BY w1, w2)))) / CAST(sum(n_t) AS DOUBLE)"
+    )
+    out["kn_doc_surprisal"] = f"""
+WITH kn_toksd AS ({_kn_toksd}),
+kn_toks AS (SELECT t FROM kn_toksd),
+kn_pairs AS ({_kn_pairs}),
+kn_dpairs AS (
+  SELECT doc_id, unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM kn_toksd WHERE len(t) >= 2
+),
+bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM kn_pairs GROUP BY w1, w2),
+bt AS (SELECT count(*) AS nb FROM bg),
+ctx AS (SELECT w1, sum(c12) AS c1 FROM bg GROUP BY w1),
+dp AS (SELECT DISTINCT w1, w2 FROM kn_pairs),
+lc AS (SELECT w2, CAST(count(*) AS BIGINT) AS nlc FROM dp GROUP BY w2),
+rc AS (SELECT w1, CAST(count(*) AS BIGINT) AS nrc FROM dp GROUP BY w1),
+dt AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS n_t
+  FROM kn_dpairs GROUP BY doc_id, w1, w2
+),
+sc AS (
+  SELECT doc_id, w1, w2, n_t,
+    CAST(n_t AS DOUBLE) * log2(
+      CAST(({_kn_dd} * c12 - {_kn_dn}) * nb + {_kn_dn} * nrc * nlc AS DOUBLE)
+      / CAST({_kn_dd} * c1 * nb AS DOUBLE)) AS contrib
+  FROM dt JOIN bg USING (w1, w2) JOIN ctx USING (w1)
+  JOIN lc USING (w2) JOIN rc USING (w1), bt
+)
+SELECT doc_id, CAST(sum(n_t) AS BIGINT) AS n_bigrams,
+  round({_kn_bits}, 6) AS surprisal_bits,
+  round(pow(2.0, {_kn_bits}), 6) AS ppl
+FROM sc GROUP BY doc_id"""
     out["langid_confusion"] = f"""
 WITH hits AS (
   SELECT doc_id, lang,

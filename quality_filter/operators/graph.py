@@ -209,3 +209,93 @@ def pagerank_personalized(
             .alias("rank_micro"),
         )
     return ranks
+
+
+HITS_R0 = 10**9
+
+
+def _hits_normalize(raw, nodes, r0: int, out: str) -> DataFrame:
+    """L1-normalize a raw HITS score relation back to ~``r0`` total
+    mass in exact integers: q = max(1, Σraw div r0), score = raw div q.
+    The total is a single-partition window over the O(nodes) score
+    relation (the pagerank_personalized ΣTW precedent — a host-sized
+    dimension, never a nested-loop join); nodes missing from ``raw``
+    (no in-/out-edges for this half-step) score 0 by definition."""
+    from pyspark.sql import Window as W
+
+    t = raw.withColumn("_tot", F.sum("_raw").over(W.partitionBy()))
+    scaled = t.select(
+        "node",
+        F.expr(f"_raw div greatest(1L, _tot div {r0}L)").cast("long").alias(out),
+    )
+    return nodes.join(scaled, "node", "left").select(
+        "node", F.coalesce(F.col(out), F.lit(0).cast("long")).alias(out)
+    )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 3,
+    r0: int = HITS_R0,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+    reliable_checkpoint: bool | None = None,
+) -> DataFrame:
+    """``iters`` exact integerized HITS rounds (Kleinberg hubs &
+    authorities) over weighted edges — the link-analysis complement of
+    ``pagerank``: a page is a good *hub* if it links to good
+    *authorities* and a good authority if good hubs link to it.  Crawl
+    curation uses the pair to separate directories/link farms (hub-
+    heavy) from content hosts (authority-heavy) where a single
+    PageRank score conflates them.
+
+    Exact-integer spec (identical recurrence in the DuckDB twin):
+      hub_0(v) = r0 for every node
+      auth_i(v) = norm(Σ_{(u,v)} hub_{i-1}(u)·w),
+      hub_i(u)  = norm(Σ_{(u,v)} auth_i(v)·w),
+      norm(x) = x div max(1, Σx div r0)   (L1 back to ~r0 total mass)
+    — all BIGINT sums and floor divisions: order-free, retry/partition-
+    invariant, value-hash exact.  Post-normalization scores are < 2·r0,
+    so the per-edge product stays ≤ 2·r0·w; at web scale a mega-hub's
+    raw sum is bounded by 2·r0·out_weight — pre-scale r0 down (or lift
+    the sums to DECIMAL(38,0), the gate_distill pattern) if out-weights
+    approach 10^9.  Nodes with no in-edges have auth 0; no out-edges,
+    hub 0 (the HITS boundary semantics).
+
+    Scale shape: the edge fact is materialized once through the
+    checkpoint seam; each half-step is one broadcast join of the
+    O(nodes) score dim against the fact + a map-side-combined BIGINT
+    sum, plus one single-partition window over the O(nodes) totals.
+    Returns (node, auth, hub)."""
+    from quality_filter.operators.dedup import _truncate_lineage
+
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"), F.col(w).cast("long").alias("_w")
+    )
+    fact = _truncate_lineage(e, eager=False, reliable=reliable_checkpoint)
+    nodes = _truncate_lineage(
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct(),
+        eager=False,
+        reliable=reliable_checkpoint,
+    )
+    hubs = nodes.select("node", F.lit(r0).cast("long").alias("hub"))
+    auths = nodes.select("node", F.lit(0).cast("long").alias("auth"))
+    for _ in range(iters):
+        araw = (
+            fact.join(F.broadcast(hubs), fact["_s"] == hubs["node"])
+            .select(F.col("_d").alias("node"), (F.col("hub") * F.col("_w")).alias("_x"))
+            .groupBy("node")
+            .agg(F.sum("_x").alias("_raw"))
+        )
+        auths = _hits_normalize(araw, nodes, r0, "auth")
+        hraw = (
+            fact.join(F.broadcast(auths), fact["_d"] == auths["node"])
+            .select(F.col("_s").alias("node"), (F.col("auth") * F.col("_w")).alias("_x"))
+            .groupBy("node")
+            .agg(F.sum("_x").alias("_raw"))
+        )
+        hubs = _hits_normalize(hraw, nodes, r0, "hub")
+    return auths.join(hubs, "node").select("node", "auth", "hub")

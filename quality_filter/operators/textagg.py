@@ -407,6 +407,112 @@ def kn_continuation_stats(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+KN_DISCOUNT_NUM = 3  # D = 3/4 — the standard 0.75 absolute discount,
+KN_DISCOUNT_DEN = 4  # kept rational so every probability is a ratio of ints
+
+
+def _bigram_pairs_by_doc(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) adjacent-token pairs per occurrence — the doc-keyed
+    twin of ``_bigram_pairs`` (same zip-of-slices spelling)."""
+    base = df.select(
+        F.col(id_col), _tokens_lower(F.col(text_col)).alias("_t")
+    ).filter(F.size("_t") >= 2)
+    return base.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "zip_with(slice(_t, 1, size(_t) - 1), slice(_t, 2, size(_t) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("bg"),
+    ).select(id_col, "bg.w1", "bg.w2")
+
+
+def kn_doc_surprisal(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document interpolated-Kneser-Ney bigram surprisal — the
+    KenLM-style perplexity scorer retrained IN the engine from the
+    corpus's own statistics (the reference pipeline consumes a
+    pre-trained LM score; this is the corpus-relational verb that
+    produces one).  For each document with ≥ 1 bigram:
+
+        p(w2|w1) = (c(w1,w2) - D)/c(w1·) + D·N1+(w1,·)/c(w1·) · N1+(·,w2)/B
+
+    with D = 3/4, c(w1·) = Σ_x c(w1,x) (context count, NOT the raw
+    unigram count — doc-final tokens never open a bigram), and B =
+    total distinct bigram types.  Every observed bigram has c ≥ 1 > D,
+    so max(c-D, 0) never clips and p is the exact rational
+
+        ((4·c12 - 3)·B + 3·N1+(w1,·)·N1+(·,w2)) / (4·c(w1·)·B).
+
+    Σ_w2 p(w2|w1) = 1 exactly (see test_kn_rows_sum_to_one).
+
+    Determinism: numerator and denominator are EXACT BIGINTs fed to ONE
+    fixed log2 expression tree (the PMI/bm25 precedent), so each bigram
+    type's bits are engine-identical; the per-doc sum folds the
+    (w1,w2)-sorted contribution array left-to-right (collect → sort →
+    aggregate; DuckDB twin: list_sum(list(... ORDER BY w1, w2))) —
+    never a float SUM over shuffle-ordered rows.  At 10^12-doc scale
+    the int products ((4·c12-3)·B ~ c·B) outgrow int64; the upgrade is
+    the gate_distill DECIMAL(38,0) pattern upstream with the same
+    one-expression edge — documented, not needed at test scale (bound
+    checked: tokens·B < 2^62 here).
+
+    Plan shape: bigram/context/continuation stats are O(vocabulary²)
+    dimensions (three map-side-combined shuffles over the token
+    explode), broadcast into the per-doc bigram-type fact; the fact
+    itself is two shuffles keyed on (doc, w1, w2) then doc — each
+    O(Σ per-doc distinct bigrams), partition-bounded by doc length.
+    Returns (id, n_bigrams, surprisal_bits, ppl): mean bits/bigram and
+    2^bits perplexity, round-6."""
+    pairs = _bigram_pairs(df, text_col)
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    n_bigram_types = bg.count()  # B: driver scalar → plan literal (tfidf precedent)
+    ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    dp = pairs.distinct()
+    lc = dp.groupBy(F.col("w2")).agg(F.count(F.lit(1)).cast("long").alias("nlc"))
+    rc = dp.groupBy(F.col("w1")).agg(F.count(F.lit(1)).cast("long").alias("nrc"))
+
+    dt = (
+        _bigram_pairs_by_doc(df, text_col, id_col)
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    )
+    dn, dd = KN_DISCOUNT_NUM, KN_DISCOUNT_DEN
+    num = (
+        (F.lit(dd) * F.col("c12") - F.lit(dn)) * F.lit(n_bigram_types)
+        + F.lit(dn) * F.col("nrc") * F.col("nlc")
+    ).cast("double")
+    den = (F.lit(dd) * F.col("c1") * F.lit(n_bigram_types)).cast("double")
+    scored = (
+        dt.join(F.broadcast(bg), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(lc), "w2")
+        .join(F.broadcast(rc), "w1")
+        .select(
+            F.col(id_col),
+            "w1",
+            "w2",
+            "n_t",
+            (F.col("n_t").cast("double") * F.log2(num / den)).alias("_contrib"),
+        )
+    )
+    folded = scored.groupBy(id_col).agg(
+        F.sum("n_t").cast("long").alias("n_bigrams"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("w1", "w2", "_contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_contrib"],
+        ).alias("_total"),
+    )
+    bits = (-F.col("_total")) / F.col("n_bigrams").cast("double")
+    return folded.select(
+        F.col(id_col),
+        "n_bigrams",
+        F.round(bits, 6).alias("surprisal_bits"),
+        F.round(F.pow(F.lit(2.0), bits), 6).alias("ppl"),
+    )
+
+
 def collocation_pmi_topk(
     df: DataFrame, text_col: str, k: int = 50, min_count: int = 5
 ) -> DataFrame:

@@ -85,6 +85,10 @@ DOC_QUERIES = [
     # KN LM counts: pure positional token algebra (zip_with slices ==
     # DuckDB double-unnest zip), exact integers
     "kn_bigram_counts", "kn_continuation_stats",
+    # per-doc KN surprisal: exact-int num/den through one log2 (pmi
+    # class) + (w1,w2)-sorted fold — string-sort parity fuzz-proven via
+    # tfidf_top_docs, fold order pinned by construction on both engines
+    "kn_doc_surprisal",
     # winnowing (md5 universe window-min) + content snapshot diff
     "winnowing_fingerprints", "winnowing_pairs", "corpus_snapshot_diff",
     # PSI drift: fuzz-proven feature CTE + exact-count shares + the ln
@@ -112,6 +116,9 @@ DOC_QUERIES = [
     # TrustRank: same inputs, exact-integer recurrence; the TW=0
     # degenerate case is spec'd to zero teleport on both engines
     "host_trustrank",
+    # HITS: md5-universe edges (pagerank precedent) + exact-integer
+    # half-steps with window-total floor-div renormalization
+    "host_hits",
     # exact-count ln expression (bm25 precedent) + exact-int novelty ratio
     "collocation_pmi", "doc_novelty_docs",
     # ASCII-space tokens + log2-of-rational-counts (same class as the

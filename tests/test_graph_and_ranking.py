@@ -432,3 +432,146 @@ def test_personalized_pagerank_demotes_linkfarm_vs_uniform(spark):
     }
     assert uni["spam"] > uni["good"]   # uniform PR rewards the farm
     assert per["good"] > per["spam"]   # TrustRank does not
+
+
+def _kn_model(texts):
+    """Pure-Python exact-rational KN bigram model from a token corpus:
+    returns (p, vocab2) where p(w1, w2) is a fractions.Fraction."""
+    from fractions import Fraction
+
+    pairs = []
+    for t in texts:
+        toks = t.strip().lower().split()
+        pairs += list(zip(toks, toks[1:]))
+    c12 = Counter(pairs)
+    B = len(c12)
+    c1 = Counter()
+    for (w1, _), c in c12.items():
+        c1[w1] += c
+    nlc = Counter(w2 for (_, w2) in c12)
+    nrc = Counter(w1 for (w1, _) in c12)
+    D = Fraction(3, 4)
+
+    def p(w1, w2):
+        disc = max(c12.get((w1, w2), 0) - D, Fraction(0))
+        return disc / c1[w1] + D * nrc[w1] / c1[w1] * Fraction(nlc[w2], B)
+
+    return p, set(nlc)
+
+
+def test_kn_rows_sum_to_one_exact():
+    """Interpolated KN is a proper conditional distribution: for every
+    context w1, Σ_w2 p(w2|w1) over the continuation vocabulary == 1
+    EXACTLY in rational arithmetic — the invariant the integerized
+    num/den spelling in kn_doc_surprisal encodes."""
+    from fractions import Fraction
+
+    texts = ["a b a b c a", "b c c a x a b", "x a"]
+    p, vocab2 = _kn_model(texts)
+    for w1 in {"a", "b", "c", "x"}:
+        total = sum(p(w1, w2) for w2 in vocab2)
+        assert total == Fraction(1), (w1, total)
+
+
+def test_kn_doc_surprisal_matches_rational_twin(spark):
+    """Spark's per-doc bits match the pure-Python exact-rational model
+    scored doc-by-doc (float at the very edge only): same tokenizer,
+    same D=3/4, same per-bigram log2 — agreement to 1e-9 confirms the
+    integer num/den spelling implements exactly this model."""
+    rows = [
+        (1, "a b a b c a"),
+        (2, "b c c a x a b"),
+        (3, "x a"),
+        (4, "solo"),  # < 2 tokens: no bigram, excluded from output
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p, _ = _kn_model([t for _, t in rows])
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["surprisal_bits"], r["ppl"])
+        for r in textagg.kn_doc_surprisal(df, "text", "doc_id").collect()
+    }
+    assert set(got) == {1, 2, 3}
+    for doc_id, text in rows[:3]:
+        toks = text.split()
+        bigrams = list(zip(toks, toks[1:]))
+        bits = -sum(math.log2(p(w1, w2)) for w1, w2 in bigrams) / len(bigrams)
+        n, got_bits, got_ppl = got[doc_id]
+        assert n == len(bigrams)
+        assert abs(got_bits - round(bits, 6)) < 1e-9, (doc_id, got_bits, bits)
+        assert abs(got_ppl - 2.0 ** got_bits) < 1e-4
+    # a doc that is pure high-frequency pattern scores fewer bits than
+    # the doc containing the corpus's rare continuations
+    assert got[1][1] < got[2][1]
+
+
+def test_kn_doc_surprisal_partition_invariant(spark):
+    """Same bits at 1 and 7 partitions: the sorted-fold makes the doc
+    sum independent of shuffle order / partitioning."""
+    df = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    a = {
+        r["doc_id"]: (r["surprisal_bits"], r["ppl"])
+        for r in textagg.kn_doc_surprisal(df.coalesce(1), "text", "doc_id").collect()
+    }
+    b = {
+        r["doc_id"]: (r["surprisal_bits"], r["ppl"])
+        for r in textagg.kn_doc_surprisal(df.repartition(7), "text", "doc_id").collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def _hits_twin(edges, iters, r0=graph.HITS_R0):
+    """Pure-Python twin of the exact-integer HITS recurrence."""
+    nodes = {s for s, _, _ in edges} | {d for _, d, _ in edges}
+
+    def norm(raw):
+        tot = sum(raw.values())
+        q = max(1, tot // r0)
+        return {n: raw.get(n, 0) // q for n in nodes}
+
+    hub = {n: r0 for n in nodes}
+    auth = {n: 0 for n in nodes}
+    for _ in range(iters):
+        raw = defaultdict(int)
+        for s, d, w in edges:
+            raw[d] += hub[s] * w
+        auth = norm(raw)
+        raw = defaultdict(int)
+        for s, d, w in edges:
+            raw[s] += auth[d] * w
+        hub = norm(raw)
+    return auth, hub
+
+
+def test_hits_matches_python_twin_exactly(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long, w long")
+    got = {
+        r["node"]: (r["auth"], r["hub"])
+        for r in graph.hits(df, iters=3).collect()
+    }
+    auth, hub = _hits_twin(EDGES, 3)
+    assert got == {n: (auth[n], hub[n]) for n in auth}
+
+
+def test_hits_partition_invariant(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long, w long")
+    a = sorted(tuple(r) for r in graph.hits(df.coalesce(1), iters=2).collect())
+    b = sorted(tuple(r) for r in graph.hits(df.repartition(5), iters=2).collect())
+    assert a == b
+
+
+def test_hits_separates_hubs_from_authorities(spark):
+    """A directory host that only links out must end hub-heavy and
+    auth-zero; the content hosts it points at end auth-heavy; a
+    stray page nobody links to and that links nowhere popular stays
+    near zero on both axes — the separation PageRank alone cannot
+    express."""
+    edges = [(100, d, 1) for d in (1, 2, 3, 4)] + [
+        (200, d, 1) for d in (1, 2, 3)
+    ] + [(1, 2, 1), (300, 400, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r["node"]: (r["auth"], r["hub"]) for r in graph.hits(df, iters=3).collect()}
+    assert got[100][0] == 0          # pure directory: no in-links
+    assert got[100][1] > got[1][1]   # ...but a stronger hub than content
+    assert got[1][0] > got[100][0] and got[2][0] > got[400][0]
+    # the isolated pair is dominated on both axes by the dense core
+    assert got[300][1] < got[100][1] and got[400][0] < got[2][0]
