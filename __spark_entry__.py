@@ -1617,6 +1617,40 @@ def _hits_ctes(
     return ",\n".join(ctes)
 
 
+RD_NODES = PR_NODES  # redirect universe shares the synthetic host space
+RD_GATE = 3
+RD_HAS_MOD = 5  # a node redirects iff md5('rd:'||h) % 5 < 3 (~60% of hosts
+# — dense enough that the md5 functional graph contains real cycles, so the
+# unresolved/too-many-redirects verdict is exercised by the oracle)
+
+
+def _redirect_edges(docs):
+    """Deterministic functional redirect set over the synthetic host
+    universe (documents carry no redirect column): host h redirects iff
+    md5('rd:'||h) lands in 2 of 5 buckets, to md5('rt:'||h) % N — both
+    engines rebuild the identical edge set from the shared md5 hash
+    universe.  Functional by construction (one row per distinct h)."""
+    h = (F.col("doc_id") % RD_NODES).cast("long")
+    hosts = docs.select(h.alias("src")).distinct()
+    gate = sampling.hash_bucket(F.concat(F.lit("rd:"), F.col("src").cast("string")))
+    tgt = (
+        sampling.hash_bucket(F.concat(F.lit("rt:"), F.col("src").cast("string")))
+        % RD_NODES
+    ).cast("long")
+    return hosts.filter(gate % RD_HAS_MOD < RD_GATE).select("src", tgt.alias("dst"))
+
+
+def q_redirect_resolution(spark, sf_dir):
+    """Redirect-chain canonicalization by pointer doubling: every host
+    in the synthetic redirect universe resolves to its chain terminal
+    in log2(cap) self-join rounds (f^16 in 4 shuffles) — cycles and
+    over-cap chains report resolved = false, the crawler's
+    too-many-redirects verdict.  All-integer state, hash-exact
+    (operators/graph.py:resolve_redirects)."""
+    docs = _t(spark, sf_dir, "documents")
+    return graph.resolve_redirects(_redirect_edges(docs))
+
+
 def q_host_hits(spark, sf_dir):
     """Exact integerized HITS (hubs & authorities) over the synthetic
     host graph — the link-analysis complement of host_pagerank that
@@ -2774,6 +2808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_trustrank": q_host_trustrank,
         "kn_doc_surprisal": q_kn_doc_surprisal,
         "host_hits": q_host_hits,
+        "redirect_resolution": q_redirect_resolution,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -4070,6 +4105,32 @@ WITH {_pagerank_ctes()}
 SELECT node, rank_micro,
   round(rank_micro / {float(graph.PAGERANK_R0)!r}, 6) AS rank
 FROM pr_r{PR_ITERS}"""
+    _rd_dbl = "\n".join(
+        f"s{i} AS (SELECT a.node, b.cur AS cur, a.hops + b.hops AS hops\n"
+        f"  FROM s{i - 1} a JOIN s{i - 1} b ON b.node = a.cur),"
+        for i in range(1, graph.REDIRECT_ROUNDS + 1)
+    )
+    out["redirect_resolution"] = f"""
+WITH rd_hosts AS (SELECT DISTINCT doc_id % {RD_NODES} AS src FROM documents),
+rd_edges AS (
+  SELECT src,
+    (('0x' || substr(md5('rt:' || CAST(src AS VARCHAR)), 1, 8))::BIGINT
+     % {RD_NODES}) AS dst
+  FROM rd_hosts
+  WHERE ('0x' || substr(md5('rd:' || CAST(src AS VARCHAR)), 1, 8))::BIGINT
+        % {RD_HAS_MOD} < {RD_GATE}
+),
+rd_nodes AS (SELECT src AS node FROM rd_edges UNION SELECT dst FROM rd_edges),
+s0 AS (
+  SELECT n.node, coalesce(e.dst, n.node) AS cur,
+    CAST(CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END AS BIGINT) AS hops
+  FROM rd_nodes n LEFT JOIN rd_edges e ON e.src = n.node
+),
+{_rd_dbl}
+fin AS (SELECT * FROM s{graph.REDIRECT_ROUNDS})
+SELECT s.node, s.cur AS final, CAST(s.hops AS BIGINT) AS hops,
+  (e.src IS NULL) AS resolved
+FROM fin s LEFT JOIN rd_edges e ON e.src = s.cur"""
     out["host_hits"] = f"""
 WITH {_hits_ctes()}
 SELECT a.node, a.auth, h.hub

@@ -299,3 +299,80 @@ def hits(
         )
         hubs = _hits_normalize(hraw, nodes, r0, "hub")
     return auths.join(hubs, "node").select("node", "auth", "hub")
+
+
+REDIRECT_ROUNDS = 4  # f^(2^4): resolves chains up to 16 hops — the
+# browser/crawler redirect cap (curl -L defaults to ~20, most crawlers 5-16)
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    rounds: int = REDIRECT_ROUNDS,
+    src: str = "src",
+    dst: str = "dst",
+    reliable_checkpoint: bool | None = None,
+) -> DataFrame:
+    """Resolve every URL to its redirect-chain terminal by pointer
+    doubling — the crawl canonicalization verb (an http frontier is
+    full of 301/308 hops; fetch dedup and link-graph construction both
+    want the TERMINAL url).  ``redirects`` is a functional edge set
+    (≤ 1 outgoing redirect per src; enforced here by min(dst) — the
+    deterministic winner if an upstream feed ever violates it).
+
+    Pointer doubling, not iteration: state_0(x) = redirect(x) (or x
+    itself, hops 0, at terminals); each round composes the state with
+    ITSELF — state_{i+1}(x) = state_i(state_i(x).cur), hops added
+    (losing duplicate edges are discarded BEFORE the node universe
+    forms: a dst reachable only through a discarded edge is absent) — so
+    round k holds f^(2^k) and a 16-hop chain resolves in 4 shuffles
+    where sequential chasing needs 16.  That is the 100-TB shape: the
+    state is one O(urls) relation, each round ONE self-join shuffle on
+    the cur key, O(log cap) rounds total.
+
+    Chains longer than 2^rounds and redirect CYCLES never reach a
+    terminal: they report resolved = false with the doubling process's
+    hop count (capped at 2^rounds) — exactly a crawler's "too many
+    redirects" verdict.  All state is (node, cur, hops) BIGINT/key
+    columns; no floats anywhere, hash-exact by construction.
+
+    Returns (node, final, hops, resolved)."""
+    from quality_filter.operators.dedup import _truncate_lineage
+
+    e = (
+        redirects.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .groupBy("_s")
+        .agg(F.min("_d").alias("_d"))
+    )
+    e = _truncate_lineage(e, eager=False, reliable=reliable_checkpoint)
+    nodes = e.select(F.col("_s").alias("node")).union(
+        e.select(F.col("_d").alias("node"))
+    ).distinct()
+    state = nodes.join(e, nodes["node"] == e["_s"], "left").select(
+        "node",
+        F.coalesce(F.col("_d"), F.col("node")).alias("cur"),
+        F.when(F.col("_d").isNull(), F.lit(0)).otherwise(F.lit(1))
+        .cast("long")
+        .alias("hops"),
+    )
+    for _ in range(rounds):
+        nxt = state.select(
+            F.col("node").alias("_mid"),
+            F.col("cur").alias("_mcur"),
+            F.col("hops").alias("_mhops"),
+        )
+        state = _truncate_lineage(
+            state.join(nxt, state["cur"] == nxt["_mid"]).select(
+                "node",
+                F.col("_mcur").alias("cur"),
+                (F.col("hops") + F.col("_mhops")).cast("long").alias("hops"),
+            ),
+            eager=False,
+            reliable=reliable_checkpoint,
+        )
+    has_out = e.select(F.col("_s").alias("cur"), F.lit(True).alias("_o"))
+    return state.join(has_out, "cur", "left").select(
+        "node",
+        F.col("cur").alias("final"),
+        "hops",
+        F.coalesce(~F.col("_o"), F.lit(True)).alias("resolved"),
+    )

@@ -119,6 +119,9 @@ DOC_QUERIES = [
     # HITS: md5-universe edges (pagerank precedent) + exact-integer
     # half-steps with window-total floor-div renormalization
     "host_hits",
+    # redirect doubling: md5-universe functional edges, all-integer
+    # state, unrolled self-join twin
+    "redirect_resolution",
     # exact-count ln expression (bm25 precedent) + exact-int novelty ratio
     "collocation_pmi", "doc_novelty_docs",
     # ASCII-space tokens + log2-of-rational-counts (same class as the

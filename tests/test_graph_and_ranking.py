@@ -575,3 +575,59 @@ def test_hits_separates_hubs_from_authorities(spark):
     assert got[1][0] > got[100][0] and got[2][0] > got[400][0]
     # the isolated pair is dominated on both axes by the dense core
     assert got[300][1] < got[100][1] and got[400][0] < got[2][0]
+
+
+def test_resolve_redirects_hand_chains(spark):
+    """Chain at the cap resolves; one hop past it reports the crawler's
+    too-many-redirects verdict; a 2-cycle and a self-loop never
+    resolve; terminals resolve to themselves with 0 hops."""
+    cap = 2 ** graph.REDIRECT_ROUNDS
+    chain = [(i, i + 1) for i in range(cap)]            # 0→1→…→16 (len 16)
+    long_chain = [(100 + i, 100 + i + 1) for i in range(cap + 1)]
+    cyc = [(900, 901), (901, 900), (950, 950)]
+    df = spark.createDataFrame(chain + long_chain + cyc, "src long, dst long")
+    got = {
+        r["node"]: (r["final"], r["hops"], r["resolved"])
+        for r in graph.resolve_redirects(df).collect()
+    }
+    assert got[0] == (cap, cap, True)
+    assert got[cap] == (cap, 0, True)          # terminal: itself, 0 hops
+    assert got[100][2] is False and got[100][1] == cap  # over-cap: hops capped
+    assert got[101][2] is True                 # one in: now within cap
+    for n in (900, 901, 950):
+        assert got[n][2] is False
+    # resolved nodes: hops is the TRUE chain distance
+    for i in range(cap + 1):
+        assert got[i] == (cap, cap - i, True)
+
+
+def test_resolve_redirects_log_depth_scaling(spark):
+    """A 2^10-hop chain resolves with rounds=10 — 10 self-joins instead
+    of 1024 sequential chases (the O(log L) doubling claim), every
+    node's terminal and exact distance correct."""
+    n = 1024
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    ).repartition(8)
+    out = graph.resolve_redirects(df, rounds=10).collect()
+    assert len(out) == n + 1
+    for r in out:
+        assert r["resolved"] is True and r["final"] == n
+        assert r["hops"] == n - r["node"]
+
+
+def test_resolve_redirects_partition_invariant_and_functional_guard(spark):
+    """Partitioning never changes the answer, and a non-functional feed
+    (two redirects from one src) deterministically collapses to
+    min(dst) before resolution."""
+    edges = [(1, 2), (2, 3), (1, 9)]  # 1 has two targets: min → 2
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["final"], r["hops"]) for r in graph.resolve_redirects(df).collect()}
+    assert got[1] == (3, 2)
+    assert 9 not in got  # the losing edge is discarded wholesale
+    big = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 50) for i in range(0, 50, 2)], "src long, dst long"
+    )
+    a = sorted(tuple(r) for r in graph.resolve_redirects(big.coalesce(1)).collect())
+    b = sorted(tuple(r) for r in graph.resolve_redirects(big.repartition(7)).collect())
+    assert a == b
