@@ -1651,6 +1651,22 @@ def q_redirect_resolution(spark, sf_dir):
     return graph.resolve_redirects(_redirect_edges(docs))
 
 
+CRAWL_BUDGET = 10000  # total fetch quota; 10^4·rank_micro stays far inside BIGINT
+
+
+def q_crawl_budget_allocation(spark, sf_dir):
+    """Per-host fetch-quota apportionment: Hamilton largest-remainder
+    split of a fixed crawl budget ∝ host PageRank — exact integers end
+    to end, Σ quota == budget EXACTLY (floor-only shares under-spend;
+    float shares drift).  The weight relation is the O(hosts) rank
+    dimension, so the windows are the pagerank-normalization precedent
+    (operators/relational.py:apportion_budget)."""
+    docs = _t(spark, sf_dir, "documents")
+    pr = graph.pagerank(graph.edge_weights(_pr_edge_instances(docs)), iters=PR_ITERS)
+    w = pr.select(F.col("node").alias("host"), "rank_micro")
+    return relational.apportion_budget(w, "host", "rank_micro", CRAWL_BUDGET)
+
+
 def q_host_hits(spark, sf_dir):
     """Exact integerized HITS (hubs & authorities) over the synthetic
     host graph — the link-analysis complement of host_pagerank that
@@ -2809,6 +2825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_doc_surprisal": q_kn_doc_surprisal,
         "host_hits": q_host_hits,
         "redirect_resolution": q_redirect_resolution,
+        "crawl_budget_allocation": q_crawl_budget_allocation,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -4105,6 +4122,25 @@ WITH {_pagerank_ctes()}
 SELECT node, rank_micro,
   round(rank_micro / {float(graph.PAGERANK_R0)!r}, 6) AS rank
 FROM pr_r{PR_ITERS}"""
+    out["crawl_budget_allocation"] = f"""
+WITH {_pagerank_ctes()},
+cb_w AS (SELECT node AS host, rank_micro FROM pr_r{PR_ITERS}),
+cb_t AS (SELECT host, rank_micro, sum(rank_micro) OVER () AS tw FROM cb_w),
+cb_b AS (
+  SELECT host, rank_micro, tw,
+    CASE WHEN tw = 0 THEN 0 ELSE ({CRAWL_BUDGET} * rank_micro) // tw END AS base,
+    CASE WHEN tw = 0 THEN 0 ELSE ({CRAWL_BUDGET} * rank_micro) % tw END AS rem
+  FROM cb_t
+),
+cb_l AS (
+  SELECT host, rank_micro, base, rem,
+    CASE WHEN tw = 0 THEN 0 ELSE {CRAWL_BUDGET} - sum(base) OVER () END AS leftover,
+    row_number() OVER (ORDER BY rem DESC, host ASC) AS rn
+  FROM cb_b
+)
+SELECT host, rank_micro,
+  CAST(base + (CASE WHEN rn <= leftover THEN 1 ELSE 0 END) AS BIGINT) AS quota
+FROM cb_l"""
     _rd_dbl = "\n".join(
         f"s{i} AS (SELECT a.node, b.cur AS cur, a.hops + b.hops AS hops\n"
         f"  FROM s{i - 1} a JOIN s{i - 1} b ON b.node = a.cur),"

@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "exact_substring_dedup",  # overlapping-window keeper agg + excision
     # round-4 weighted-vocabulary dedup
     "tfidf_cosine_pairs",     # exact-int tfidf weights + df-capped term join
+    # round-4 corpus LM scoring
+    "kn_doc_surprisal",       # KN stats dims (broadcast) + per-doc sorted fold
 ]
 
 

@@ -122,6 +122,9 @@ DOC_QUERIES = [
     # redirect doubling: md5-universe functional edges, all-integer
     # state, unrolled self-join twin
     "redirect_resolution",
+    # Hamilton apportionment over pagerank weights: exact ints,
+    # window totals on the O(hosts) dim
+    "crawl_budget_allocation",
     # exact-count ln expression (bm25 precedent) + exact-int novelty ratio
     "collocation_pmi", "doc_novelty_docs",
     # ASCII-space tokens + log2-of-rational-counts (same class as the

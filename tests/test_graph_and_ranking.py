@@ -631,3 +631,67 @@ def test_resolve_redirects_partition_invariant_and_functional_guard(spark):
     a = sorted(tuple(r) for r in graph.resolve_redirects(big.coalesce(1)).collect())
     b = sorted(tuple(r) for r in graph.resolve_redirects(big.repartition(7)).collect())
     assert a == b
+
+
+def _hamilton_twin(ws, total):
+    tw = sum(w for _, w in ws)
+    if tw == 0:
+        return {k: 0 for k, _ in ws}
+    base = {k: (total * w) // tw for k, w in ws}
+    rem = {k: (total * w) % tw for k, w in ws}
+    leftover = total - sum(base.values())
+    winners = sorted(ws, key=lambda kw: (-rem[kw[0]], kw[0]))[:leftover]
+    out = dict(base)
+    for k, _ in winners:
+        out[k] += 1
+    return out
+
+
+def test_apportion_budget_conserves_and_matches_twin(spark):
+    """Σ quota == total EXACTLY (the Hamilton theorem), quotas equal
+    the pure-Python largest-remainder twin, on several weight shapes
+    including zero weights and heavy skew."""
+    from quality_filter.operators import relational
+
+    cases = [
+        [(1, 1), (2, 1), (3, 1)],                      # all-tie remainders
+        [(1, 0), (2, 5), (3, 0), (4, 7)],              # zero weights
+        [(i, (i * 37) % 11 + (1000000 if i == 5 else 0)) for i in range(1, 20)],
+    ]
+    for total in (10, 9999):
+        for ws in cases:
+            df = spark.createDataFrame(ws, "host long, w long")
+            got = {
+                r["host"]: r["quota"]
+                for r in relational.apportion_budget(df, "host", "w", total).collect()
+            }
+            assert sum(got.values()) == total
+            assert got == _hamilton_twin(ws, total), (total, ws)
+    # all-tie case, total 10 over 3 keys: 3 each + 1 to the smallest key
+    df = spark.createDataFrame(cases[0], "host long, w long")
+    got = {
+        r["host"]: r["quota"]
+        for r in relational.apportion_budget(df, "host", "w", 10).collect()
+    }
+    assert got == {1: 4, 2: 3, 3: 3}
+
+
+def test_apportion_budget_degenerate_specs(spark):
+    """ΣW = 0 allocates nothing (by spec, not division error); a
+    negative weight raises; partitioning never changes quotas."""
+    from quality_filter.operators import relational
+
+    zdf = spark.createDataFrame([(1, 0), (2, 0)], "host long, w long")
+    assert {
+        r["host"]: r["quota"]
+        for r in relational.apportion_budget(zdf, "host", "w", 100).collect()
+    } == {1: 0, 2: 0}
+    ndf = spark.createDataFrame([(1, -3)], "host long, w long")
+    with pytest.raises(Exception):
+        relational.apportion_budget(ndf, "host", "w", 10).collect()
+    big = spark.createDataFrame(
+        [(i, (i * 13) % 7) for i in range(60)], "host long, w long"
+    )
+    a = sorted(map(tuple, relational.apportion_budget(big.coalesce(1), "host", "w", 500).collect()))
+    b = sorted(map(tuple, relational.apportion_budget(big.repartition(9), "host", "w", 500).collect()))
+    assert a == b

@@ -672,3 +672,34 @@ def test_int8_knn_recall_vs_exact(spark, emb):
     for r in quant:
         if r["vec_id"] in es:
             assert abs(r["cos_sim_q8"] - es[r["vec_id"]]) < 0.02
+
+
+def test_round4_seventh_block_plan_shapes(spark):
+    """Plan pins for the KN-surprisal / HITS / redirect tier (the
+    BENCH/PLANS.md claims)."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+
+    def plan(name):
+        return qs[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+    # KN surprisal: all four LM-stat dims broadcast into the doc fact;
+    # no sort-merge join anywhere (the corpus is never co-sorted against
+    # a vocabulary relation), no cartesian
+    p = plan("kn_doc_surprisal")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    # HITS: score dims broadcast per half-step; renormalization totals
+    # are window nodes, never a join against a 1-row relation
+    p = plan("host_hits")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "Window" in p
+
+    # redirect doubling: self-joins only — every join is an equi-join
+    # on the cur/node key, no broadcast of the O(urls) state (both
+    # sides are the same-sized fact), no cartesian
+    p = plan("redirect_resolution")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
