@@ -1487,6 +1487,7 @@ def _roundtrip_stats(spark, sf_dir, fmt: str):
         "csv": formats.roundtrip_csv,
         "orc": formats.roundtrip_orc,
         "warc": formats.roundtrip_warc,
+        "wet": formats.roundtrip_wet,
     }[fmt]
     rt = rt_fn(docs, spark, path, formats.DOCUMENTS_SCHEMA)
     return formats.fidelity_summary(rt, "lang", FIDELITY_COLS)
@@ -1508,6 +1509,17 @@ def q_warc_roundtrip_stats(spark, sf_dir):
     the JSONL/CSV/ORC twins.  One task per WARC file on read, the
     Common-Crawl decomposition (io/warc.py)."""
     return _roundtrip_stats(spark, sf_dir, "warc")
+
+
+def q_wet_roundtrip_stats(spark, sf_dir):
+    """Extracted-text interchange fidelity: documents → WET conversion
+    records (Common Crawl's text/plain product — WARC-Type: conversion,
+    WARC-Refers-To back-pointer) → strict typed parse (non-conversion
+    records ABORT inside the parse task) → the same per-lang fidelity
+    reduction as the JSONL/CSV/ORC/WARC twins.  Proves the engine's
+    extracted text can feed any WET consumer and come back byte-intact
+    (io/warc.py:write_wet/read_wet)."""
+    return _roundtrip_stats(spark, sf_dir, "wet")
 
 
 PR_NODES = 97
@@ -2826,6 +2838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_hits": q_host_hits,
         "redirect_resolution": q_redirect_resolution,
         "crawl_budget_allocation": q_crawl_budget_allocation,
+        "wet_roundtrip_stats": q_wet_roundtrip_stats,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -4117,6 +4130,7 @@ FROM documents GROUP BY lang"""
     out["csv_roundtrip_stats"] = _roundtrip_sql
     out["orc_roundtrip_stats"] = _roundtrip_sql
     out["warc_roundtrip_stats"] = _roundtrip_sql
+    out["wet_roundtrip_stats"] = _roundtrip_sql
     out["host_pagerank"] = f"""
 WITH {_pagerank_ctes()}
 SELECT node, rank_micro,

@@ -148,3 +148,35 @@ def fidelity_summary(df: DataFrame, group_col: str, cols: list[str],
             F.sum(row_checksum([F.col(c) for c in cols])).cast("long").alias("fidelity_sum"),
         )
     )
+
+
+def roundtrip_wet(df: DataFrame, spark: SparkSession, path: str,
+                  schema: T.StructType) -> DataFrame:
+    """Write the documents table as WET conversion records (the
+    Common-Crawl extracted-text product: text/plain payload +
+    WARC-Refers-To) and read it back through the strict typed parser —
+    the interchange twin proving the engine's extracted text can feed
+    any WET consumer and come back intact (io/warc.py:write_wet)."""
+    from quality_filter.io import warc as W
+
+    pages = df.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2025-06-01T00:00:00Z").alias("warc_date"),
+        F.col("text"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("lang"),
+        F.col("source"),
+        F.col("n_chars").cast("string").alias("n_chars"),
+    )
+    W.write_wet(
+        pages, path, header_cols=("doc_id", "lang", "source", "n_chars")
+    )
+    rt = W.read_wet(spark, path)
+    out = rt.select(
+        F.col("headers")["x-doc-id"].cast("long").alias("doc_id"),
+        F.col("text"),
+        F.col("headers")["x-lang"].alias("lang"),
+        F.col("headers")["x-source"].alias("source"),
+        F.col("headers")["x-n-chars"].cast("long").alias("n_chars"),
+    )
+    return out.select(*[f.name for f in schema.fields])

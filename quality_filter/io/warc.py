@@ -52,11 +52,13 @@ READ_SCHEMA = T.StructType(
 
 
 def build_record(url: str, date: str, payload: bytes,
-                 extra_headers: dict[str, str] | None = None) -> bytes:
-    """One WARC resource record.  Header values must be CRLF-free (ISO
-    28500); violations raise — a corrupt header would desynchronize
+                 extra_headers: dict[str, str] | None = None,
+                 rec_type: str = "resource") -> bytes:
+    """One WARC record (``rec_type``: resource for raw payloads,
+    conversion for WET extracted text).  Header values must be CRLF-free
+    (ISO 28500); violations raise — a corrupt header would desynchronize
     every downstream reader of the file."""
-    fields = [("WARC-Type", "resource"), ("WARC-Target-URI", url), ("WARC-Date", date)]
+    fields = [("WARC-Type", rec_type), ("WARC-Target-URI", url), ("WARC-Date", date)]
     for k, v in (extra_headers or {}).items():
         fields.append((k, v))
     for k, v in fields:
@@ -117,25 +119,35 @@ def write_warc(
     date_col: str = "warc_date",
     payload_col: str = "payload",
     header_cols: tuple[str, ...] = (),
+    rec_type: str = "resource",
+    const_headers: dict[str, str] | None = None,
+    suffix: str = ".warc",
+    header_names: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Write ``df`` as one WARC file per partition under ``path``
     (cleared first — overwrite semantics).  ``header_cols`` travel as
-    ``X-<Name>`` WARC headers (CRLF-free values enforced); the payload
-    column is raw bytes.  Returns the collected-but-small manifest
-    (file, n_records), one row per non-empty partition."""
+    ``X-<Name>`` WARC headers (CRLF-free values enforced);
+    ``const_headers`` are stamped verbatim on every record (the WET
+    Content-Type seam); the payload column is raw bytes.  Returns the
+    collected-but-small manifest (file, n_records), one row per
+    non-empty partition."""
     import pandas as pd
 
     if os.path.isdir(path):
         shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
     cols = [url_col, date_col, payload_col, *header_cols]
-    hdr_names = [f"X-{c.replace('_', '-').title()}" for c in header_cols]
+    hdr_names = list(header_names) if header_names is not None else [
+        f"X-{c.replace('_', '-').title()}" for c in header_cols
+    ]
+    if len(hdr_names) != len(header_cols):
+        raise ValueError("header_names must match header_cols 1:1")
 
     def _write(batches):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        fname = os.path.join(path, f"part-{pid:05d}.warc")
+        fname = os.path.join(path, f"part-{pid:05d}{suffix}")
         n = 0
         fh = None
         try:
@@ -143,10 +155,11 @@ def write_warc(
                 if fh is None:
                     fh = open(fname, "wb")
                 for row in pdf.itertuples(index=False):
-                    extra = {
-                        h: str(getattr(row, c))
+                    extra = dict(const_headers or {})
+                    extra.update(
+                        (h, str(getattr(row, c)))
                         for h, c in zip(hdr_names, header_cols)
-                    }
+                    )
                     payload = getattr(row, payload_col)
                     fh.write(
                         build_record(
@@ -154,6 +167,7 @@ def write_warc(
                             str(getattr(row, date_col)),
                             bytes(payload) if payload is not None else b"",
                             extra,
+                            rec_type=rec_type,
                         )
                     )
                     n += 1
@@ -168,10 +182,15 @@ def write_warc(
     return manifest
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(
+    spark: SparkSession, path: str, require_type: str | None = None
+) -> DataFrame:
     """WARC files under ``path`` → (url, warc_date, headers, payload)
     rows.  One task per file (the CC decomposition); parse is an
-    Arrow-batched mapInPandas over file contents."""
+    Arrow-batched mapInPandas over file contents.  ``require_type``
+    makes the parse task ABORT on any record of a different WARC-Type
+    (the WET strictness seam) — enforced where the bytes are read, so
+    column pruning can never skip it."""
     import glob as _glob
 
     import pandas as pd
@@ -187,6 +206,14 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             out = {"url": [], "warc_date": [], "headers": [], "payload": []}
             for content in pdf["content"]:
                 for headers, payload in iter_warc_records(bytes(content)):
+                    if require_type is not None and headers.get(
+                        "warc-type"
+                    ) != require_type:
+                        raise ValueError(
+                            f"expected WARC-Type {require_type!r}, got "
+                            f"{headers.get('warc-type')!r} for "
+                            f"{headers.get('warc-target-uri')!r}"
+                        )
                     out["url"].append(headers.get("warc-target-uri"))
                     out["warc_date"].append(headers.get("warc-date"))
                     out["headers"].append(headers)
@@ -194,3 +221,63 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return files.select("content").mapInPandas(_parse, READ_SCHEMA)
+
+
+def write_wet(
+    df: DataFrame,
+    path: str,
+    url_col: str = "url",
+    date_col: str = "warc_date",
+    text_col: str = "text",
+    header_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """WET sink — Common Crawl's extracted-text sibling of WARC: each
+    record is ``WARC-Type: conversion`` with a ``text/plain`` UTF-8
+    payload and a ``WARC-Refers-To`` pointer at the source capture
+    (synthesized deterministically from the URL here; CC points at the
+    response record's uuid).  This is exactly what the pipeline's
+    extracted_text column IS — the engine can hand its output to any
+    WET consumer.  Same partition-writer shape as write_warc."""
+    from pyspark.sql import functions as F
+
+    pages = df.select(
+        F.col(url_col).alias("url"),
+        F.col(date_col).alias("warc_date"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        # NB: itertuples() renames leading-underscore columns — the
+        # internal refers column must be a plain identifier
+        F.concat(F.lit("<urn:qf:source:"), F.col(url_col), F.lit(">")).alias(
+            "qf_refers_to"
+        ),
+        *[F.col(c) for c in header_cols],
+    )
+    return write_warc(
+        pages,
+        path,
+        header_cols=("qf_refers_to", *header_cols),
+        rec_type="conversion",
+        const_headers={"Content-Type": "text/plain"},
+        suffix=".warc.wet",
+        header_names=(
+            "WARC-Refers-To",
+            *[f"X-{c.replace('_', '-').title()}" for c in header_cols],
+        ),
+    )
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET files under ``path`` → (url, warc_date, text, headers) rows.
+    Strict: every record must be ``WARC-Type: conversion`` (a WET file
+    containing response/resource records is a mislabeled WARC — abort,
+    the formats-module FAILFAST discipline) — enforced inside the parse
+    task itself, where the bytes are read, so column pruning can never
+    elide the check."""
+    from pyspark.sql import functions as F
+
+    rt = read_warc(spark, path, require_type="conversion")
+    return rt.select(
+        "url",
+        "warc_date",
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+        "headers",
+    )

@@ -146,9 +146,10 @@ DOC_QUERIES = [
     "bpe_merge_round",
     # NOT fuzzed: pii_hit_counts_docs shares pii_scrub_docs' documented
     # RE2-vs-Java unicode \d/\b seam (see module docstring);
-    # warc_roundtrip_stats' strict writer rejects CR/LF in header-borne
-    # columns (lang/source) BY DESIGN — fuzzed header values would turn
-    # the spec-correct abort into a false fuzz failure
+    # warc_roundtrip_stats' (and wet_roundtrip_stats') strict writer
+    # rejects CR/LF in header-borne columns (lang/source) BY DESIGN —
+    # fuzzed header values would turn the spec-correct abort into a
+    # false fuzz failure
 ]
 EVENT_QUERIES = [
     "decimated_events", "tumbling_agg_mean", "tumbling_agg_median",

@@ -219,3 +219,90 @@ def test_warc_crawl_ingest_feeds_pipeline_end_to_end(spark, tmp_path):
     a = a.sort_values("url").reset_index(drop=True)
     b = b.sort_values("url").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_wet_spark_roundtrip_byte_identical(spark, adv_df, tmp_path):
+    """documents → WET conversion records → strict typed parse: every
+    text byte (unicode, CRLF, embedded framing-lookalikes) survives —
+    Content-Length framing carries the payload, no quoting layer."""
+    rt = formats.roundtrip_wet(
+        adv_df, spark, str(tmp_path / "wet"), formats.DOCUMENTS_SCHEMA
+    )
+    got = {r["doc_id"]: tuple(r) for r in rt.collect()}
+    want = {r["doc_id"]: tuple(r) for r in adv_df.collect()}
+    assert got == want
+
+
+def test_wet_records_carry_conversion_headers(spark, tmp_path):
+    """WET semantics on the wire: WARC-Type conversion, text/plain
+    Content-Type, a WARC-Refers-To back-pointer derived from the source
+    URL, and the .warc.wet suffix."""
+    from quality_filter.io import warc as W
+
+    df = spark.createDataFrame(
+        [("http://a/x", "2025-06-01T00:00:00Z", "hello wet"),
+         ("http://b/y", "2025-06-01T00:00:00Z", "köln 中文")],
+        "url string, warc_date string, text string",
+    )
+    W.write_wet(df.coalesce(1), str(tmp_path / "w"), text_col="text")
+    rows = W.read_wet(spark, str(tmp_path / "w")).collect()
+    assert {r["url"] for r in rows} == {"http://a/x", "http://b/y"}
+    for r in rows:
+        h = r["headers"]
+        assert h["warc-type"] == "conversion"
+        assert h["content-type"] == "text/plain"
+        assert h["warc-refers-to"] == f"<urn:qf:source:{r['url']}>"
+    got = {r["url"]: r["text"] for r in rows}
+    assert got["http://b/y"] == "köln 中文"
+    import glob
+    assert glob.glob(str(tmp_path / "w" / "*.warc.wet"))
+
+
+def test_read_wet_aborts_on_non_conversion_records(spark, tmp_path):
+    """A 'WET' directory containing resource records is a mislabeled
+    WARC: the parse task must abort, not silently pass them through."""
+    from quality_filter.io import warc as W
+
+    df = spark.createDataFrame(
+        [("http://a/x", "2025-06-01T00:00:00Z", b"raw")],
+        "url string, warc_date string, payload binary",
+    )
+    W.write_warc(df, str(tmp_path / "m"))  # resource records
+    with pytest.raises(Exception, match="conversion"):
+        W.read_wet(spark, str(tmp_path / "m")).collect()
+
+
+def test_read_wet_empty_dir_is_typed_empty(spark, tmp_path):
+    from quality_filter.io import warc as W
+
+    d = tmp_path / "none"
+    d.mkdir()
+    out = W.read_wet(spark, str(d))
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["url", "warc_date", "text", "headers"]
+
+
+def test_wet_export_of_pipeline_output_is_byte_identical(spark, tmp_path):
+    """The product path: score_documents → keep docs' extracted text →
+    WET conversion records → strict read-back: texts byte-identical to
+    the pipeline's extracted_text (the engine's output IS a valid WET
+    product)."""
+    import pandas as pd
+
+    from quality_filter.corpus import generate_pages
+    from quality_filter.io import warc as W
+    from quality_filter.pipeline import score_documents
+
+    pages = generate_pages(80, seed=41).drop(columns=["cls"])
+    scored = score_documents(spark.createDataFrame(pages))
+    kept = scored.filter(F.col("status") == "keep").select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_date"),
+        F.col("extracted_text"),
+    )
+    want = {r["url"]: r["extracted_text"] for r in kept.collect()}
+    assert want, "no keep docs in the generated corpus?"
+    W.write_wet(kept, str(tmp_path / "export"), text_col="extracted_text")
+    rt = W.read_wet(spark, str(tmp_path / "export"))
+    got = {r["url"]: r["text"] for r in rt.collect()}
+    assert got == want
