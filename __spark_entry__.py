@@ -2431,6 +2431,18 @@ def q_kn_continuation_stats(spark, sf_dir):
     return textagg.kn_continuation_stats(docs, "text")
 
 
+OOV_VOCAB = 30  # small vs the ~40-word synthetic vocabulary so the
+# OOV branch is genuinely exercised at test scale
+
+
+def q_oov_rate(spark, sf_dir):
+    """Per-doc OOV rate vs the corpus top-V vocabulary — the tokenizer
+    coverage report (deterministic top-V: count desc, term asc; exact
+    integer counts; broadcast vocab dim — textagg.oov_rate)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textagg.oov_rate(docs, "text", "doc_id", v=OOV_VOCAB)
+
+
 def q_kn_doc_surprisal(spark, sf_dir):
     """Per-doc Kneser-Ney bigram surprisal + perplexity, trained on the
     corpus itself — the in-engine KenLM analog: exact-integer KN
@@ -2839,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolution": q_redirect_resolution,
         "crawl_budget_allocation": q_crawl_budget_allocation,
         "wet_roundtrip_stats": q_wet_roundtrip_stats,
+        "oov_rate_docs": q_oov_rate,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -4686,6 +4699,25 @@ FROM uc u LEFT JOIN lc USING (word) LEFT JOIN rc USING (word)"""
     _kn_bits = (
         "(-(list_sum(list(contrib ORDER BY w1, w2)))) / CAST(sum(n_t) AS DOUBLE)"
     )
+    out["oov_rate_docs"] = f"""
+WITH ov_toks AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(lower(trim(text, ' ')), '[ ]+')) AS term
+  FROM documents
+),
+ov_vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS n FROM ov_toks GROUP BY term
+    ORDER BY n DESC, term ASC LIMIT {OOV_VOCAB}
+  )
+)
+SELECT t.doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  round(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+FROM ov_toks t LEFT JOIN ov_vocab v ON v.term = t.term
+GROUP BY t.doc_id"""
     out["kn_doc_surprisal"] = f"""
 WITH kn_toksd AS ({_kn_toksd}),
 kn_toks AS (SELECT t FROM kn_toksd),

@@ -407,6 +407,45 @@ def kn_continuation_stats(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def oov_rate(df: DataFrame, text_col: str, id_col: str, v: int = 1000) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``v`` vocabulary — the tokenizer/vocab coverage report run
+    before committing to a vocabulary size (a doc full of OOV tokens
+    will fragment into byte-fallback pieces and train poorly).
+
+    Exactness: vocabulary membership is a deterministic top-v (count
+    desc, term asc — boundary ties never flap), n_oov/n_tokens are
+    exact BIGINTs, the rate is one final division (round-6).
+
+    Plan: the vocabulary is ONE map-side-combined O(distinct terms)
+    shuffle cut to v rows (TakeOrdered, no global sort) and BROADCAST
+    into the token explode; the per-doc aggregate combines map-side —
+    the corpus is never shuffled on a term key.  Returns
+    (id, n_tokens, n_oov, oov_rate)."""
+    vocab = top_terms(df, text_col, k=v).select("term", F.lit(True).alias("_in"))
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens_lower(F.col(text_col))).alias("term")
+    )
+    j = toks.join(F.broadcast(vocab), "term", "left")
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
 KN_DISCOUNT_NUM = 3  # D = 3/4 — the standard 0.75 absolute discount,
 KN_DISCOUNT_DEN = 4  # kept rational so every probability is a ratio of ints
 

@@ -89,6 +89,9 @@ DOC_QUERIES = [
     # class) + (w1,w2)-sorted fold — string-sort parity fuzz-proven via
     # tfidf_top_docs, fold order pinned by construction on both engines
     "kn_doc_surprisal",
+    # OOV rate: deterministic top-V vocab (count desc, term asc) +
+    # exact counts; lower() parity fuzz-proven via tfidf_top_docs
+    "oov_rate_docs",
     # winnowing (md5 universe window-min) + content snapshot diff
     "winnowing_fingerprints", "winnowing_pairs", "corpus_snapshot_diff",
     # PSI drift: fuzz-proven feature CTE + exact-count shares + the ln

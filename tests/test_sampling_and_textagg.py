@@ -413,3 +413,43 @@ def test_encoding_noise_signals_hand_case(spark):
     assert got[4] == (0, 0, round(3 / 12, 6), False)
     assert got[5] == (0, 0, round(1 / 11, 6), False)
     assert got[6] == (0, 0, 0.0, False)
+
+
+def test_oov_rate_hand_case_and_bounds(spark):
+    """Vocabulary = top-2 by (count desc, term asc); OOV counted per
+    occurrence; 0 ≤ n_oov ≤ n_tokens with the rate an exact division."""
+    from quality_filter.operators import textagg
+
+    rows = [
+        (1, "a a b b c"),   # c is OOV at v=2
+        (2, "a b"),
+        (3, "z z z"),       # all OOV (z ties with c at count 3... see below)
+    ]
+    # counts: a=3, b=3, z=3, c=1 → top-2 by (n desc, term asc) = a, b
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in textagg.oov_rate(df, "text", "doc_id", v=2).collect()
+    }
+    assert got[1] == (5, 1, 0.2)
+    assert got[2] == (2, 0, 0.0)
+    assert got[3] == (3, 3, 1.0)
+    # boundary tie determinism: v=3 must admit 'z'? no — ties break
+    # term-asc among equal counts: a, b, c? counts c=1 < z=3 → z wins
+    got3 = {
+        r["doc_id"]: r["n_oov"]
+        for r in textagg.oov_rate(df, "text", "doc_id", v=3).collect()
+    }
+    assert got3 == {1: 1, 2: 0, 3: 0}
+
+
+def test_oov_rate_registry_conservation(spark):
+    """Registry shape at sf0.01: every doc accounted, n_oov ≤ n_tokens,
+    and with the small test vocabulary some OOV genuinely occurs."""
+    import __spark_entry__ as E
+
+    out = E.q_oov_rate(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert len(out) == docs.count()
+    assert all(0 <= r["n_oov"] <= r["n_tokens"] for r in out)
+    assert any(r["n_oov"] > 0 for r in out)
