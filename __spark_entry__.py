@@ -2431,6 +2431,28 @@ def q_kn_continuation_stats(spark, sf_dir):
     return textagg.kn_continuation_stats(docs, "text")
 
 
+def q_mojibake_repair(spark, sf_dir):
+    """Mojibake repair (ftfy-lite): the ordered literal replace chain
+    that undoes common UTF-8-as-latin1 double-encode artifacts — the
+    fixer companion to encoding_noise_docs' detector.  Documents are
+    deterministically corrupted first (every 5th doc gets 'a' → 'Ã©')
+    so the repair branch is genuinely exercised under the value hash;
+    both engines synthesize and repair identically.  Zero-shuffle
+    narrow map (functions/textstats.mojibake_repair_col)."""
+    docs = _t(spark, sf_dir, "documents")
+    corrupt = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.replace(F.col("text"), F.lit("a"), F.lit("Ã©")),
+    ).otherwise(F.col("text"))
+    fixed = TS.mojibake_repair_col(corrupt)
+    return docs.select(
+        "doc_id",
+        fixed.alias("text_fixed"),
+        (F.length(corrupt) != F.length(fixed)).alias("repaired"),
+        (F.length(corrupt) - F.length(fixed)).cast("long").alias("n_chars_saved"),
+    )
+
+
 OOV_VOCAB = 30  # small vs the ~40-word synthetic vocabulary so the
 # OOV branch is genuinely exercised at test scale
 
@@ -2852,6 +2874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget_allocation": q_crawl_budget_allocation,
         "wet_roundtrip_stats": q_wet_roundtrip_stats,
         "oov_rate_docs": q_oov_rate,
+        "mojibake_repair_docs": q_mojibake_repair,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -4699,6 +4722,22 @@ FROM uc u LEFT JOIN lc USING (word) LEFT JOIN rc USING (word)"""
     _kn_bits = (
         "(-(list_sum(list(contrib ORDER BY w1, w2)))) / CAST(sum(n_t) AS DOUBLE)"
     )
+    from quality_filter.functions.textstats import MOJIBAKE_MAP as _MJ
+    _mj_fixed = "mj_corrupt"
+    for _bad, _good in _MJ:
+        _mj_fixed = f"replace({_mj_fixed}, '{_bad}', '{_good}')"
+    out["mojibake_repair_docs"] = f"""
+WITH mj AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN replace(text, 'a', 'Ã©') ELSE text END
+      AS mj_corrupt
+  FROM documents
+),
+mjf AS (SELECT doc_id, mj_corrupt, {_mj_fixed} AS text_fixed FROM mj)
+SELECT doc_id, text_fixed,
+  (length(mj_corrupt) != length(text_fixed)) AS repaired,
+  CAST(length(mj_corrupt) - length(text_fixed) AS BIGINT) AS n_chars_saved
+FROM mjf"""
     out["oov_rate_docs"] = f"""
 WITH ov_toks AS (
   SELECT doc_id,

@@ -82,3 +82,50 @@ def encoding_noise_cols(text: Column) -> list[Column]:
         F.round(ratio, 6).alias("nonascii_ratio"),
         ((n_repl > 0) | (n_ctrl > 0)).alias("encoding_suspect"),
     ]
+
+
+# The common UTF-8-bytes-read-as-latin1/cp1252 artifacts (the ftfy-core
+# cases): each LEFT string is exactly what the right character's UTF-8
+# bytes render as under a latin1/cp1252 mis-decode.  ORDER IS PART OF
+# THE SPEC — both engines apply the chain top-to-bottom, so a repair
+# that exposes a later pattern behaves identically everywhere.
+# 3-byte sequences first (they contain 2-byte lookalikes as substrings).
+MOJIBAKE_MAP: tuple[tuple[str, str], ...] = (
+    ("â€™", "’"),  # â€™ → ’
+    ("â€œ", "“"),  # â€œ → “
+    ("â€“", "–"),  # â€“ → –
+    ("â€”", "—"),  # â€” → —
+    ("â€¦", "…"),  # â€¦ → …
+    ("Ã¡", "á"),  # Ã¡ → á
+    ("Ã©", "é"),  # Ã© → é
+    ("Ã­", "í"),  # Ã­ → í
+    ("Ã³", "ó"),  # Ã³ → ó
+    ("Ãº", "ú"),  # Ãº → ú
+    ("Ã±", "ñ"),  # Ã± → ñ
+    ("Ã¼", "ü"),  # Ã¼ → ü
+    ("Ã¶", "ö"),  # Ã¶ → ö
+    ("Ã¤", "ä"),  # Ã¤ → ä
+    ("Ã¨", "è"),  # Ã¨ → è
+    ("Ãª", "ê"),  # Ãª → ê
+    ("Ã§", "ç"),  # Ã§ → ç
+)
+
+
+def mojibake_repair_col(text: Column) -> Column:
+    """Repair the common double-encode artifacts (UTF-8 bytes rendered
+    through a latin1/cp1252 decode) by an ordered LITERAL replace chain
+    — the fixer companion to encoding_noise_cols' detector, the
+    ftfy-lite step a web pipeline runs between extraction and scoring.
+    Literal replaces only (no regex on data): engine-identical by
+    construction, codegen'd narrow map, zero shuffle."""
+    out = text
+    for bad, good in MOJIBAKE_MAP:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
+
+
+def mojibake_repair_py(s: str) -> str:
+    """Pure-Python twin of mojibake_repair_col (the oracle/spec form)."""
+    for bad, good in MOJIBAKE_MAP:
+        s = s.replace(bad, good)
+    return s

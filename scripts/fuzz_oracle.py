@@ -92,6 +92,9 @@ DOC_QUERIES = [
     # OOV rate: deterministic top-V vocab (count desc, term asc) +
     # exact counts; lower() parity fuzz-proven via tfidf_top_docs
     "oov_rate_docs",
+    # mojibake repair: ordered LITERAL replace chain (no regex on
+    # data), identical synthesis + chain in both engines
+    "mojibake_repair_docs",
     # winnowing (md5 universe window-min) + content snapshot diff
     "winnowing_fingerprints", "winnowing_pairs", "corpus_snapshot_diff",
     # PSI drift: fuzz-proven feature CTE + exact-count shares + the ln

@@ -453,3 +453,55 @@ def test_oov_rate_registry_conservation(spark):
     assert len(out) == docs.count()
     assert all(0 <= r["n_oov"] <= r["n_tokens"] for r in out)
     assert any(r["n_oov"] > 0 for r in out)
+
+
+def test_mojibake_repair_restores_genuine_double_encodes(spark):
+    """For every mapped character, corrupting real text through the
+    actual utf8→cp1252 mis-decode and repairing restores the original
+    byte-for-byte; clean text passes through untouched; the repair
+    chain and its pure-Python twin agree with Spark exactly."""
+    from quality_filter.functions.textstats import (
+        MOJIBAKE_MAP, mojibake_repair_col, mojibake_repair_py,
+    )
+
+    originals = [
+        "café touché",                    # é
+        "niño señor",                     # ñ
+        "it’s “quoted” no wait — dash …",  # ’ “ — …
+        "plain ascii stays plain ascii",
+        "".join(good for _, good in MOJIBAKE_MAP),  # every mapped char
+    ]
+    rows = []
+    for i, orig in enumerate(originals):
+        corrupted = orig.encode("utf-8").decode("cp1252", errors="replace")
+        rows.append((i, corrupted, orig))
+    df = spark.createDataFrame([(i, c) for i, c, _ in rows], "i long, t string")
+    got = {
+        r["i"]: r["fixed"]
+        for r in df.select("i", mojibake_repair_col(F.col("t")).alias("fixed")).collect()
+    }
+    for i, corrupted, orig in rows:
+        # the mapped subset must be restored; unmapped artifacts (") stay
+        want = mojibake_repair_py(corrupted)
+        assert got[i] == want, (i, got[i], want)
+        for bad, _ in MOJIBAKE_MAP:
+            assert bad not in got[i]
+    # full restoration holds whenever the original uses only mapped chars + ascii
+    assert got[0] == originals[0]
+    assert got[1] == originals[1]
+    assert got[3] == originals[3]
+    assert got[4] == originals[4]
+
+
+def test_mojibake_repair_chain_order_is_stable(spark):
+    """A repair may expose text that LOOKS like a later pattern; the
+    ordered chain makes the outcome deterministic — pin one such case
+    against the Python twin so reordering the table breaks loudly."""
+    from quality_filter.functions.textstats import (
+        mojibake_repair_col, mojibake_repair_py,
+    )
+
+    tricky = "Ãâ€™© weird Ã Ã©Ã© â€¦Ã¼"
+    df = spark.createDataFrame([(1, tricky)], "i long, t string")
+    got = df.select(mojibake_repair_col(F.col("t")).alias("f")).first()["f"]
+    assert got == mojibake_repair_py(tricky)
