@@ -2157,6 +2157,47 @@ def _ol_frontier(pages):
     return disc.join(crawled, disc["link"] == crawled["url"], "left_anti")
 
 
+FETCH_PLAN_BUDGET = 200
+
+
+def q_crawl_fetch_plan(spark, sf_dir):
+    """The crawl scheduler end-to-end: frontier URLs (extracted links
+    anti-joined vs the crawl log) are ordered into per-host politeness
+    rounds, the fetch budget is Hamilton-apportioned across frontier
+    hosts ∝ extracted-graph PageRank, and a URL is fetched iff its
+    round fits inside its host's quota.  A host's quota may exceed its
+    frontier (the plan simply exhausts the host); hosts absent from the
+    link graph weigh 0.  NULL/empty hosts are excluded BEFORE the
+    apportionment (NULL ordering differs across engines — a spec'd
+    guard, not a workaround).  Composition of three green operators;
+    all joins broadcast O(hosts) dims."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = _ol_pages(docs)
+    frontier = _ol_frontier(pages)
+    tgt_host = links.link_host_col(F.col("link"), F.lit(None).cast("string"))
+    fr = (
+        frontier.select(F.col("link").alias("url"), tgt_host.alias("host"))
+        .filter(F.col("host").isNotNull() & (F.col("host") != ""))
+    )
+    rn = F.row_number().over(W.partitionBy("host").orderBy(F.col("url").asc()))
+    fr = fr.withColumn("fetch_round", rn.cast("long"))
+    ranks = graph.pagerank(links.host_edges(pages), iters=OL_PR_ITERS)
+    hosts = fr.select("host").distinct()
+    w = hosts.join(ranks, hosts["host"] == ranks["node"], "left").select(
+        "host", F.coalesce("rank_micro", F.lit(0).cast("long")).alias("rank_micro")
+    )
+    quotas = relational.apportion_budget(
+        w, "host", "rank_micro", FETCH_PLAN_BUDGET
+    ).select("host", "quota")
+    return (
+        fr.join(F.broadcast(quotas), "host")
+        .filter(F.col("fetch_round") <= F.col("quota"))
+        .select("url", "host", "fetch_round", "quota")
+    )
+
+
 def q_crawl_frontier_topk(spark, sf_dir):
     """Crawl-frontier scheduling, composed end-to-end: absolute URLs
     DISCOVERED by href extraction, deduped, anti-joined against the
@@ -2875,6 +2916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_roundtrip_stats": q_wet_roundtrip_stats,
         "oov_rate_docs": q_oov_rate,
         "mojibake_repair_docs": q_mojibake_repair,
+        "crawl_fetch_plan": q_crawl_fetch_plan,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -4268,6 +4310,46 @@ disc AS (
 frontier AS (
   SELECT link FROM disc d WHERE NOT EXISTS (SELECT 1 FROM crawled c WHERE c.url = d.link)
 )"""
+    out["crawl_fetch_plan"] = f"""
+WITH {_ol_edges_ctes()},
+{_pagerank_ctes("SELECT src, dst FROM ol_kept", OL_PR_ITERS)},
+{_ol_frontier_ctes},
+fp_urls AS (
+  SELECT link AS url, {_ol_tgt_host} AS host,
+    CAST(row_number() OVER (
+      PARTITION BY {_ol_tgt_host} ORDER BY link ASC) AS BIGINT) AS fetch_round
+  FROM frontier
+  WHERE {_ol_tgt_host} IS NOT NULL AND {_ol_tgt_host} <> ''
+),
+fp_hosts AS (SELECT DISTINCT host FROM fp_urls),
+fp_w AS (
+  SELECT h.host, coalesce(r.rank_micro, 0) AS rank_micro
+  FROM fp_hosts h LEFT JOIN pr_r{OL_PR_ITERS} r ON r.node = h.host
+),
+fp_t AS (SELECT host, rank_micro, sum(rank_micro) OVER () AS tw FROM fp_w),
+fp_b AS (
+  SELECT host, tw,
+    CASE WHEN tw = 0 THEN 0
+      ELSE ({FETCH_PLAN_BUDGET} * rank_micro) // tw END AS base,
+    CASE WHEN tw = 0 THEN 0
+      ELSE ({FETCH_PLAN_BUDGET} * rank_micro) % tw END AS rem
+  FROM fp_t
+),
+fp_l AS (
+  SELECT host, base,
+    CASE WHEN tw = 0 THEN 0
+      ELSE {FETCH_PLAN_BUDGET} - sum(base) OVER () END AS leftover,
+    row_number() OVER (ORDER BY rem DESC, host ASC) AS rn
+  FROM fp_b
+),
+fp_q AS (
+  SELECT host,
+    CAST(base + (CASE WHEN rn <= leftover THEN 1 ELSE 0 END) AS BIGINT) AS quota
+  FROM fp_l
+)
+SELECT u.url, u.host, u.fetch_round, q.quota
+FROM fp_urls u JOIN fp_q q USING (host)
+WHERE u.fetch_round <= q.quota"""
     out["crawl_frontier_topk"] = f"""
 WITH {_ol_edges_ctes()},
 {_pagerank_ctes("SELECT src, dst FROM ol_kept", OL_PR_ITERS)},

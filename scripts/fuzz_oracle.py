@@ -131,6 +131,9 @@ DOC_QUERIES = [
     # Hamilton apportionment over pagerank weights: exact ints,
     # window totals on the O(hosts) dim
     "crawl_budget_allocation",
+    # composed scheduler: frontier (fuzz-safe outlink tier) + extracted
+    # pagerank + apportionment, NULL/empty hosts excluded by spec
+    "crawl_fetch_plan",
     # exact-count ln expression (bm25 precedent) + exact-int novelty ratio
     "collocation_pmi", "doc_novelty_docs",
     # ASCII-space tokens + log2-of-rational-counts (same class as the

@@ -307,3 +307,22 @@ def test_robots_decision_longest_match_and_tiebreak(spark):
     assert got["u3"] == ("allowed", None)
     assert got["u4"] == ("allowed", "/a/")
     assert got["u5"] == ("blocked", "/b/deep")
+
+
+def test_crawl_fetch_plan_respects_quota_and_politeness(spark):
+    """The composed scheduler: per host, fetched rounds are exactly
+    1..min(quota, frontier size) — never exceeding the apportioned
+    quota, never skipping a politeness round; total fetches ≤ budget,
+    == budget when no host exhausts its frontier."""
+    import __spark_entry__ as E
+
+    rows = E.q_crawl_fetch_plan(spark, SF).collect()
+    assert 0 < len(rows) <= E.FETCH_PLAN_BUDGET
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    for host, rs in by_host.items():
+        quota = rs[0]["quota"]
+        rounds = sorted(x["fetch_round"] for x in rs)
+        assert rounds == list(range(1, len(rs) + 1)), host
+        assert len(rs) <= quota
