@@ -1692,6 +1692,33 @@ def q_host_hits(spark, sf_dir):
     return graph.hits(edges, iters=PR_ITERS)
 
 
+def _hamilton_ctes(weight_rel: str, budget: int, p: str) -> str:
+    """DuckDB twin of relational.apportion_budget over ``weight_rel``
+    (any SELECT producing (host, rank_micro)): ONE definition for every
+    apportioning oracle (the _ol_frontier 'ONE definition' rule) —
+    emits {p}_w/{p}_t/{p}_b/{p}_l/{p}_q; read quotas from
+    ``{p}_q (host, rank_micro, quota)``."""
+    return f"""{p}_w AS ({weight_rel}),
+{p}_t AS (SELECT host, rank_micro, sum(rank_micro) OVER () AS tw FROM {p}_w),
+{p}_b AS (
+  SELECT host, rank_micro, tw,
+    CASE WHEN tw = 0 THEN 0 ELSE ({budget} * rank_micro) // tw END AS base,
+    CASE WHEN tw = 0 THEN 0 ELSE ({budget} * rank_micro) % tw END AS rem
+  FROM {p}_t
+),
+{p}_l AS (
+  SELECT host, rank_micro, base,
+    CASE WHEN tw = 0 THEN 0 ELSE {budget} - sum(base) OVER () END AS leftover,
+    row_number() OVER (ORDER BY rem DESC, host ASC) AS rn
+  FROM {p}_b
+),
+{p}_q AS (
+  SELECT host, rank_micro,
+    CAST(base + (CASE WHEN rn <= leftover THEN 1 ELSE 0 END) AS BIGINT) AS quota
+  FROM {p}_l
+)"""
+
+
 def _pagerank_ctes(
     inst_sql: str | None = None, iters: int = PR_ITERS,
     teleport_sql: str | None = None,
@@ -4216,23 +4243,8 @@ SELECT node, rank_micro,
 FROM pr_r{PR_ITERS}"""
     out["crawl_budget_allocation"] = f"""
 WITH {_pagerank_ctes()},
-cb_w AS (SELECT node AS host, rank_micro FROM pr_r{PR_ITERS}),
-cb_t AS (SELECT host, rank_micro, sum(rank_micro) OVER () AS tw FROM cb_w),
-cb_b AS (
-  SELECT host, rank_micro, tw,
-    CASE WHEN tw = 0 THEN 0 ELSE ({CRAWL_BUDGET} * rank_micro) // tw END AS base,
-    CASE WHEN tw = 0 THEN 0 ELSE ({CRAWL_BUDGET} * rank_micro) % tw END AS rem
-  FROM cb_t
-),
-cb_l AS (
-  SELECT host, rank_micro, base, rem,
-    CASE WHEN tw = 0 THEN 0 ELSE {CRAWL_BUDGET} - sum(base) OVER () END AS leftover,
-    row_number() OVER (ORDER BY rem DESC, host ASC) AS rn
-  FROM cb_b
-)
-SELECT host, rank_micro,
-  CAST(base + (CASE WHEN rn <= leftover THEN 1 ELSE 0 END) AS BIGINT) AS quota
-FROM cb_l"""
+{_hamilton_ctes(f"SELECT node AS host, rank_micro FROM pr_r{PR_ITERS}", CRAWL_BUDGET, "cb")}
+SELECT host, rank_micro, quota FROM cb_q"""
     _rd_dbl = "\n".join(
         f"s{i} AS (SELECT a.node, b.cur AS cur, a.hops + b.hops AS hops\n"
         f"  FROM s{i - 1} a JOIN s{i - 1} b ON b.node = a.cur),"
@@ -4322,31 +4334,7 @@ fp_urls AS (
   WHERE {_ol_tgt_host} IS NOT NULL AND {_ol_tgt_host} <> ''
 ),
 fp_hosts AS (SELECT DISTINCT host FROM fp_urls),
-fp_w AS (
-  SELECT h.host, coalesce(r.rank_micro, 0) AS rank_micro
-  FROM fp_hosts h LEFT JOIN pr_r{OL_PR_ITERS} r ON r.node = h.host
-),
-fp_t AS (SELECT host, rank_micro, sum(rank_micro) OVER () AS tw FROM fp_w),
-fp_b AS (
-  SELECT host, tw,
-    CASE WHEN tw = 0 THEN 0
-      ELSE ({FETCH_PLAN_BUDGET} * rank_micro) // tw END AS base,
-    CASE WHEN tw = 0 THEN 0
-      ELSE ({FETCH_PLAN_BUDGET} * rank_micro) % tw END AS rem
-  FROM fp_t
-),
-fp_l AS (
-  SELECT host, base,
-    CASE WHEN tw = 0 THEN 0
-      ELSE {FETCH_PLAN_BUDGET} - sum(base) OVER () END AS leftover,
-    row_number() OVER (ORDER BY rem DESC, host ASC) AS rn
-  FROM fp_b
-),
-fp_q AS (
-  SELECT host,
-    CAST(base + (CASE WHEN rn <= leftover THEN 1 ELSE 0 END) AS BIGINT) AS quota
-  FROM fp_l
-)
+{_hamilton_ctes(f"SELECT h.host, coalesce(r.rank_micro, 0) AS rank_micro FROM fp_hosts h LEFT JOIN pr_r{OL_PR_ITERS} r ON r.node = h.host", FETCH_PLAN_BUDGET, "fp")}
 SELECT u.url, u.host, u.fetch_round, q.quota
 FROM fp_urls u JOIN fp_q q USING (host)
 WHERE u.fetch_round <= q.quota"""

@@ -329,6 +329,17 @@ def resolve_redirects(
     state is one O(urls) relation, each round ONE self-join shuffle on
     the cur key, O(log cap) rounds total.
 
+    Skew discipline: rows whose cur already IS a terminal carry a
+    ``done`` flag and are FROZEN OUT of later composition joins —
+    composing them is the identity, and they are exactly the rows that
+    pile onto a popular terminal's cur key (10^6 urls → one mega-host
+    would otherwise hash to one task every round).  done propagates
+    through composition for free (new done = done(state[cur]), no
+    membership join in the loop); a hot NON-terminal hub stays hot for
+    at most the one round before its probes converge, where AQE's
+    skew-join split applies.  Each round's active set only shrinks, so
+    total join work is Σ_r |active_r|, not rounds × |urls|.
+
     Chains longer than 2^rounds and redirect CYCLES never reach a
     terminal: they report resolved = false with the doubling process's
     hop count (capped at 2^rounds) — exactly a crawler's "too many
@@ -347,32 +358,46 @@ def resolve_redirects(
     nodes = e.select(F.col("_s").alias("node")).union(
         e.select(F.col("_d").alias("node"))
     ).distinct()
-    state = nodes.join(e, nodes["node"] == e["_s"], "left").select(
+    # done_0(x): x's cur is already a terminal — either x itself has no
+    # redirect, or its target has none (one init-time join, outside the
+    # loop; done then propagates through composition for free)
+    tgt_out = e.select(F.col("_s").alias("_d2"), F.lit(True).alias("_to"))
+    e2 = e.join(tgt_out, e["_d"] == tgt_out["_d2"], "left").select(
+        "_s", "_d", F.coalesce(F.col("_to"), F.lit(False)).alias("_dst_has_out")
+    )
+    state = nodes.join(e2, nodes["node"] == e2["_s"], "left").select(
         "node",
         F.coalesce(F.col("_d"), F.col("node")).alias("cur"),
         F.when(F.col("_d").isNull(), F.lit(0)).otherwise(F.lit(1))
         .cast("long")
         .alias("hops"),
+        F.when(F.col("_d").isNull(), F.lit(True))
+        .otherwise(~F.col("_dst_has_out"))
+        .alias("done"),
     )
     for _ in range(rounds):
         nxt = state.select(
             F.col("node").alias("_mid"),
             F.col("cur").alias("_mcur"),
             F.col("hops").alias("_mhops"),
+            F.col("done").alias("_mdone"),
+        )
+        active = state.filter(~F.col("done"))
+        frozen = state.filter(F.col("done"))
+        stepped = active.join(nxt, active["cur"] == nxt["_mid"]).select(
+            "node",
+            F.col("_mcur").alias("cur"),
+            (F.col("hops") + F.col("_mhops")).cast("long").alias("hops"),
+            F.col("_mdone").alias("done"),
         )
         state = _truncate_lineage(
-            state.join(nxt, state["cur"] == nxt["_mid"]).select(
-                "node",
-                F.col("_mcur").alias("cur"),
-                (F.col("hops") + F.col("_mhops")).cast("long").alias("hops"),
-            ),
+            stepped.unionByName(frozen),
             eager=False,
             reliable=reliable_checkpoint,
         )
-    has_out = e.select(F.col("_s").alias("cur"), F.lit(True).alias("_o"))
-    return state.join(has_out, "cur", "left").select(
+    return state.select(
         "node",
         F.col("cur").alias("final"),
         "hops",
-        F.coalesce(~F.col("_o"), F.lit(True)).alias("resolved"),
+        F.col("done").alias("resolved"),
     )

@@ -345,21 +345,28 @@ def bpe_merge_round(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
     )
 
 
-def _bigram_pairs(df: DataFrame, text_col: str) -> DataFrame:
-    """(w1, w2) adjacent-token pairs per occurrence, lowered tokenizer.
-    Built by zipping two pre-sliced views of the token array (the
-    shingles O(tokens) lesson) — no index-closure HOF lambdas."""
-    base = df.select(_tokens_lower(F.col(text_col)).alias("_t")).filter(
-        F.size("_t") >= 2
-    )
-    return base.select(
+def _bigram_pairs(
+    df: DataFrame, text_col: str, id_col: str | None = None
+) -> DataFrame:
+    """(w1, w2) adjacent-token pairs per occurrence (plus the id column
+    when ``id_col`` is given), lowered tokenizer.  Built by zipping two
+    pre-sliced views of the token array (the shingles O(tokens) lesson)
+    — no index-closure HOF lambdas.  ONE definition: the corpus model
+    stats and the per-doc fact must never drift apart."""
+    ids = [F.col(id_col)] if id_col else []
+    base = df.select(
+        *ids, _tokens_lower(F.col(text_col)).alias("_t")
+    ).filter(F.size("_t") >= 2)
+    out = base.select(
+        *ids,
         F.explode(
             F.expr(
                 "zip_with(slice(_t, 1, size(_t) - 1), slice(_t, 2, size(_t) - 1),"
                 " (a, b) -> struct(a AS w1, b AS w2))"
             )
-        ).alias("bg")
-    ).select("bg.w1", "bg.w2")
+        ).alias("bg"),
+    )
+    return out.select(*([id_col] if id_col else []), "bg.w1", "bg.w2")
 
 
 def kn_bigram_counts(df: DataFrame, text_col: str) -> DataFrame:
@@ -450,23 +457,6 @@ KN_DISCOUNT_NUM = 3  # D = 3/4 — the standard 0.75 absolute discount,
 KN_DISCOUNT_DEN = 4  # kept rational so every probability is a ratio of ints
 
 
-def _bigram_pairs_by_doc(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, w1, w2) adjacent-token pairs per occurrence — the doc-keyed
-    twin of ``_bigram_pairs`` (same zip-of-slices spelling)."""
-    base = df.select(
-        F.col(id_col), _tokens_lower(F.col(text_col)).alias("_t")
-    ).filter(F.size("_t") >= 2)
-    return base.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                "zip_with(slice(_t, 1, size(_t) - 1), slice(_t, 2, size(_t) - 1),"
-                " (a, b) -> struct(a AS w1, b AS w2))"
-            )
-        ).alias("bg"),
-    ).select(id_col, "bg.w1", "bg.w2")
-
-
 def kn_doc_surprisal(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document interpolated-Kneser-Ney bigram surprisal — the
     KenLM-style perplexity scorer retrained IN the engine from the
@@ -503,16 +493,28 @@ def kn_doc_surprisal(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     O(Σ per-doc distinct bigrams), partition-bounded by doc length.
     Returns (id, n_bigrams, surprisal_bits, ppl): mean bits/bigram and
     2^bits perplexity, round-6."""
-    pairs = _bigram_pairs(df, text_col)
-    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    from quality_filter.operators.dedup import _truncate_lineage
+
+    # ONE corpus pass: every model dimension derives from the bigram-type
+    # relation (bg has exactly one row per distinct pair, so N1+ counts
+    # are row counts over bg — no second explode+distinct).  bg is a
+    # vocabulary-bounded dim: truncate its lineage so the driver-scalar
+    # count() and the final plan share ONE materialization instead of
+    # re-running the token explode 3-4x.
+    bg = _truncate_lineage(
+        _bigram_pairs(df, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12")),
+        eager=True,
+        reliable=None,
+    )
     n_bigram_types = bg.count()  # B: driver scalar → plan literal (tfidf precedent)
     ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    dp = pairs.distinct()
-    lc = dp.groupBy(F.col("w2")).agg(F.count(F.lit(1)).cast("long").alias("nlc"))
-    rc = dp.groupBy(F.col("w1")).agg(F.count(F.lit(1)).cast("long").alias("nrc"))
+    lc = bg.groupBy(F.col("w2")).agg(F.count(F.lit(1)).cast("long").alias("nlc"))
+    rc = bg.groupBy(F.col("w1")).agg(F.count(F.lit(1)).cast("long").alias("nrc"))
 
     dt = (
-        _bigram_pairs_by_doc(df, text_col, id_col)
+        _bigram_pairs(df, text_col, id_col)
         .groupBy(id_col, "w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_t"))
     )

@@ -43,7 +43,6 @@ def main() -> int:
     docs = docs.cache()
     n0 = docs.count()
     print(f"base docs: {n0}")
-    base_bits = None
     for r in REPS:
         rep = docs
         for i in range(1, r):
@@ -64,8 +63,11 @@ def main() -> int:
             assert all(
                 bits[d] == bits[d + i * OFFSET] for d in bits if d < OFFSET
             ), f"replica divergence at R={r}"
-        if r == 1:
-            base_bits = bits
+        # NB: no cross-R score assertion is possible — replication scales
+        # the model counts, legitimately shifting every probability; the
+        # asserted invariants are within-run replica identity (above) and
+        # dimension-row constancy (below).
+        if r == REPS[0]:
             dim0 = dim_rows
         else:
             assert dim_rows == dim0, (dim_rows, dim0)
