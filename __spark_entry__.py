@@ -974,6 +974,32 @@ def q_near_dup_pairs(spark, sf_dir):
     )
 
 
+def q_cross_source_dup_matrix(spark, sf_dir):
+    """Near-dup LEAKAGE matrix between corpus sources: every LSH
+    near-dup pair labeled with its two docs' sources (canonicalized
+    least/greatest) and counted per source pair — the observability
+    product that tells a mixture curator which sources are mirroring
+    each other (off-diagonal mass) vs self-duplicating (diagonal).
+    Scale shape: the pair relation is near-dup-density-bounded; the
+    two source lookups are equi-joins of pairs against the (doc_id,
+    source) projection — the corpus is shuffled only on its key, the
+    matrix collapses map-side to O(|sources|²)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = q_near_dup_pairs(spark, sf_dir)
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
 def q_near_dup_clusters(spark, sf_dir):
     """Pairs → clusters: star edges from band collisions (linear in
     bucket size — the hot-band-key mitigation) + min-label connected
@@ -2944,6 +2970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate_docs": q_oov_rate,
         "mojibake_repair_docs": q_mojibake_repair,
         "crawl_fetch_plan": q_crawl_fetch_plan,
+        "cross_source_dup_matrix": q_cross_source_dup_matrix,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -3882,6 +3909,23 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id""",
         "near_dup_clusters": _components_sql() + "\nSELECT doc_id, comp FROM comp",
+        "cross_source_dup_matrix": f"""
+WITH {_minhash_sig_cte()},
+bands AS ({_bands_sql()}),
+xp AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+xs AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM xp JOIN documents da ON da.doc_id = xp.doc_a
+          JOIN documents db ON db.doc_id = xp.doc_b
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM xs GROUP BY source_a, source_b""",
         "near_dup_survivors": _components_sql() + """
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> comp)""",

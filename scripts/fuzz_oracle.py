@@ -134,6 +134,8 @@ DOC_QUERIES = [
     # composed scheduler: frontier (fuzz-safe outlink tier) + extracted
     # pagerank + apportionment, NULL/empty hosts excluded by spec
     "crawl_fetch_plan",
+    # source-pair leakage matrix over the fuzz-proven LSH pair relation
+    "cross_source_dup_matrix",
     # exact-count ln expression (bm25 precedent) + exact-int novelty ratio
     "collocation_pmi", "doc_novelty_docs",
     # ASCII-space tokens + log2-of-rational-counts (same class as the

@@ -628,3 +628,16 @@ def test_tfidf_cosine_hot_term_cap_excludes_stopword_only_overlap(spark):
         docs, "text", "doc_id", max_df=5, min_cos=0.01
     ).collect()
     assert out == []
+
+
+def test_cross_source_dup_matrix_conserves_pairs(spark):
+    """Matrix cells sum to exactly the number of near-dup pairs; keys
+    are canonicalized (source_a <= source_b) so the matrix is upper
+    triangular; off-diagonal mass = cross-source leakage."""
+    import __spark_entry__ as E
+
+    n_pairs = E.q_near_dup_pairs(spark, SF).count()
+    rows = E.q_cross_source_dup_matrix(spark, SF).collect()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs
+    assert all(r["source_a"] <= r["source_b"] for r in rows)
+    assert n_pairs > 0
