@@ -2883,64 +2883,14 @@ def q_knn_ivf(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # INVARIANT (checked in tests): every query WITHOUT a driver-green row
-    # in the previous report (CORRECTNESS_r03) must sit inside the driver's
-    # ~50-entry window — insert NEW queries near the FRONT, and re-check
-    # `[n for n in names[50:] if n not in r3]` is empty after any edit.
-    # Entries green in r03 may rotate past 50 (green within two reports).
+    # in the last two CORRECTNESS reports must sit inside the driver's
+    # ~50-entry window — insert NEW queries at the FRONT, and re-check
+    # `[n for n in names[50:] if n not in seen]` is empty after any edit.
+    # Round-5 rotation (VERDICT r4 item 1): the 30-entry overflow block
+    # (anchor_text_terms .. cross_source_dup_matrix, never driver-reported)
+    # leads; the oldest-reported (r2/r3) entries fill the remaining window
+    # slots; the 50 r4-green entries rotate to the back.
     return {
-        "host_pagerank": q_host_pagerank,
-        "bm25_top_docs": q_bm25_top_docs,
-        "bm25_indexed": q_bm25_indexed,
-        "langid_confusion": q_langid_confusion,
-        "kn_bigram_counts": q_kn_bigram_counts,
-        "kn_continuation_stats": q_kn_continuation_stats,
-        "score_drift_psi": q_score_drift_psi,
-        "winnowing_fingerprints": q_winnowing_fingerprints,
-        "winnowing_pairs": q_winnowing_pairs,
-        "corpus_snapshot_diff": q_corpus_snapshot_diff,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "orc_roundtrip_stats": q_orc_roundtrip_stats,
-        "dsir_bucket_ratios": q_dsir_bucket_ratios,
-        "dsir_logweights_docs": q_dsir_logweights_docs,
-        "dsir_sample_docs": q_dsir_sample_docs,
-        "kmeans_step": q_kmeans_step,
-        "kmeans_refined_clusters": q_kmeans_refined_clusters,
-        "jsonl_roundtrip_stats": q_jsonl_roundtrip_stats,
-        "csv_roundtrip_stats": q_csv_roundtrip_stats,
-        "unit_dedup_docs": q_unit_dedup_docs,
-        "gate_funnel": q_gate_funnel,
-        "url_dedup_docs": q_url_dedup_docs,
-        "semantic_dedup": q_semantic_dedup,
-        "near_dup_clusters_labelprop": q_near_dup_clusters_labelprop,
-        "gate_distill_stats": q_gate_distill_stats,
-        "corpus_token_budget": q_corpus_token_budget,
-        "containment_pairs": q_containment_pairs,
-        "repetition_profile_docs": q_repetition_profile_docs,
-        "corpus_curation_v2": q_corpus_curation_v2,
-        "weighted_sample_docs": q_weighted_sample_docs,
-        "term_cms_sketch": q_term_cms_sketch,
-        "pii_hit_counts_docs": q_pii_hit_counts_docs,
-        "toxicity_gate_docs": q_toxicity_gate_docs,
-        "minhash_containment_estimate": q_minhash_containment_estimate,
-        "hourly_unique_users": q_hourly_unique_users,
-        "benchmark_decontamination_bloom": q_benchmark_decontamination_bloom,
-        "segment_dedup_docs": q_segment_dedup_docs,
-        "incremental_near_dup": q_incremental_near_dup,
-        "incremental_curation": q_incremental_curation,
-        "source_reputation_flags": q_source_reputation_flags,
-        "quality_score_histogram": q_quality_score_histogram,
-        "doc_chunks": q_doc_chunks,
-        "mixture_epoch_upsample": q_mixture_epoch_upsample,
-        "temperature_mixture_rates": q_temperature_mixture_rates,
-        "temperature_mixture_sample": q_temperature_mixture_sample,
-        "doc_quality_decile_bounds": q_doc_quality_decile_bounds,
-        "doc_length_quantiles_approx": q_doc_length_quantiles_approx,
-        "media_near_dup": q_media_near_dup,
-        # -- entries below here up to the first r2/r3-green name overflow the
-        # driver's ~50-entry window: they are locally verified now and MUST be
-        # rotated to the front of this dict in round 5 (window-invariant test).
-        "outlink_host_edges": q_outlink_host_edges,
-        "outlink_pagerank": q_outlink_pagerank,
         "anchor_text_terms": q_anchor_text_terms,
         "robots_noindex_flags": q_robots_noindex_flags,
         "bpe_merge_round": q_bpe_merge_round,
@@ -3035,6 +2985,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_survivors": q_near_dup_survivors,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "host_pagerank": q_host_pagerank,
+        "bm25_top_docs": q_bm25_top_docs,
+        "bm25_indexed": q_bm25_indexed,
+        "langid_confusion": q_langid_confusion,
+        "kn_bigram_counts": q_kn_bigram_counts,
+        "kn_continuation_stats": q_kn_continuation_stats,
+        "score_drift_psi": q_score_drift_psi,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
+        "winnowing_pairs": q_winnowing_pairs,
+        "corpus_snapshot_diff": q_corpus_snapshot_diff,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "orc_roundtrip_stats": q_orc_roundtrip_stats,
+        "dsir_bucket_ratios": q_dsir_bucket_ratios,
+        "dsir_logweights_docs": q_dsir_logweights_docs,
+        "dsir_sample_docs": q_dsir_sample_docs,
+        "kmeans_step": q_kmeans_step,
+        "kmeans_refined_clusters": q_kmeans_refined_clusters,
+        "jsonl_roundtrip_stats": q_jsonl_roundtrip_stats,
+        "csv_roundtrip_stats": q_csv_roundtrip_stats,
+        "unit_dedup_docs": q_unit_dedup_docs,
+        "gate_funnel": q_gate_funnel,
+        "url_dedup_docs": q_url_dedup_docs,
+        "semantic_dedup": q_semantic_dedup,
+        "near_dup_clusters_labelprop": q_near_dup_clusters_labelprop,
+        "gate_distill_stats": q_gate_distill_stats,
+        "corpus_token_budget": q_corpus_token_budget,
+        "containment_pairs": q_containment_pairs,
+        "repetition_profile_docs": q_repetition_profile_docs,
+        "corpus_curation_v2": q_corpus_curation_v2,
+        "weighted_sample_docs": q_weighted_sample_docs,
+        "term_cms_sketch": q_term_cms_sketch,
+        "pii_hit_counts_docs": q_pii_hit_counts_docs,
+        "toxicity_gate_docs": q_toxicity_gate_docs,
+        "minhash_containment_estimate": q_minhash_containment_estimate,
+        "hourly_unique_users": q_hourly_unique_users,
+        "benchmark_decontamination_bloom": q_benchmark_decontamination_bloom,
+        "segment_dedup_docs": q_segment_dedup_docs,
+        "incremental_near_dup": q_incremental_near_dup,
+        "incremental_curation": q_incremental_curation,
+        "source_reputation_flags": q_source_reputation_flags,
+        "quality_score_histogram": q_quality_score_histogram,
+        "doc_chunks": q_doc_chunks,
+        "mixture_epoch_upsample": q_mixture_epoch_upsample,
+        "temperature_mixture_rates": q_temperature_mixture_rates,
+        "temperature_mixture_sample": q_temperature_mixture_sample,
+        "doc_quality_decile_bounds": q_doc_quality_decile_bounds,
+        "doc_length_quantiles_approx": q_doc_length_quantiles_approx,
+        "media_near_dup": q_media_near_dup,
+        "outlink_host_edges": q_outlink_host_edges,
+        "outlink_pagerank": q_outlink_pagerank,
     }
 
 
