@@ -984,7 +984,10 @@ def q_cross_source_dup_matrix(spark, sf_dir):
     two source lookups are equi-joins of pairs against the (doc_id,
     source) projection — the corpus is shuffled only on its key, the
     matrix collapses map-side to O(|sources|²)."""
-    docs = _t(spark, sf_dir, "documents")
+    # NULL sources are excluded BEFORE the least/greatest canonicalization
+    # (the q_crawl_fetch_plan NULL-host precedent): engines' NULL-skipping
+    # in least/greatest would otherwise make the cell key asymmetric.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
     pairs = q_near_dup_pairs(spark, sf_dir)
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb"))
@@ -2634,10 +2637,14 @@ def q_semantic_dedup(spark, sf_dir):
     drop every vector with a smaller-id same-cluster neighbor at
     cosine >= 0.35.  Pair work is cluster-bounded (equi-join), never
     all-pairs; the oracle replays assignment + the within-cluster pair
-    predicate exactly."""
+    predicate exactly.  k is DERIVED from corpus size (expected bucket
+    ≈ SEMDEDUP_TARGET_BUCKET, r4-verdict fix for the fixed-k hot-cluster
+    quadratic): the count is one cheap scan, and the oracle derives the
+    identical k from the same parquet's row count."""
     emb = _t(spark, sf_dir, "embeddings")
+    k = similarity.semdedup_n_clusters(emb.count())
     cents = similarity.train_ivf_centroids(
-        emb, "embedding", "vec_id", n_clusters=IVF_CLUSTERS, seed=IVF_SEED
+        emb, "embedding", "vec_id", n_clusters=k, seed=IVF_SEED
     )
     out = similarity.semantic_dedup(
         emb, "embedding", "vec_id", cents, SEMDEDUP_THRESHOLD
@@ -3398,13 +3405,25 @@ FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 WHERE {cos} >= 0.4"""
 
 
-def _oracle_centroids() -> list[list[float]]:
+def _oracle_centroids(n_clusters: int | None = None) -> list[list[float]]:
     from quality_filter.operators import similarity as S
 
     return S.train_ivf_centroids_local(
         f"{ORACLE_SF_DIR}/embeddings.parquet", "embedding", "vec_id",
-        n_clusters=IVF_CLUSTERS, seed=IVF_SEED,
+        n_clusters=n_clusters or IVF_CLUSTERS, seed=IVF_SEED,
     )
+
+
+def _semdedup_oracle_k() -> int:
+    """The oracle's twin of q_semantic_dedup's derived k: same
+    semdedup_n_clusters over the same parquet's row count (pyarrow
+    metadata — no scan)."""
+    import pyarrow.parquet as pq
+
+    from quality_filter.operators import similarity as S
+
+    n = pq.read_metadata(f"{ORACLE_SF_DIR}/embeddings.parquet").num_rows
+    return S.semdedup_n_clusters(n)
 
 
 def _ivf_assign_ctes(cents) -> str:
@@ -3923,6 +3942,7 @@ xs AS (
          greatest(da.source, db.source) AS source_b
   FROM xp JOIN documents da ON da.doc_id = xp.doc_a
           JOIN documents db ON db.doc_id = xp.doc_b
+  WHERE da.source IS NOT NULL AND db.source IS NOT NULL
 )
 SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
 FROM xs GROUP BY source_a, source_b""",
@@ -5047,7 +5067,7 @@ SELECT source, n_docs, n_tokens,
   round(CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share
 FROM per"""
     out["semantic_dedup"] = f"""
-WITH {_ivf_assign_ctes(_oracle_centroids())},
+WITH {_ivf_assign_ctes(_oracle_centroids(_semdedup_oracle_k()))},
 dropped AS (
   SELECT DISTINCT a.vec_id AS vid
   FROM assign a JOIN assign b ON a.cluster = b.cluster AND b.vec_id < a.vec_id

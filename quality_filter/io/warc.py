@@ -155,17 +155,26 @@ def write_warc(
                 if fh is None:
                     fh = open(fname, "wb")
                 for row in pdf.itertuples(index=False):
+                    # FAILFAST on NULLs (the CRLF-rejection discipline):
+                    # str(None) would stamp the literal 'None' into headers
+                    # and a NULL payload would silently round-trip to b''/"".
+                    for c in (url_col, date_col, payload_col, *header_cols):
+                        if getattr(row, c) is None:
+                            raise ValueError(
+                                f"write_warc: NULL {c!r} in record for "
+                                f"{getattr(row, url_col)!r} — WARC cannot "
+                                "represent NULL; filter or fill upstream"
+                            )
                     extra = dict(const_headers or {})
                     extra.update(
                         (h, str(getattr(row, c)))
                         for h, c in zip(hdr_names, header_cols)
                     )
-                    payload = getattr(row, payload_col)
                     fh.write(
                         build_record(
                             str(getattr(row, url_col)),
                             str(getattr(row, date_col)),
-                            bytes(payload) if payload is not None else b"",
+                            bytes(getattr(row, payload_col)),
                             extra,
                             rec_type=rec_type,
                         )

@@ -223,10 +223,27 @@ def _hits_normalize(raw, nodes, r0: int, out: str) -> DataFrame:
     (no in-/out-edges for this half-step) score 0 by definition."""
     from pyspark.sql import Window as W
 
+    # Wrap detection: inputs are non-negative (enforced at hits() entry),
+    # so a negative raw sum can only be int64 wrap — abort with a named
+    # remediation rather than emit silently-corrupt scores.  Under ANSI
+    # mode (this session's default) the sum itself already hard-aborts;
+    # this guard covers ansi.enabled=false deployments where the wrap
+    # would otherwise be silent.
+    raw = raw.withColumn(
+        "_raw",
+        F.when(
+            F.col("_raw") < 0,
+            F.raise_error("hits: BIGINT overflow in raw score sum — pre-scale r0"),
+        ).otherwise(F.col("_raw")),
+    )
     t = raw.withColumn("_tot", F.sum("_raw").over(W.partitionBy()))
     scaled = t.select(
         "node",
-        F.expr(f"_raw div greatest(1L, _tot div {r0}L)").cast("long").alias(out),
+        F.expr(
+            f"CASE WHEN _tot < 0 THEN "
+            f"raise_error('hits: BIGINT overflow in L1 total — pre-scale r0') "
+            f"ELSE _raw div greatest(1L, _tot div {r0}L) END"
+        ).cast("long").alias(out),
     )
     return nodes.join(scaled, "node", "left").select(
         "node", F.coalesce(F.col(out), F.lit(0).cast("long")).alias(out)
@@ -272,6 +289,16 @@ def hits(
 
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d"), F.col(w).cast("long").alias("_w")
+    )
+    # Guard the documented domain instead of silently corrupting scores:
+    # negative weights break the wrap detector below (and the HITS
+    # semantics); with w >= 0 every per-edge product is >= 0, so a
+    # negative BIGINT sum proves int64 wrap — abort in-plan (the
+    # apportion_budget negative-weight-raise precedent).
+    e = e.withColumn(
+        "_w",
+        F.when(F.col("_w") < 0, F.raise_error("hits: negative edge weight"))
+        .otherwise(F.col("_w")),
     )
     fact = _truncate_lineage(e, eager=False, reliable=reliable_checkpoint)
     nodes = _truncate_lineage(

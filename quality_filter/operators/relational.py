@@ -86,7 +86,30 @@ def apportion_budget(
         F.when(F.col("_w") < 0, F.raise_error("apportion_budget: negative weight"))
         .otherwise(F.col("_w")),
     )
+    # Guard the documented total·w BIGINT bound (was noted, not enforced):
+    # past it the base/remainder arithmetic overflows — an opaque ANSI
+    # ARITHMETIC_OVERFLOW here, a silent wrap with ansi.enabled=false.
+    # With every w ≤ lim the products are safe; ΣW itself can still
+    # overflow, but inputs are non-negative so a negative total proves a
+    # wrap (the non-ANSI case) — abort with the remediation named.
+    _w_lim = ((1 << 63) - 1) // max(1, int(total))
+    d = d.withColumn(
+        "_w",
+        F.when(
+            F.col("_w") > F.lit(_w_lim),
+            F.raise_error(
+                "apportion_budget: total*w exceeds BIGINT — pre-scale weights"
+            ),
+        ).otherwise(F.col("_w")),
+    )
     d = d.withColumn("_tw", F.sum("_w").over(W.partitionBy()))
+    d = d.withColumn(
+        "_tw",
+        F.when(
+            F.col("_tw") < 0,
+            F.raise_error("apportion_budget: BIGINT overflow in ΣW — pre-scale weights"),
+        ).otherwise(F.col("_tw")),
+    )
     d = d.select(
         "_k", "_w", "_tw",
         F.expr(f"CASE WHEN _tw = 0 THEN 0L ELSE ({total}L * _w) div _tw END")

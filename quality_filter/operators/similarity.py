@@ -818,6 +818,33 @@ def knn_ivf(
     return knn_bruteforce(candidates, vec_col, id_col, query_vec, k)
 
 
+SEMDEDUP_TARGET_BUCKET = 256  # expected cluster size n/k the pair join
+# is sized for: per-cluster pair work ~ bucket², so holding the bucket
+# ~constant makes total pair work LINEAR in corpus size instead of
+# quadratic (the r4 soak measured the fixed-k=8 quadratic: 4.6→15.2s at
+# R=4 while k=32 ran 3.3× faster on the same input).
+SEMDEDUP_MIN_CLUSTERS = 8
+SEMDEDUP_MAX_CLUSTERS = 4096  # past this, centroid ASSIGNMENT (O(n·k·d))
+# dominates — the documented upgrade is hierarchical/IVF-tree assignment,
+# not a bigger flat k.
+
+
+def semdedup_n_clusters(
+    n_rows: int,
+    target_bucket: int = SEMDEDUP_TARGET_BUCKET,
+    lo: int = SEMDEDUP_MIN_CLUSTERS,
+    hi: int = SEMDEDUP_MAX_CLUSTERS,
+) -> int:
+    """Corpus-size-derived k for ``semantic_dedup``: the smallest k that
+    keeps the expected cluster ≤ ``target_bucket`` rows, clamped to
+    [lo, hi].  Shared by the Spark query AND the engine-free oracle twin
+    (both compute it from the same row count), so the derived k can
+    never diverge between engines."""
+    if n_rows <= 0:
+        return lo
+    return min(hi, max(lo, -(-int(n_rows) // int(target_bucket))))
+
+
 def semantic_dedup(
     df: DataFrame, vec_col: str, id_col: str, centroids: list[list[float]],
     threshold: float,

@@ -509,7 +509,33 @@ def kn_doc_surprisal(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         reliable=None,
     )
     n_bigram_types = bg.count()  # B: driver scalar → plan literal (tfidf precedent)
+    dn, dd = KN_DISCOUNT_NUM, KN_DISCOUNT_DEN
+    # Overflow guards (was documented-but-unguarded): past these bounds the
+    # BIGINT num/den overflow — under ANSI mode (this session's default)
+    # that's an opaque ARITHMETIC_OVERFLOW deep in the job; with
+    # ansi.enabled=false it silently wraps and parity with the HUGEINT
+    # oracle breaks with no signal.  Abort up front with the remediation
+    # named instead.  num = (dd·c12-dn)·B + dn·nrc·nlc with c12 ≤ c1 and
+    # nrc,nlc ≤ B, den = dd·c1·B; keeping each term < 2^62 keeps their
+    # sum < 2^63.
+    if dn * n_bigram_types * n_bigram_types >= 1 << 62:
+        raise ValueError(
+            "kn_doc_surprisal: bigram-type count B exceeds the exact-int64 "
+            "bound (dn*B^2 >= 2^62) — lift num/den to DECIMAL(38,0) "
+            "(the gate_distill pattern) for this corpus"
+        )
+    _c1_lim = ((1 << 62) - 1) // max(1, dd * n_bigram_types)
     ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    ctx = ctx.withColumn(
+        "c1",
+        F.when(
+            F.col("c1") > F.lit(_c1_lim),
+            F.raise_error(
+                "kn_doc_surprisal: context count exceeds the exact-int64 "
+                "bound (dd*c1*B >= 2^62) — lift num/den to DECIMAL(38,0)"
+            ),
+        ).otherwise(F.col("c1")),
+    )
     lc = bg.groupBy(F.col("w2")).agg(F.count(F.lit(1)).cast("long").alias("nlc"))
     rc = bg.groupBy(F.col("w1")).agg(F.count(F.lit(1)).cast("long").alias("nrc"))
 
@@ -518,7 +544,6 @@ def kn_doc_surprisal(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .groupBy(id_col, "w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_t"))
     )
-    dn, dd = KN_DISCOUNT_NUM, KN_DISCOUNT_DEN
     num = (
         (F.lit(dd) * F.col("c12") - F.lit(dn)) * F.lit(n_bigram_types)
         + F.lit(dn) * F.col("nrc") * F.col("nlc")

@@ -68,6 +68,45 @@ def main() -> None:
             )
     print("OK: survivors exactly the R=1 set at every replication level")
 
+    # --- derived-k section: the REGISTERED parameters (r5 fix) ---------
+    # k = semdedup_n_clusters(rows) holds expected bucket ~constant, so
+    # wall must grow ≤ ~linearly in R (the fixed-k section above documents
+    # the quadratic this replaces).  Survivor sets are k-dependent by
+    # SemDedup's nature (finer clusters see fewer pairs), so the invariant
+    # here is the replica one: every replica dies against its original
+    # (same vector → same cluster, cos = 1 ≥ threshold, smaller id wins).
+    n0 = emb.count()
+    walls = {}
+    for r in (1, 2, 4):
+        rep = emb
+        for i in range(1, r):
+            rep = rep.unionByName(
+                emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * OFFSET))
+            )
+        k = similarity.semdedup_n_clusters(r * n0)
+        cents = similarity.train_ivf_centroids(
+            rep, "embedding", "vec_id", n_clusters=k, seed=7
+        )
+        t0 = time.perf_counter()
+        surv = {
+            row["vec_id"]
+            for row in similarity.semantic_dedup(
+                rep, "embedding", "vec_id", cents, THRESHOLD
+            ).collect()
+        }
+        walls[r] = time.perf_counter() - t0
+        assert all(v < OFFSET for v in surv), "replica survived its original"
+        print(
+            f"derived k={k:3d} R={r}  rows={r * n0:6d}  "
+            f"survivors={len(surv):4d}  wall={walls[r]:6.2f}s",
+            flush=True,
+        )
+    # ≤ ~linear: R=4 wall within 4x of R=1 (+50% noise headroom)
+    assert walls[4] <= 6.0 * walls[1], (
+        f"derived-k wall superlinear: {walls[1]:.2f}s -> {walls[4]:.2f}s"
+    )
+    print("OK: derived-k wall grows <= ~linearly in R")
+
 
 if __name__ == "__main__":
     main()

@@ -306,3 +306,26 @@ def test_wet_export_of_pipeline_output_is_byte_identical(spark, tmp_path):
     rt = W.read_wet(spark, str(tmp_path / "export"))
     got = {r["url"]: r["text"] for r in rt.collect()}
     assert got == want
+
+
+def test_warc_writers_reject_nulls_failfast(spark, tmp_path):
+    """NULL text/header/url values must ABORT the write (the CRLF
+    FAILFAST discipline), not coerce — str(None) would stamp the literal
+    'None' into headers and a NULL payload would silently round-trip to
+    b''/'' (ADVICE r4)."""
+    from quality_filter.io import warc as W
+
+    null_text = spark.createDataFrame(
+        [("http://a/x", "2024-01-01T00:00:00Z", None)],
+        "url string, warc_date string, text string",
+    )
+    with pytest.raises(Exception, match="NULL 'payload'"):
+        W.write_wet(null_text, str(tmp_path / "w1")).collect()
+    null_hdr = spark.createDataFrame(
+        [("http://a/x", "2024-01-01T00:00:00Z", bytearray(b"ok"), None)],
+        "url string, warc_date string, payload binary, lang string",
+    )
+    with pytest.raises(Exception, match="NULL 'lang'"):
+        W.write_warc(
+            null_hdr, str(tmp_path / "w2"), header_cols=("lang",)
+        ).collect()

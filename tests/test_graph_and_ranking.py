@@ -695,3 +695,26 @@ def test_apportion_budget_degenerate_specs(spark):
     a = sorted(map(tuple, relational.apportion_budget(big.coalesce(1), "host", "w", 500).collect()))
     b = sorted(map(tuple, relational.apportion_budget(big.repartition(9), "host", "w", 500).collect()))
     assert a == b
+
+
+def test_apportion_budget_overflow_guard_aborts_with_named_remedy(spark):
+    """total·w past BIGINT must abort with the pre-scale message, not
+    wrap (non-ANSI) or die as an opaque ARITHMETIC_OVERFLOW mid-job —
+    ADVICE r4: the bound was documented but unenforced."""
+    from quality_filter.operators import relational
+
+    df = spark.createDataFrame([(1, 4), (2, 1)], "host long, w long")
+    with pytest.raises(Exception, match="pre-scale weights"):
+        relational.apportion_budget(df, "host", "w", 1 << 62).collect()
+    # at the exact limit it still computes (w=1 ≤ lim=1 for total=2^62... use
+    # a safe large total instead): conservation holds right up to the guard
+    got = relational.apportion_budget(df, "host", "w", (1 << 60)).collect()
+    assert sum(r["quota"] for r in got) == 1 << 60
+
+
+def test_hits_rejects_negative_edge_weights(spark):
+    """Negative weights break the HITS semantics AND the non-ANSI wrap
+    detector — abort at entry (the apportion_budget precedent)."""
+    e = spark.createDataFrame([("a", "b", -1)], "src string, dst string, w long")
+    with pytest.raises(Exception, match="negative edge weight"):
+        graph.hits(e, iters=1).collect()

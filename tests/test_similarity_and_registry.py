@@ -703,3 +703,82 @@ def test_round4_seventh_block_plan_shapes(spark):
     # sides are the same-sized fact), no cartesian
     p = plan("redirect_resolution")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_cross_source_dup_matrix_excludes_null_sources(spark):
+    """NULL sources are dropped BEFORE the least/greatest cell
+    canonicalization (ADVICE r4): engines skip NULLs in least/greatest
+    differently enough that a NULL-source doc would make the cell key
+    asymmetric — the q_crawl_fetch_plan NULL-host precedent.  A corpus
+    with one doc's source nulled must yield the same matrix as one with
+    that doc's pairs removed, and never a NULL cell."""
+    import __spark_entry__ as E
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # null the source of one doc that participates in ≥1 near-dup pair
+    pairs = E.queries()["near_dup_pairs"](spark, SF)
+    victim = pairs.agg(F.min("doc_a")).collect()[0][0]
+    assert victim is not None, "fixture corpus must contain near-dup pairs"
+    nulled = docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") == victim, F.lit(None)).otherwise(F.col("source")),
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        nulled.write.parquet(os.path.join(d, "docs_nulled"))
+        os.rename(os.path.join(d, "docs_nulled"), os.path.join(d, "documents.parquet"))
+        got = E.queries()["cross_source_dup_matrix"](spark, d).collect()
+    assert all(r["source_a"] is not None and r["source_b"] is not None for r in got)
+    # twin: matrix over the original corpus with the victim's pairs removed
+    sdocs = docs.select("doc_id", "source")
+    want = (
+        pairs.filter((F.col("doc_a") != victim) & (F.col("doc_b") != victim))
+        .join(sdocs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "_sa"), "doc_a")
+        .join(sdocs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "_sb"), "doc_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_semdedup_k_schedule_and_engine_agreement(spark):
+    """r4-verdict fix: semantic_dedup's k is derived from corpus size
+    (expected bucket ~ SEMDEDUP_TARGET_BUCKET, clamped) — linear total
+    pair work instead of the fixed-k hot-cluster quadratic.  The Spark
+    query (df.count()) and the oracle (parquet metadata row count) must
+    derive the IDENTICAL k, and at the oracle/bench scales the derived k
+    must equal the historical k=8 so the r4 hash contract is unchanged."""
+    from quality_filter.operators.similarity import (
+        SEMDEDUP_MAX_CLUSTERS,
+        SEMDEDUP_MIN_CLUSTERS,
+        semdedup_n_clusters,
+    )
+
+    assert semdedup_n_clusters(0) == SEMDEDUP_MIN_CLUSTERS
+    assert semdedup_n_clusters(500) == 8       # sf0.01 — oracle scale
+    assert semdedup_n_clusters(2000) == 8      # sf0.1 — bench scale
+    assert semdedup_n_clusters(8000) == 32     # soak R=4
+    assert semdedup_n_clusters(10**12) == SEMDEDUP_MAX_CLUSTERS
+    # monotone, never below lo nor above hi
+    prev = 0
+    for n in (1, 100, 256, 257, 10_000, 1_000_000, 10**9):
+        k = semdedup_n_clusters(n)
+        assert SEMDEDUP_MIN_CLUSTERS <= k <= SEMDEDUP_MAX_CLUSTERS
+        assert k >= prev
+        prev = k
+    # engine agreement at the oracle scale: metadata count == df count
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as E
+
+    n_meta = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    n_df = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert semdedup_n_clusters(n_meta) == semdedup_n_clusters(n_df)
+    assert E._semdedup_oracle_k() == semdedup_n_clusters(n_df)
