@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "tfidf_cosine_pairs",     # exact-int tfidf weights + df-capped term join
     # round-4 corpus LM scoring
     "kn_doc_surprisal",       # KN stats dims (broadcast) + per-doc sorted fold
+    # round-5 data-selection tier
+    "dsir_logweights_docs",   # B-row ratio dim -> literal -> zero-shuffle scoring
+    "corpus_curation_v3",     # DSIR select -> full v2 curation chain
 ]
 
 

@@ -51,6 +51,23 @@ _MAGIC = (
 )
 
 
+def sniff_content_type_col(payload):
+    """JVM-native twin of the ``_MAGIC`` prefix table: a codegen'd CASE
+    over binary prefixes — the sniff gate as a narrow map, no Python
+    crossing (used by the crawl→media composition to route WARC response
+    payloads by container).  Covers exactly the magic rows; the
+    html/utf-8 text heuristics stay in the Python fetch path (they need
+    decode-try semantics a CASE can't express) — non-magic payloads
+    fall through to 'application/octet-stream'."""
+    from pyspark.sql import functions as F
+
+    expr = None
+    for magic, ctype in _MAGIC:
+        cond = F.substring(payload, 1, len(magic)) == F.lit(bytearray(magic))
+        expr = F.when(cond, ctype) if expr is None else expr.when(cond, ctype)
+    return expr.otherwise("application/octet-stream")
+
+
 def sniff_content_type(payload: bytes) -> str:
     for magic, ctype in _MAGIC:
         if payload[: len(magic)] == magic:

@@ -43,8 +43,9 @@ DOC_QUERIES = [
     "docs_stratified_sample", "corpus_top_terms", "tfidf_top_docs",
     "dup_ngram_ratio_docs", "packed_docs", "corpus_curation",
     "doc_quality_deciles", "benchmark_decontamination", "source_mixing_rates",
-    # round 4: scale twins + segment/incremental dedup (media_near_dup is
-    # excluded only because it generates its own media table, not fuzzed)
+    # round 4: scale twins + segment/incremental dedup (media_near_dup —
+    # and round 5's crawl_media_near_dup — are excluded only because they
+    # generate their own media table, not fuzzed)
     "benchmark_decontamination_bloom", "doc_quality_decile_bounds",
     "doc_length_quantiles_approx", "segment_dedup_docs",
     "incremental_near_dup", "incremental_curation",
@@ -155,6 +156,15 @@ DOC_QUERIES = [
     # spelling Java and RE2 read identically on any token bytes; the
     # merge is a literal replace (no regex on data)
     "bpe_merge_round",
+    # DSIR: md5-bucket universe + ln of exact Laplace-smoothed count
+    # ratios (pmi/bm25 class), per-doc weights exact BIGINT sums; an
+    # absent target source (fuzz corpora have host*, not src0) is the
+    # spec'd degenerate — all-zero target counts, identical in both
+    # engines
+    "dsir_bucket_ratios", "dsir_logweights_docs", "dsir_sample_docs",
+    # round 5: staged v2 (output-identical by construction) and the
+    # DSIR-selected v3 chain (both compose fuzz-proven stages)
+    "corpus_curation_v2_staged", "corpus_curation_v3",
     # NOT fuzzed: pii_hit_counts_docs shares pii_scrub_docs' documented
     # RE2-vs-Java unicode \d/\b seam (see module docstring);
     # warc_roundtrip_stats' (and wet_roundtrip_stats') strict writer
