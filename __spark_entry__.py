@@ -2818,6 +2818,54 @@ def q_knn_join_broadcast(spark, sf_dir):
     )
 
 
+ANN_RECALL_QUERIES = 8
+ANN_RECALL_K = 10
+
+
+def q_ann_recall_report(spark, sf_dir):
+    """Recall@k audit of the hyperplane-LSH ANN path against exact
+    brute-force ground truth, per query — the measurement that gates a
+    recall<1 index before it replaces the exact path (you never point a
+    100 TB corpus at an ANN index without knowing what it misses).
+
+    GT = exact batch KNN join (one corpus scan, plan-literal query
+    batch, rank-limited windows); ANN = the same scoring kernel
+    restricted to each query's LSH bucket (similarity.knn_join_lsh —
+    the bucket filter kills ~(1 - 2^-n_planes) of the exploded rows
+    map-side); recall = |ANN ∩ GT| / |GT| per query.  Everything after
+    the two scans is O(Q·k) rows, so the report's cost is two corpus
+    scans regardless of corpus size.  The oracle rebuilds BOTH sides
+    from the shared plane literals → full value-hash check, so the
+    recall numbers themselves are cross-engine-verified."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < ANN_RECALL_QUERIES)
+        .select("vec_id", "embedding").collect()
+    )
+    queries = [(int(r["vec_id"]), list(r["embedding"])) for r in qrows]
+    planes = similarity.make_planes(
+        len(queries[0][1]), n_planes=KNN_LSH_PLANES, seed=KNN_LSH_SEED
+    )
+    gt = similarity.knn_join(emb, "embedding", "vec_id", queries, k=ANN_RECALL_K)
+    ann = similarity.knn_join_lsh(
+        emb, "embedding", "vec_id", queries, planes, k=ANN_RECALL_K
+    )
+    gtc = gt.groupBy("query_id").agg(F.count("*").cast("long").alias("gt_k"))
+    hitc = (
+        gt.select("query_id", "vec_id")
+        .join(ann.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    hits = F.coalesce(F.col("hits"), F.lit(0)).cast("long")
+    return gtc.join(hitc, "query_id", "left").select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "gt_k",
+        hits.alias("hits"),
+        F.round(hits / F.col("gt_k"), 6).alias("recall"),
+    )
+
+
 def q_embedding_centroids_by_label(spark, sf_dir):
     """Per-label mean embedding (class prototypes — the op behind
     nearest-class-mean classifiers and per-source drift monitoring),
@@ -3005,6 +3053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # leads; the oldest-reported (r2/r3) entries fill the remaining window
     # slots; the 50 r4-green entries rotate to the back.
     return {
+        "ann_recall_report": q_ann_recall_report,
         "corpus_curation_v3": q_corpus_curation_v3,
         "corpus_curation_v2_staged": q_corpus_curation_v2_staged,
         "crawl_media_near_dup": q_crawl_media_near_dup,
@@ -3507,6 +3556,41 @@ cb AS (SELECT vec_id, v, {_bucket_sql('v', planes)} AS bucket FROM e)
 SELECT cb.vec_id, round({cos}, 6) AS cos_sim
 FROM cb, q, qb WHERE {cond}
 ORDER BY cos_sim DESC, cb.vec_id ASC LIMIT 10"""
+
+
+def _ann_recall_sql() -> str:
+    from quality_filter.operators import similarity as S
+
+    planes = S.make_planes(_embedding_dim(), n_planes=KNN_LSH_PLANES, seed=KNN_LSH_SEED)
+    cos = _COS_SQL.format(a="e.v", b="q.qv")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, {_bucket_sql('v', planes)} AS qbkt
+      FROM e WHERE vec_id < {ANN_RECALL_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id, round({cos}, 6) AS cos_sim,
+         {_bucket_sql('e.v', planes)} AS cbkt, q.qbkt
+  FROM e, q
+),
+gt AS (
+  SELECT query_id, vec_id FROM scored
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) <= {ANN_RECALL_K}
+),
+ann AS (
+  SELECT query_id, vec_id FROM scored WHERE cbkt = qbkt
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) <= {ANN_RECALL_K}
+),
+gtc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS gt_k FROM gt GROUP BY 1),
+hitc AS (
+  SELECT g.query_id, CAST(count(*) AS BIGINT) AS hits
+  FROM gt g JOIN ann a USING (query_id, vec_id) GROUP BY 1
+)
+SELECT CAST(g.query_id AS BIGINT) AS query_id, g.gt_k,
+  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+  round(coalesce(h.hits, 0) * 1.0 / g.gt_k, 6) AS recall
+FROM gtc g LEFT JOIN hitc h USING (query_id)"""
 
 
 def _embedding_lsh_sql() -> str:
@@ -4327,6 +4411,7 @@ FROM contrib GROUP BY 1""",
         "knn_lsh_multiprobe": _knn_lsh_sql(probe_hamming=1),
         "knn_ivf": _knn_ivf_sql(),
         "embedding_near_dup_lsh": _embedding_lsh_sql(),
+        "ann_recall_report": _ann_recall_sql(),
         "knn_join": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {KNN_JOIN_QUERIES})

@@ -138,16 +138,11 @@ def knn_bruteforce(
     )
 
 
-def hyperplane_lsh_buckets(
-    df: DataFrame, vec_col: str, id_col: str, planes: list[list[float]]
-) -> DataFrame:
-    """Random-hyperplane LSH: bucket = sign-bit string over the planes.
-    Deterministic given the plane list (caller derives planes from a seed).
-    At scale: repartition by bucket → queries probe one bucket.
-
-    One Arrow crossing computes every plane's sign from the exact-fold
-    dot (bit-identical to the HOF spec; sign decisions can only differ
-    from any other summation order on exact-zero boundaries anyway)."""
+def lsh_bucket_col(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket as a COLUMN: sign-bit string over the
+    planes, from the exact-fold dot (bit-identical to the HOF spec; sign
+    decisions can only differ from any other summation order on
+    exact-zero boundaries anyway)."""
     P = np.asarray(planes, dtype=np.float64)
 
     @F.pandas_udf("string")
@@ -158,7 +153,16 @@ def hyperplane_lsh_buckets(
         ).astype(np.uint8)
         return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
 
-    return df.select(F.col(id_col), bucket_kernel(F.col(vec_col)).alias("bucket"))
+    return bucket_kernel(vec_col)
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame, vec_col: str, id_col: str, planes: list[list[float]]
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign-bit string over the planes.
+    Deterministic given the plane list (caller derives planes from a seed).
+    At scale: repartition by bucket → queries probe one bucket."""
+    return df.select(F.col(id_col), lsh_bucket_col(F.col(vec_col), planes).alias("bucket"))
 
 
 def knn_lsh(
@@ -208,6 +212,53 @@ def knn_lsh_multiprobe(
         bucketed.filter(F.col("bucket").isin(*sorted(probes))).select(id_col), id_col
     )
     return knn_bruteforce(candidates, vec_col, id_col, query_vec, k)
+
+
+def knn_join_lsh(
+    df: DataFrame, vec_col: str, id_col: str,
+    queries: list[tuple[int, list[float]]], planes: list[list[float]], k: int = 10,
+) -> DataFrame:
+    """Batch ANN join: per-query top-k restricted to the query's
+    hyperplane-LSH bucket — the recall<1 scale twin of ``knn_join``
+    (same scoring kernel, same (rounded-cos desc, id asc) rank order,
+    but only bucket-sharing candidates compete).
+
+    Plan shape: ONE corpus scan computes the whole query batch's
+    cosines AND the row's bucket (two Arrow crossings on the same
+    narrow map), the bucket≠query-bucket rows die in a codegen'd
+    filter before the explode output reaches the window, and the
+    per-query top-k is a rank-limited window (WindowGroupLimit: only
+    per-query candidate heads shuffle).  At 100 TB the filter removes
+    ~(1 - 2^-n_planes) of the exploded rows map-side, which is the
+    whole point of the index."""
+    from pyspark.sql import Window as W
+
+    qids = F.array(*[F.lit(int(qid)) for qid, _ in queries])
+    qbuckets = F.array(*[F.lit(query_bucket(qv, planes)) for _, qv in queries])
+    cos_arr = cosines_to_queries_col(F.col(vec_col), [qv for _, qv in queries])
+    scored = (
+        df.select(
+            F.col(id_col),
+            cos_arr.alias("_cs"),
+            lsh_bucket_col(F.col(vec_col), planes).alias("_bkt"),
+        )
+        .select(F.col(id_col), F.col("_bkt"), F.posexplode("_cs").alias("_pos", "_cos"))
+        .filter(F.col("_cos").isNotNull() & ~F.isnan("_cos"))
+        .filter(F.element_at(qbuckets, F.col("_pos") + 1) == F.col("_bkt"))
+        .select(
+            F.element_at(qids, F.col("_pos") + 1).alias("query_id"),
+            F.col(id_col),
+            F.round("_cos", 6).alias("cos_sim"),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    )
+    return (
+        scored.withColumn("rank", rn)
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
 
 
 # Above this many queries the per-query cumsum loop loses to BLAS

@@ -601,6 +601,42 @@ def test_corpus_curation_v2_partition_invariant(spark):
     assert re_run == base and len(base) > 0
 
 
+def test_knn_join_lsh_equals_bucket_restricted_knn_join(spark, emb):
+    """knn_join_lsh (one-scan batch ANN) must emit EXACTLY the rows of
+    the compositional spec: restrict the corpus to each query's LSH
+    bucket via hyperplane_lsh_buckets, then exact knn_join per query —
+    same rounded scores, same ranks.  Also pins the recall relation the
+    ann_recall_report query depends on: ANN hits ⊆ bucket members."""
+    qrows = emb.filter(F.col("vec_id") < 6).select("vec_id", "embedding").collect()
+    queries = [(int(r["vec_id"]), list(r["embedding"])) for r in qrows]
+    dim = len(queries[0][1])
+    planes = similarity.make_planes(dim, n_planes=4, seed=1234)
+
+    got = sorted(
+        map(tuple, similarity.knn_join_lsh(
+            emb, "embedding", "vec_id", queries, planes, k=7
+        ).collect())
+    )
+
+    buckets = {
+        r["vec_id"]: r["bucket"]
+        for r in similarity.hyperplane_lsh_buckets(
+            emb, "embedding", "vec_id", planes
+        ).collect()
+    }
+    want = []
+    for qid, qv in queries:
+        qb = similarity.query_bucket(qv, planes)
+        cand_ids = [vid for vid, b in buckets.items() if b == qb]
+        cand = emb.filter(F.col("vec_id").isin(cand_ids))
+        for row in similarity.knn_join(cand, "embedding", "vec_id", [(qid, qv)], k=7).collect():
+            want.append(tuple(row))
+    assert got == sorted(want) and len(got) > 0
+    # every ANN row is a bucket member of its query's bucket
+    for query_id, vec_id, _, _ in got:
+        assert buckets[vec_id] == similarity.query_bucket(dict(queries)[query_id], planes)
+
+
 def test_driver_window_covers_unreported_queries():
     """Registry-order invariant: queries WITHOUT a driver-green row in
     the last two CORRECTNESS reports must be reachable by the remaining
