@@ -1085,6 +1085,81 @@ def q_ngram_jaccard_dups(spark, sf_dir):
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
 
 
+SCURVE_MAX_DF = 50  # boilerplate-shingle cap for the exact-Jaccard universe
+SCURVE_MIN_JAC = 0.05
+
+
+def q_ngram_jaccard_global(spark, sf_dir):
+    """Exact shingle-Jaccard near-dup pairs CORPUS-WIDE (no blocking
+    column): a pair with Jaccard > 0 must share a shingle, so the
+    df-capped shingle equi-join enumerates candidates exactly — the
+    inverted-index identity that makes exact Jaccard sub-quadratic
+    (dedup.exact_jaccard_pairs_global).  The group-blocked
+    ngram_jaccard_dups is the cheaper within-partition form; this is
+    the cross-source-capable one."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.exact_jaccard_pairs_global(
+        docs, "text", "doc_id", shingle_n=3, threshold=SCURVE_MIN_JAC,
+        max_df=SCURVE_MAX_DF,
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _scurve_analytic() -> dict[int, float]:
+    """Analytic band-catch probability 1-(1-s^r)^b at decile midpoints —
+    driver-side constants (same rounded literals in both engines, so
+    the column is seam-free)."""
+    b, r = NUM_HASHES // BAND_SIZE, BAND_SIZE
+    return {
+        d: round(1.0 - (1.0 - (d / 10 + 0.05) ** r) ** b, 6) for d in range(0, 10)
+    }
+
+
+def q_minhash_band_scurve(spark, sf_dir):
+    """The S-curve audit of the MinHash banding scheme: per exact-
+    Jaccard decile, how many true near-dup pairs the band join actually
+    caught, next to the analytic 1-(1-s^r)^b catch probability — the
+    measurement that justifies (or indicts) a bands/rows choice BEFORE
+    a 100 TB dedup run bets its recall on it.  True pairs come from the
+    exact inverted-index Jaccard (df-capped universe, sub-quadratic);
+    candidates from the production band join itself; everything after
+    the pair relations is O(10) bins."""
+    docs = _t(spark, sf_dir, "documents")
+    true_pairs = dedup.exact_jaccard_pairs_global(
+        docs, "text", "doc_id", shingle_n=3, threshold=SCURVE_MIN_JAC,
+        max_df=SCURVE_MAX_DF,
+    )
+    sig = dedup.minhash_signature(docs, "text", "doc_id", NUM_HASHES)
+    bands = dedup.lsh_bands(sig, "doc_id", NUM_HASHES, BAND_SIZE)
+    cand = dedup.near_dup_pairs(bands, "doc_id").select(
+        "id_a", "id_b", F.lit(1).alias("_c")
+    )
+    analytic = _scurve_analytic()
+    amap = F.create_map(
+        *[F.lit(x) for d, p in sorted(analytic.items()) for x in (d, p)]
+    )
+    binned = true_pairs.join(cand, ["id_a", "id_b"], "left").select(
+        F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("long").alias("jac_decile"),
+        F.when(F.col("_c").isNotNull(), 1).otherwise(0).alias("_caught"),
+    )
+    return (
+        binned.groupBy("jac_decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.sum("_caught").cast("long").alias("n_caught"),
+        )
+        .select(
+            "jac_decile",
+            "n_true",
+            "n_caught",
+            F.round(
+                F.col("n_caught").cast("double") / F.col("n_true").cast("double"), 6
+            ).alias("recall_emp"),
+            F.element_at(amap, F.col("jac_decile").cast("int")).alias("recall_analytic"),
+        )
+    )
+
+
 def q_minhash_jaccard_estimate(spark, sf_dir):
     """Estimated Jaccard for LSH candidate pairs = fraction of equal
     minhash components — the standard MinHash estimator, engine-identical
@@ -2669,6 +2744,38 @@ def q_oov_rate(spark, sf_dir):
     return textagg.oov_rate(docs, "text", "doc_id", v=OOV_VOCAB)
 
 
+def q_doremi_mixture_weights(spark, sf_dir):
+    """DoReMi-style domain reweighting (Xie et al., arXiv:2305.10429):
+    one exponentiated-gradient step over per-source excess KN surprisal
+    — the data-mixing verb that sits between DSIR selection and the
+    temperature mixture in a curation flow.  All floats are either
+    quantized at the vocabulary dim (engine-identical q12 BIGINTs,
+    DECIMAL(38,0) sums) or folded in source order with a polynomial exp
+    spec, so the oracle is a full value-hash check."""
+    docs = _t(spark, sf_dir, "documents")
+    return textagg.doremi_mixture_weights(docs, "text", "source")
+
+
+DOREMI_BUDGET = 1_000_000
+
+
+def q_doremi_token_budget(spark, sf_dir):
+    """The mixing plan made executable: DoReMi weights → Hamilton
+    largest-remainder INTEGER token quotas per source (Σ quota ==
+    budget EXACTLY — float shares drift, floor-only shares under-spend;
+    relational.apportion_budget).  Weights are integerized from the
+    round-6 contract values (one IEEE multiply + floor, identical in
+    both engines), so the whole chain — LM stats → EG step →
+    apportionment — is engine-exact end to end."""
+    w = q_doremi_mixture_weights(spark, sf_dir).select(
+        "source",
+        F.floor(F.col("weight") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("w_micro"),
+    )
+    return relational.apportion_budget(w, "source", "w_micro", DOREMI_BUDGET)
+
+
 def q_kn_doc_surprisal(spark, sf_dir):
     """Per-doc Kneser-Ney bigram surprisal + perplexity, trained on the
     corpus itself — the in-engine KenLM analog: exact-integer KN
@@ -3054,6 +3161,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # slots; the 50 r4-green entries rotate to the back.
     return {
         "ann_recall_report": q_ann_recall_report,
+        "doremi_mixture_weights": q_doremi_mixture_weights,
+        "ngram_jaccard_global": q_ngram_jaccard_global,
+        "minhash_band_scurve": q_minhash_band_scurve,
+        "doremi_token_budget": q_doremi_token_budget,
         "corpus_curation_v3": q_corpus_curation_v3,
         "corpus_curation_v2_staged": q_corpus_curation_v2_staged,
         "crawl_media_near_dup": q_crawl_media_near_dup,
@@ -3850,6 +3961,40 @@ def _ngram_expr() -> str:
     return _ngram_expr_n(3)
 
 
+def _jaccard_pairs_ctes(src: str = "documents") -> str:
+    """CTE chain ending in tp(id_a, id_b, jaccard) — SQL twin of
+    dedup.exact_jaccard_pairs_global over the df-capped shingle
+    universe (sizes AND intersections both from the capped set)."""
+    return f"""jsets AS (
+  SELECT doc_id, list_distinct({_ngram_expr()}) AS ng FROM {src}
+),
+jex AS (SELECT doc_id, unnest(ng) AS sh FROM jsets WHERE len(ng) > 0),
+jcap AS (SELECT sh FROM jex GROUP BY sh HAVING count(*) <= {SCURVE_MAX_DF}),
+jexc AS (SELECT doc_id, sh FROM jex JOIN jcap USING (sh)),
+jsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsz FROM jexc GROUP BY doc_id),
+jitr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM jexc a JOIN jexc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+tp AS (
+  SELECT id_a, id_b,
+    CAST(n_inter AS DOUBLE) / CAST(sa.nsz + sb.nsz - n_inter AS DOUBLE) AS jaccard
+  FROM jitr JOIN jsz sa ON sa.doc_id = id_a JOIN jsz sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.nsz + sb.nsz - n_inter AS DOUBLE)
+        >= {SCURVE_MIN_JAC}
+)"""
+
+
+def _scurve_analytic_case() -> str:
+    """CASE over jac_decile emitting the SAME rounded analytic literals
+    as the Spark map — no float seam, the constants are shared."""
+    cases = " ".join(
+        f"WHEN {d} THEN {p}" for d, p in sorted(_scurve_analytic().items())
+    )
+    return f"CAST((CASE jac_decile {cases} END) AS DOUBLE)"
+
+
 def _minhash_sig_cte(src: str = "documents") -> str:
     ng = _ngram_expr()
     mhs = ",\n    ".join(
@@ -4156,6 +4301,29 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id""",
         "near_dup_clusters": _components_sql() + "\nSELECT doc_id, comp FROM comp",
+        "ngram_jaccard_global": f"""
+WITH {_jaccard_pairs_ctes()}
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM tp""",
+        "minhash_band_scurve": f"""
+WITH {_minhash_sig_cte()},
+bands AS ({_bands_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+{_jaccard_pairs_ctes()},
+binned AS (
+  SELECT CAST(least(floor(jaccard * 10), 9) AS BIGINT) AS jac_decile,
+    CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+  FROM tp LEFT JOIN cand c USING (id_a, id_b)
+)
+SELECT jac_decile, CAST(count(*) AS BIGINT) AS n_true,
+  CAST(sum(caught) AS BIGINT) AS n_caught,
+  round(CAST(sum(caught) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall_emp,
+  {_scurve_analytic_case()} AS recall_analytic
+FROM binned GROUP BY jac_decile""",
         "cross_source_dup_matrix": f"""
 WITH {_minhash_sig_cte()},
 bands AS ({_bands_sql()}),
@@ -5157,6 +5325,76 @@ SELECT doc_id, CAST(sum(n_t) AS BIGINT) AS n_bigrams,
   round({_kn_bits}, 6) AS surprisal_bits,
   round(pow(2.0, {_kn_bits}), 6) AS ppl
 FROM sc GROUP BY doc_id"""
+
+    # degree-7 Horner polynomial exp — the textual twin of textagg._expq
+    # (the SPEC is the polynomial: no transcendental-libm seam)
+    def _expq_sql(x: str) -> str:
+        return (
+            f"(1.0 + ({x})*(1.0 + ({x})/2.0*(1.0 + ({x})/3.0*(1.0 + ({x})/4.0*"
+            f"(1.0 + ({x})/5.0*(1.0 + ({x})/6.0*(1.0 + ({x})/7.0)))))))"
+        )
+
+    _dm_scale = f"{float(textagg.DOREMI_Q):.1f}"  # 2^40: IEEE-exact scaling
+    _dm_ctes = f"""dm_toksd AS (
+  SELECT source, regexp_split_to_array(lower(trim(text, ' ')), '[ ]+') AS t
+  FROM documents
+),
+kn_toks AS (SELECT t FROM dm_toksd),
+kn_pairs AS ({_kn_pairs}),
+dm_spairs AS (
+  SELECT source, unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM dm_toksd WHERE len(t) >= 2
+),
+bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM kn_pairs GROUP BY w1, w2),
+bt AS (SELECT count(*) AS nb FROM bg),
+ctx AS (SELECT w1, sum(c12) AS c1 FROM bg GROUP BY w1),
+dp AS (SELECT DISTINCT w1, w2 FROM kn_pairs),
+lc AS (SELECT w2, CAST(count(*) AS BIGINT) AS nlc FROM dp GROUP BY w2),
+rc AS (SELECT w1, CAST(count(*) AS BIGINT) AS nrc FROM dp GROUP BY w1),
+bgq AS (
+  SELECT w1, w2, CAST(floor(log2(
+      CAST(({_kn_dd} * c12 - {_kn_dn}) * nb + {_kn_dn} * nrc * nlc AS DOUBLE)
+      / CAST({_kn_dd} * c1 * nb AS DOUBLE)) * {_dm_scale} + 0.5) AS BIGINT) AS q12
+  FROM bg JOIN ctx USING (w1) JOIN lc USING (w2) JOIN rc USING (w1), bt
+),
+dm_st AS (
+  SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS n_t
+  FROM dm_spairs GROUP BY 1, 2, 3
+),
+psrc AS (
+  SELECT source, sum(n_t * q12) AS sq, CAST(sum(n_t) AS BIGINT) AS n
+  FROM dm_st JOIN bgq USING (w1, w2) GROUP BY source
+),
+tot AS (SELECT sum(sq) AS tsq, sum(n) AS tn FROM psrc),
+exx0 AS (
+  SELECT source, n,
+    (-(CAST(sq AS DOUBLE))) / {_dm_scale} / CAST(n AS DOUBLE) AS bits_s,
+    (-(CAST(tsq AS DOUBLE))) / {_dm_scale} / CAST(tn AS DOUBLE) AS bits_ref
+  FROM psrc, tot
+),
+exx AS (
+  SELECT source, n, bits_s, greatest(0.0, bits_s - bits_ref) AS excess FROM exx0
+),
+ww AS (
+  SELECT source, n, bits_s, excess, {_expq_sql(f'{textagg.DOREMI_ETA}*excess')} AS w
+  FROM exx
+),
+sw AS (SELECT list_sum(list(w ORDER BY source)) AS sum_w FROM ww)"""
+    out["doremi_mixture_weights"] = f"""
+WITH {_dm_ctes}
+SELECT source, n AS n_bigrams, round(bits_s, 6) AS bits,
+  round(excess, 6) AS excess_bits, round(w / sum_w, 6) AS weight
+FROM ww, sw"""
+    out["doremi_token_budget"] = f"""
+WITH {_dm_ctes},
+dw AS (
+  SELECT source, CAST(floor(round(w / sum_w, 6) * 1000000.0 + 0.5) AS BIGINT)
+    AS w_micro
+  FROM ww, sw
+),
+{_hamilton_ctes("SELECT source AS host, w_micro AS rank_micro FROM dw",
+                DOREMI_BUDGET, "db")}
+SELECT host AS source, rank_micro AS w_micro, quota FROM db_q"""
     out["langid_confusion"] = f"""
 WITH hits AS (
   SELECT doc_id, lang,

@@ -664,6 +664,59 @@ def ngram_jaccard_pairs(
     )
 
 
+def exact_jaccard_pairs_global(
+    df: DataFrame, text_col: str, id_col: str,
+    shingle_n: int = 3, threshold: float = 0.5, max_df: int = 50,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for every pair above ``threshold`` —
+    corpus-wide, WITHOUT a blocking column: a pair with Jaccard > 0
+    must share at least one shingle, so the shingle equi-join
+    enumerates candidates exactly (the inverted-index identity), and
+    the intersection size falls out of the join's group count.
+
+    The audit universe is the df-capped shingle set (shingles in more
+    than ``max_df`` docs are boilerplate, not evidence — the
+    winnowing/containment hot-key cap; without it one viral shingle
+    costs O(df²) pairs).  Sizes AND intersections both come from the
+    capped universe, so the emitted Jaccard is exact over that
+    universe (and equals the uncapped Jaccard wherever no cap bites).
+
+    Plan: one explode → df dimension (map-side-combined) → capped
+    equi-join on the shingle key (bucketed, never all-pairs, per-key
+    fan-out ≤ max_df²) → pair partial agg → two size joins on the id
+    key.  Shuffle volume is O(shared-shingle occurrences), bounded by
+    corpus_shingles · max_df."""
+    sets_ = df.select(
+        F.col(id_col), F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    ex = sets_.select(F.col(id_col), F.explode("_sh").alias("sh"))
+    capped = ex.join(
+        ex.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("sh"),
+        "sh",
+    )
+    sizes = capped.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("_nsz"))
+    a = capped.select("sh", F.col(id_col).alias("id_a"))
+    b = capped.select("sh", F.col(id_col).alias("id_b"))
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_inter"))
+    )
+    jac = F.col("_inter").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_inter")
+    ).cast("double")
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_nsz").alias("_na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_nsz").alias("_nb")), "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Within-doc keep-first-occurrence dedup (C4 line-dedup algebra)
 # ---------------------------------------------------------------------------

@@ -9,7 +9,7 @@ O(distinct terms), not O(token occurrences).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -457,6 +457,74 @@ KN_DISCOUNT_NUM = 3  # D = 3/4 — the standard 0.75 absolute discount,
 KN_DISCOUNT_DEN = 4  # kept rational so every probability is a ratio of ints
 
 
+def _kn_model_dims(df: DataFrame, text_col: str):
+    """Shared Kneser-Ney bigram-model dimensions: bg(w1,w2,c12),
+    ctx(w1,c1 — overflow-guarded), lc(w2,nlc), rc(w1,nrc), and the
+    bigram-type count B.  ONE definition: kn_doc_surprisal and
+    doremi_mixture_weights must score against identical statistics.
+
+    ONE corpus pass: every model dimension derives from the bigram-type
+    relation (bg has exactly one row per distinct pair, so N1+ counts
+    are row counts over bg — no second explode+distinct).  bg is a
+    vocabulary-bounded dim: truncate its lineage so the driver-scalar
+    count() and the final plan share ONE materialization instead of
+    re-running the token explode 3-4x.
+
+    Overflow guards: past these bounds the BIGINT num/den overflow —
+    under ANSI mode that's an opaque ARITHMETIC_OVERFLOW deep in the
+    job; with ansi.enabled=false it silently wraps and parity with the
+    HUGEINT oracle breaks with no signal.  Abort up front with the
+    remediation named instead.  num = (dd·c12-dn)·B + dn·nrc·nlc with
+    c12 ≤ c1 and nrc,nlc ≤ B, den = dd·c1·B; keeping each term < 2^62
+    keeps their sum < 2^63."""
+    from quality_filter.operators.dedup import _truncate_lineage
+
+    bg = _truncate_lineage(
+        _bigram_pairs(df, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12")),
+        eager=True,
+        reliable=None,
+    )
+    n_bigram_types = bg.count()  # B: driver scalar → plan literal (tfidf precedent)
+    dn, dd = KN_DISCOUNT_NUM, KN_DISCOUNT_DEN
+    if dn * n_bigram_types * n_bigram_types >= 1 << 62:
+        raise ValueError(
+            "kn_doc_surprisal: bigram-type count B exceeds the exact-int64 "
+            "bound (dn*B^2 >= 2^62) — lift num/den to DECIMAL(38,0) "
+            "(the gate_distill pattern) for this corpus"
+        )
+    _c1_lim = ((1 << 62) - 1) // max(1, dd * n_bigram_types)
+    ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    ctx = ctx.withColumn(
+        "c1",
+        F.when(
+            F.col("c1") > F.lit(_c1_lim),
+            F.raise_error(
+                "kn_doc_surprisal: context count exceeds the exact-int64 "
+                "bound (dd*c1*B >= 2^62) — lift num/den to DECIMAL(38,0)"
+            ),
+        ).otherwise(F.col("c1")),
+    )
+    lc = bg.groupBy(F.col("w2")).agg(F.count(F.lit(1)).cast("long").alias("nlc"))
+    rc = bg.groupBy(F.col("w1")).agg(F.count(F.lit(1)).cast("long").alias("nrc"))
+    return bg, ctx, lc, rc, n_bigram_types
+
+
+def _kn_log2_prob(n_bigram_types: int) -> Column:
+    """log2 of the exact-rational interpolated-KN bigram probability,
+    over joined (c12, c1, nlc, nrc) columns — num and den are EXACT
+    BIGINTs fed to ONE fixed log2 expression tree, so each bigram
+    type's bits are engine-identical (the PMI/bm25 precedent)."""
+    dn, dd = KN_DISCOUNT_NUM, KN_DISCOUNT_DEN
+    num = (
+        (F.lit(dd) * F.col("c12") - F.lit(dn)) * F.lit(n_bigram_types)
+        + F.lit(dn) * F.col("nrc") * F.col("nlc")
+    ).cast("double")
+    den = (F.lit(dd) * F.col("c1") * F.lit(n_bigram_types)).cast("double")
+    return F.log2(num / den)
+
+
 def kn_doc_surprisal(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document interpolated-Kneser-Ney bigram surprisal — the
     KenLM-style perplexity scorer retrained IN the engine from the
@@ -493,62 +561,12 @@ def kn_doc_surprisal(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     O(Σ per-doc distinct bigrams), partition-bounded by doc length.
     Returns (id, n_bigrams, surprisal_bits, ppl): mean bits/bigram and
     2^bits perplexity, round-6."""
-    from quality_filter.operators.dedup import _truncate_lineage
-
-    # ONE corpus pass: every model dimension derives from the bigram-type
-    # relation (bg has exactly one row per distinct pair, so N1+ counts
-    # are row counts over bg — no second explode+distinct).  bg is a
-    # vocabulary-bounded dim: truncate its lineage so the driver-scalar
-    # count() and the final plan share ONE materialization instead of
-    # re-running the token explode 3-4x.
-    bg = _truncate_lineage(
-        _bigram_pairs(df, text_col)
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).cast("long").alias("c12")),
-        eager=True,
-        reliable=None,
-    )
-    n_bigram_types = bg.count()  # B: driver scalar → plan literal (tfidf precedent)
-    dn, dd = KN_DISCOUNT_NUM, KN_DISCOUNT_DEN
-    # Overflow guards (was documented-but-unguarded): past these bounds the
-    # BIGINT num/den overflow — under ANSI mode (this session's default)
-    # that's an opaque ARITHMETIC_OVERFLOW deep in the job; with
-    # ansi.enabled=false it silently wraps and parity with the HUGEINT
-    # oracle breaks with no signal.  Abort up front with the remediation
-    # named instead.  num = (dd·c12-dn)·B + dn·nrc·nlc with c12 ≤ c1 and
-    # nrc,nlc ≤ B, den = dd·c1·B; keeping each term < 2^62 keeps their
-    # sum < 2^63.
-    if dn * n_bigram_types * n_bigram_types >= 1 << 62:
-        raise ValueError(
-            "kn_doc_surprisal: bigram-type count B exceeds the exact-int64 "
-            "bound (dn*B^2 >= 2^62) — lift num/den to DECIMAL(38,0) "
-            "(the gate_distill pattern) for this corpus"
-        )
-    _c1_lim = ((1 << 62) - 1) // max(1, dd * n_bigram_types)
-    ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    ctx = ctx.withColumn(
-        "c1",
-        F.when(
-            F.col("c1") > F.lit(_c1_lim),
-            F.raise_error(
-                "kn_doc_surprisal: context count exceeds the exact-int64 "
-                "bound (dd*c1*B >= 2^62) — lift num/den to DECIMAL(38,0)"
-            ),
-        ).otherwise(F.col("c1")),
-    )
-    lc = bg.groupBy(F.col("w2")).agg(F.count(F.lit(1)).cast("long").alias("nlc"))
-    rc = bg.groupBy(F.col("w1")).agg(F.count(F.lit(1)).cast("long").alias("nrc"))
-
+    bg, ctx, lc, rc, n_bigram_types = _kn_model_dims(df, text_col)
     dt = (
         _bigram_pairs(df, text_col, id_col)
         .groupBy(id_col, "w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_t"))
     )
-    num = (
-        (F.lit(dd) * F.col("c12") - F.lit(dn)) * F.lit(n_bigram_types)
-        + F.lit(dn) * F.col("nrc") * F.col("nlc")
-    ).cast("double")
-    den = (F.lit(dd) * F.col("c1") * F.lit(n_bigram_types)).cast("double")
     scored = (
         dt.join(F.broadcast(bg), ["w1", "w2"])
         .join(F.broadcast(ctx), "w1")
@@ -559,7 +577,9 @@ def kn_doc_surprisal(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             "w1",
             "w2",
             "n_t",
-            (F.col("n_t").cast("double") * F.log2(num / den)).alias("_contrib"),
+            (F.col("n_t").cast("double") * _kn_log2_prob(n_bigram_types)).alias(
+                "_contrib"
+            ),
         )
     )
     folded = scored.groupBy(id_col).agg(
@@ -576,6 +596,114 @@ def kn_doc_surprisal(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         "n_bigrams",
         F.round(bits, 6).alias("surprisal_bits"),
         F.round(F.pow(F.lit(2.0), bits), 6).alias("ppl"),
+    )
+
+
+DOREMI_Q = 1 << 40  # power-of-two quantization scale: IEEE-exact multiply
+DOREMI_ETA = 0.1
+
+
+def _expq(x: Column) -> Column:
+    """Degree-7 Horner polynomial for exp(x) on small non-negative x —
+    an EXPLICIT arithmetic spec (+, *, / on literals only) so Spark and
+    DuckDB emit bit-identical doubles; libm exp can differ across
+    engines in the last ulp, a fixed polynomial cannot.  For the
+    eta-scaled excesses this operator feeds it (x ≲ 0.5) the Taylor
+    truncation error is < 1e-10 — and either way the polynomial IS the
+    operator's spec, monotone increasing on x ≥ 0, which is all
+    exponentiated-gradient needs."""
+    e = F.lit(1.0) + x / F.lit(7.0)
+    for i in (6, 5, 4, 3, 2):
+        e = F.lit(1.0) + x / F.lit(float(i)) * e
+    return F.lit(1.0) + x * e
+
+
+def doremi_mixture_weights(
+    df: DataFrame, text_col: str, source_col: str, eta: float = DOREMI_ETA
+) -> DataFrame:
+    """One exponentiated-gradient step of DoReMi-style domain
+    reweighting (Xie et al., arXiv:2305.10429): each source's weight is
+    multiplied by exp(eta · excess) where excess = max(0, its
+    per-bigram KN surprisal − the corpus mean), then normalized over
+    sources — domains the LM finds hardest get upweighted.  The
+    corpus's own KN bigram LM (kn_doc_surprisal's statistics, shared
+    via _kn_model_dims) stands in for DoReMi's proxy/reference pair, so
+    a SINGLE step is the honest amount of work: without retraining the
+    proxy between rounds the per-domain gradient is constant and T
+    rounds collapse to one step at T·eta.
+
+    Exactness & scale (the DSIR integerization pattern, operators/
+    dsir.py): log2 p(w2|w1) is quantized ONCE at the vocabulary-bounded
+    dimension — q12 = floor(log2(p)·2^40 + 0.5); num/den are the same
+    exact BIGINTs as kn_doc_surprisal and the 2^40 scaling is
+    IEEE-exact, so q12 is engine-identical.  Per-source totals are then
+    DECIMAL(38,0) sums of n_t·q12 — order-free, map-side-combinable,
+    retry-invariant; no float ever crosses a shuffle.  The EG step runs
+    on the S-row source dimension folded in source order (sorted-array
+    fold, the kn_doc_surprisal precedent), with _expq as the
+    transcendental-free weight kernel.
+
+    Plan: token explode → (source, w1, w2) partial agg (map-side
+    combine: the fact that shuffles is O(S · distinct bigrams), never
+    corpus row count) → broadcast join against the quantized model dim
+    → per-source agg → ONE S-row dimension row, exploded back.  No
+    collect, no cartesian, no per-row Python.
+
+    Returns (source, n_bigrams, bits, excess_bits, weight)."""
+    bg, ctx, lc, rc, n_bigram_types = _kn_model_dims(df, text_col)
+    bgq = (
+        bg.join(ctx, "w1")
+        .join(lc, "w2")
+        .join(rc, "w1")
+        .select(
+            "w1",
+            "w2",
+            F.floor(_kn_log2_prob(n_bigram_types) * F.lit(float(DOREMI_Q)) + F.lit(0.5))
+            .cast("long")
+            .alias("q12"),
+        )
+    )
+    st = (
+        _bigram_pairs(df, text_col, source_col)
+        .groupBy(source_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    )
+    per_src = (
+        st.join(F.broadcast(bgq), ["w1", "w2"])
+        .groupBy(source_col)
+        .agg(
+            F.sum((F.col("n_t") * F.col("q12")).cast("decimal(38,0)")).alias("sq"),
+            F.sum("n_t").cast("long").alias("n"),
+        )
+    )
+    # ONE row holds the sorted source dimension + exact corpus totals;
+    # exploding it back gives every per-source row the totals without a
+    # join (and thus without a 1-row cartesian).
+    one = per_src.agg(
+        F.array_sort(F.collect_list(F.struct(source_col, "sq", "n"))).alias("arr"),
+        F.sum("sq").alias("tsq"),
+        F.sum("n").alias("tn"),
+    )
+
+    def bits_of(sq: Column, n: Column) -> Column:
+        return (-(sq.cast("double"))) / F.lit(float(DOREMI_Q)) / n.cast("double")
+
+    ref = bits_of(F.col("tsq"), F.col("tn"))
+
+    def w_of(sq: Column, n: Column) -> Column:
+        return _expq(F.lit(float(eta)) * F.greatest(F.lit(0.0), bits_of(sq, n) - ref))
+
+    ex = one.select(F.explode("arr").alias("x"), "arr", "tsq", "tn")
+    sum_w = F.aggregate(
+        F.col("arr"), F.lit(0.0), lambda acc, s: acc + w_of(s["sq"], s["n"])
+    )
+    bits_s = bits_of(F.col("x.sq"), F.col("x.n"))
+    return ex.select(
+        F.col(f"x.{source_col}").alias(source_col),
+        F.col("x.n").alias("n_bigrams"),
+        F.round(bits_s, 6).alias("bits"),
+        F.round(F.greatest(F.lit(0.0), bits_s - ref), 6).alias("excess_bits"),
+        F.round(w_of(F.col("x.sq"), F.col("x.n")) / sum_w, 6).alias("weight"),
     )
 
 

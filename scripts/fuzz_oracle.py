@@ -165,6 +165,17 @@ DOC_QUERIES = [
     # round 5: staged v2 (output-identical by construction) and the
     # DSIR-selected v3 chain (both compose fuzz-proven stages)
     "corpus_curation_v2_staged", "corpus_curation_v3",
+    # DoReMi EG step: kn_doc_surprisal's exact-int dims quantized at the
+    # vocab dim (IEEE-exact 2^40 scale), DECIMAL sums, polynomial exp —
+    # no float crosses a shuffle, no transcendental-libm seam
+    "doremi_mixture_weights",
+    # inverted-index exact Jaccard + the banding S-curve audit: shingle
+    # tokenizer parity fuzz-proven via ngram_jaccard_dups, md5 bands via
+    # near_dup_pairs; all downstream arithmetic exact ints + one division
+    "ngram_jaccard_global", "minhash_band_scurve",
+    # DoReMi weights -> Hamilton integer quotas (round-6 contract values
+    # integerized by one IEEE multiply + floor; apportionment exact ints)
+    "doremi_token_budget",
     # NOT fuzzed: pii_hit_counts_docs shares pii_scrub_docs' documented
     # RE2-vs-Java unicode \d/\b seam (see module docstring);
     # warc_roundtrip_stats' (and wet_roundtrip_stats') strict writer
@@ -188,6 +199,9 @@ EMB_QUERIES = [
     # int8 quantization: one IEEE expression tree over the same doubles
     # in both engines → identical integers on ANY fuzzed vectors
     "knn_quantized_int8",
+    # recall audit: composes knn_join (fuzz-proven) with the same
+    # bucket restriction embedding_near_dup_lsh fuzz-proves
+    "ann_recall_report",
 ]
 
 WORD_POOLS = (

@@ -641,3 +641,52 @@ def test_cross_source_dup_matrix_conserves_pairs(spark):
     assert sum(r["n_pairs"] for r in rows) == n_pairs
     assert all(r["source_a"] <= r["source_b"] for r in rows)
     assert n_pairs > 0
+
+
+def test_exact_jaccard_pairs_global_matches_bruteforce_twin(spark):
+    """exact_jaccard_pairs_global (inverted-index enumeration over the
+    df-capped shingle universe) must equal the brute-force all-pairs
+    Jaccard over the same universe — including a boilerplate shingle
+    that the cap removes from sizes AND intersections alike."""
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g x"),          # high overlap with 1
+        (3, "p q r s t u v w"),
+        (4, "p q r s t u v w"),           # exact dup of 3
+        (5, "totally different words here now"),
+    ]
+    # boilerplate: one shared shingle across EVERY doc, capped out at max_df=4
+    rows = [(i, t + " zz zz2 zz3") for i, t in rows]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.exact_jaccard_pairs_global(
+            docs, "text", "doc_id", shingle_n=3, threshold=0.05, max_df=4
+        ).collect()
+    }
+
+    def sh_set(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: sh_set(t) for i, t in rows}
+    from collections import Counter
+
+    df_counts = Counter(s for v in sets.values() for s in v)
+    capped = {i: {s for s in v if df_counts[s] <= 4} for i, v in sets.items()}
+    want = {}
+    ids = sorted(capped)
+    for i in ids:
+        for j in ids:
+            if i < j and capped[i] and capped[j]:
+                inter = len(capped[i] & capped[j])
+                if inter:
+                    jac = inter / len(capped[i] | capped[j])
+                    if jac >= 0.05:
+                        want[(i, j)] = jac
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12, (k, got[k], v)
+    # the capped boilerplate shingle created no pair on its own: doc 5
+    # shares only 'zz zz2 zz3'-window shingles with the others
+    assert not any(5 in k for k in got)

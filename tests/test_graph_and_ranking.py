@@ -519,6 +519,55 @@ def test_kn_doc_surprisal_partition_invariant(spark):
     assert a == b and len(a) > 0
 
 
+def test_doremi_weights_match_rational_twin_and_normalize(spark):
+    """doremi_mixture_weights against a pure-Python twin built from the
+    exact-rational KN model: per-source token-weighted bits, clipped
+    excess vs the corpus mean, the SAME degree-7 polynomial exp, and
+    source-ordered normalization.  Agreement to the round-6 edge, the
+    weights sum to 1, and the hard source lands above the easy one —
+    the direction the EG step exists to produce."""
+    from collections import defaultdict
+
+    rows = [
+        ("easy", "a b a b a b a b"),
+        ("easy", "a b a b c a"),
+        ("hard", "x a b c c a x"),
+        ("hard", "b c c a x a b"),
+        ("tiny", "x a"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    p, _ = _kn_model([t for _, t in rows])
+    agg = defaultdict(lambda: [0.0, 0])
+    for src, text in rows:
+        toks = text.strip().lower().split()
+        for w1, w2 in zip(toks, toks[1:]):
+            agg[src][0] += math.log2(p(w1, w2))
+            agg[src][1] += 1
+    bits = {s: -(tot) / n for s, (tot, n) in agg.items()}
+    ref = -(sum(t for t, _ in agg.values())) / sum(n for _, n in agg.values())
+
+    def expq(x):
+        e = 1.0 + x / 7.0
+        for i in (6, 5, 4, 3, 2):
+            e = 1.0 + x / float(i) * e
+        return 1.0 + x * e
+
+    w = {s: expq(0.1 * max(0.0, b - ref)) for s, b in bits.items()}
+    sw = sum(w[s] for s in sorted(w))
+    got = {
+        r["source"]: r
+        for r in textagg.doremi_mixture_weights(df, "text", "source").collect()
+    }
+    assert set(got) == set(bits)
+    for s in bits:
+        assert got[s]["n_bigrams"] == agg[s][1]
+        assert abs(got[s]["bits"] - bits[s]) < 2e-6, (s, got[s]["bits"], bits[s])
+        assert abs(got[s]["excess_bits"] - max(0.0, bits[s] - ref)) < 2e-6
+        assert abs(got[s]["weight"] - w[s] / sw) < 2e-6
+    assert abs(sum(r["weight"] for r in got.values()) - 1.0) < 1e-4
+    assert got["hard"]["weight"] > got["easy"]["weight"]
+
+
 def _hits_twin(edges, iters, r0=graph.HITS_R0):
     """Pure-Python twin of the exact-integer HITS recurrence."""
     nodes = {s for s, _, _ in edges} | {d for _, d, _ in edges}
