@@ -5362,7 +5362,8 @@ dm_st AS (
   FROM dm_spairs GROUP BY 1, 2, 3
 ),
 psrc AS (
-  SELECT source, sum(n_t * q12) AS sq, CAST(sum(n_t) AS BIGINT) AS n
+  SELECT source, sum(CAST(n_t AS HUGEINT) * q12) AS sq,
+    CAST(sum(n_t) AS BIGINT) AS n
   FROM dm_st JOIN bgq USING (w1, w2) GROUP BY source
 ),
 tot AS (SELECT sum(sq) AS tsq, sum(n) AS tn FROM psrc),

@@ -672,7 +672,10 @@ def doremi_mixture_weights(
         st.join(F.broadcast(bgq), ["w1", "w2"])
         .groupBy(source_col)
         .agg(
-            F.sum((F.col("n_t") * F.col("q12")).cast("decimal(38,0)")).alias("sq"),
+            # cast BEFORE the multiply: n_t·q12 can pass 2^63 on a hot
+            # bigram type (q12 ≲ 2^45) long before the sum does — the
+            # int64 product would wrap pre-cast (ADVICE r4 overflow class)
+            F.sum(F.col("n_t").cast("decimal(38,0)") * F.col("q12")).alias("sq"),
             F.sum("n_t").cast("long").alias("n"),
         )
     )
