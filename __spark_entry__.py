@@ -1246,6 +1246,51 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
     )
 
 
+SEMDECON_MOD = 10  # every 10th vector plays the benchmark/eval set
+SEMDECON_COS = 0.4
+
+
+def q_semantic_decontamination(spark, sf_dir):
+    """Semantic decontamination — the embedding-space eval-leak guard
+    that n-gram decontamination cannot provide (a paraphrased benchmark
+    item shares no 13-gram but sits at cos≈1): flag every training
+    vector within cos ≥ {thr} of ANY benchmark vector.  Candidates are
+    restricted to shared hyperplane-LSH buckets (the
+    embedding_near_dup_lsh scale path — a bucket equi-join, never
+    train×bench all-pairs; recall < 1 by construction and the oracle
+    applies the SAME bucket restriction, so the check is a full
+    value-hash match).  Completes the decontamination trio: exact
+    n-gram (benchmark_decontamination), Bloom-candidate scale twin
+    (…_bloom), and this semantic form."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    planes = similarity.make_planes(dim, n_planes=3, seed=99)
+    buckets = similarity.hyperplane_lsh_buckets(emb, "embedding", "vec_id", planes)
+    base = emb.join(buckets, "vec_id")
+    is_bench = F.col("vec_id") % SEMDECON_MOD == 0
+    bench = base.filter(is_bench).select(
+        F.col("embedding").alias("bv"), "bucket"
+    )
+    train = base.filter(~is_bench).select(
+        "vec_id", F.col("embedding").alias("tv"), "bucket"
+    )
+    cos = similarity.cosine_pair_col(F.col("tv"), F.col("bv"))
+    hits = (
+        train.join(bench, "bucket")
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= SEMDECON_COS)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bench_hits"))
+    )
+    n_hits = F.coalesce("n_bench_hits", F.lit(0)).cast("long")
+    return (
+        emb.filter(~is_bench)
+        .select("vec_id")
+        .join(hits, "vec_id", "left")
+        .select("vec_id", n_hits.alias("n_bench_hits"), (n_hits > 0).alias("contaminated"))
+    )
+
+
 def q_knn_bruteforce(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
@@ -3165,6 +3210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_global": q_ngram_jaccard_global,
         "minhash_band_scurve": q_minhash_band_scurve,
         "doremi_token_budget": q_doremi_token_budget,
+        "semantic_decontamination": q_semantic_decontamination,
         "corpus_curation_v3": q_corpus_curation_v3,
         "corpus_curation_v2_staged": q_corpus_curation_v2_staged,
         "crawl_media_near_dup": q_crawl_media_near_dup,
@@ -3702,6 +3748,28 @@ SELECT CAST(g.query_id AS BIGINT) AS query_id, g.gt_k,
   CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
   round(coalesce(h.hits, 0) * 1.0 / g.gt_k, 6) AS recall
 FROM gtc g LEFT JOIN hitc h USING (query_id)"""
+
+
+def _semantic_decon_sql() -> str:
+    from quality_filter.operators import similarity as S
+
+    planes = S.make_planes(_embedding_dim(), n_planes=3, seed=99)
+    cos = _COS_SQL.format(a="t.tv", b="s.bv")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_bucket_sql('v', planes)} AS bucket FROM e),
+bench AS (SELECT v AS bv, bucket FROM b WHERE vec_id % {SEMDECON_MOD} = 0),
+train AS (SELECT vec_id, v AS tv, bucket FROM b WHERE vec_id % {SEMDECON_MOD} <> 0),
+h AS (
+  SELECT t.vec_id, CAST(count(*) AS BIGINT) AS n
+  FROM train t JOIN bench s ON t.bucket = s.bucket
+  WHERE {cos} >= {SEMDECON_COS}
+  GROUP BY 1
+)
+SELECT t.vec_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_bench_hits,
+  coalesce(h.n, 0) > 0 AS contaminated
+FROM (SELECT vec_id FROM e WHERE vec_id % {SEMDECON_MOD} <> 0) t
+LEFT JOIN h USING (vec_id)"""
 
 
 def _embedding_lsh_sql() -> str:
@@ -4580,6 +4648,7 @@ FROM contrib GROUP BY 1""",
         "knn_ivf": _knn_ivf_sql(),
         "embedding_near_dup_lsh": _embedding_lsh_sql(),
         "ann_recall_report": _ann_recall_sql(),
+        "semantic_decontamination": _semantic_decon_sql(),
         "knn_join": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {KNN_JOIN_QUERIES})

@@ -202,6 +202,9 @@ EMB_QUERIES = [
     # recall audit: composes knn_join (fuzz-proven) with the same
     # bucket restriction embedding_near_dup_lsh fuzz-proves
     "ann_recall_report",
+    # semantic decontamination: the embedding_near_dup_lsh bucket join
+    # with a train/bench split — same plane literals, exact-int counts
+    "semantic_decontamination",
 ]
 
 WORD_POOLS = (
