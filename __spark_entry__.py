@@ -2831,6 +2831,18 @@ def q_kn_doc_surprisal(spark, sf_dir):
     return textagg.kn_doc_surprisal(docs, "text", "doc_id")
 
 
+def q_ccnet_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity terciles PER LANGUAGE (Wenzek
+    et al. 1911.00359): the in-engine KN LM scores every doc, then each
+    language is cut into thirds by a histogram-CDF over integer
+    perplexity bins — no per-language global sort (the 90%-one-language
+    corpus would serialize a rank window into a single task).  Cut bins
+    are exact integer statistics of a dimension-sized histogram;
+    assignment is a broadcast CASE (textagg.ccnet_ppl_buckets)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textagg.ccnet_ppl_buckets(docs, "text", "doc_id", "lang")
+
+
 def q_jsonl_roundtrip_stats(spark, sf_dir):
     """Interchange-source fidelity, proven not assumed: documents →
     JSON Lines → explicit-schema FAILFAST read → per-lang counts + an
@@ -3205,6 +3217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # leads; the oldest-reported (r2/r3) entries fill the remaining window
     # slots; the 50 r4-green entries rotate to the back.
     return {
+        "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "ann_recall_report": q_ann_recall_report,
         "doremi_mixture_weights": q_doremi_mixture_weights,
         "ngram_jaccard_global": q_ngram_jaccard_global,
@@ -5364,8 +5377,9 @@ SELECT t.doc_id,
         / CAST(count(*) AS DOUBLE), 6) AS oov_rate
 FROM ov_toks t LEFT JOIN ov_vocab v ON v.term = t.term
 GROUP BY t.doc_id"""
-    out["kn_doc_surprisal"] = f"""
-WITH kn_toksd AS ({_kn_toksd}),
+    # kn_doc CTE chain shared by kn_doc_surprisal and ccnet_ppl_buckets
+    # (one normative SQL spec of the per-doc KN score, like _dm_ctes)
+    _kn_doc_ctes = f"""kn_toksd AS ({_kn_toksd}),
 kn_toks AS (SELECT t FROM kn_toksd),
 kn_pairs AS ({_kn_pairs}),
 kn_dpairs AS (
@@ -5389,11 +5403,45 @@ sc AS (
       / CAST({_kn_dd} * c1 * nb AS DOUBLE)) AS contrib
   FROM dt JOIN bg USING (w1, w2) JOIN ctx USING (w1)
   JOIN lc USING (w2) JOIN rc USING (w1), bt
-)
+)"""
+    out["kn_doc_surprisal"] = f"""
+WITH {_kn_doc_ctes}
 SELECT doc_id, CAST(sum(n_t) AS BIGINT) AS n_bigrams,
   round({_kn_bits}, 6) AS surprisal_bits,
   round(pow(2.0, {_kn_bits}), 6) AS ppl
 FROM sc GROUP BY doc_id"""
+    out["ccnet_ppl_buckets"] = f"""
+WITH {_kn_doc_ctes},
+knd AS (
+  SELECT doc_id, round({_kn_bits}, 6) AS surprisal_bits
+  FROM sc GROUP BY doc_id
+),
+sb AS (
+  SELECT d.lang, k.doc_id, k.surprisal_bits,
+    CAST(floor(k.surprisal_bits * {float(textagg.CCNET_BIN_SCALE):.1f}) AS BIGINT)
+      AS ppl_bin
+  FROM knd k JOIN documents d USING (doc_id)
+),
+hist AS (
+  SELECT lang, ppl_bin, CAST(count(*) AS BIGINT) AS nb FROM sb GROUP BY 1, 2
+),
+cdf AS (
+  SELECT lang, ppl_bin,
+    sum(nb) OVER (PARTITION BY lang ORDER BY ppl_bin) AS cum,
+    sum(nb) OVER (PARTITION BY lang) AS tot
+  FROM hist
+),
+cuts AS (
+  SELECT lang,
+    min(CASE WHEN 3 * cum >= tot THEN ppl_bin END) AS cut1,
+    min(CASE WHEN 3 * cum >= 2 * tot THEN ppl_bin END) AS cut2
+  FROM cdf GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.surprisal_bits, s.ppl_bin,
+  CASE WHEN s.ppl_bin <= c.cut1 THEN 'head'
+       WHEN s.ppl_bin <= c.cut2 THEN 'middle'
+       ELSE 'tail' END AS ppl_bucket
+FROM sb s JOIN cuts c USING (lang)"""
 
     # degree-7 Horner polynomial exp — the textual twin of textagg._expq
     # (the SPEC is the polynomial: no transcendental-libm seam)

@@ -599,6 +599,89 @@ def kn_doc_surprisal(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+CCNET_BIN_SCALE = 64  # power-of-two bin width (1/64 bit): IEEE-exact multiply
+
+
+def ccnet_ppl_buckets(
+    df: DataFrame, text_col: str, id_col: str, lang_col: str
+) -> DataFrame:
+    """CCNet-style per-language perplexity terciles (Wenzek et al.,
+    arXiv:1911.00359 §4.3): score every document with the in-engine
+    Kneser-Ney LM (kn_doc_surprisal — the KenLM analog CCNet trains on
+    Wikipedia), then split EACH LANGUAGE into head / middle / tail
+    thirds by perplexity.  The reference gates on one global threshold
+    (opennsfw2 ``predict_*`` → 0.8 cut); CCNet's insight is that
+    perplexity is only comparable within a language, so the cut points
+    must be per-language distribution statistics, not constants.
+
+    Scale shape — NO per-language global sort (a 100 TB corpus is 90%
+    one language; a rank window over that partition is a single-task
+    sort).  Instead the classic histogram-CDF plan:
+
+      1. per-doc surprisal_bits (kn_doc_surprisal's exact plan),
+         quantized to integer bins: floor(bits * 64) — 64 is a power
+         of two so the multiply is IEEE-exact, and bins are bounded by
+         the VALUE RANGE of bits/bigram (~0..40 → ≤ 2560 bins), never
+         by corpus size;
+      2. (lang, bin) histogram — map-side-combined, dimension-sized;
+      3. CDF + tercile cut bins via windows over the HISTOGRAM (a
+         dimension), all integer arithmetic: cut_k = min bin with
+         3·cum ≥ k·total;
+      4. cuts (one row per language) broadcast back into the per-doc
+         fact — a narrow CASE, no shuffle.
+
+    Tie semantics are spec'd at bin granularity: every doc in a bin
+    gets one bucket, so `head` holds the smallest prefix of bins with
+    ≥ 1/3 of the language's docs (can exceed 1/3 only by the cut bin's
+    mass).  Docs with no bigram (< 2 tokens) carry no LM evidence and
+    are excluded, exactly as kn_doc_surprisal excludes them."""
+    from pyspark.sql import Window as W
+
+    knd = kn_doc_surprisal(df, text_col, id_col).select(
+        id_col, "n_bigrams", "surprisal_bits"
+    )
+    scored = (
+        knd.join(df.select(id_col, lang_col), id_col)
+        .withColumn(
+            "ppl_bin",
+            F.floor(F.col("surprisal_bits") * F.lit(float(CCNET_BIN_SCALE))).cast(
+                "long"
+            ),
+        )
+    )
+    hist = scored.groupBy(lang_col, "ppl_bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nb")
+    )
+    wcum = W.partitionBy(lang_col).orderBy(F.col("ppl_bin").asc())
+    wtot = W.partitionBy(lang_col)
+    cdf = hist.select(
+        lang_col,
+        "ppl_bin",
+        F.sum("nb").over(wcum).alias("cum"),
+        F.sum("nb").over(wtot).alias("tot"),
+    )
+    cuts = cdf.groupBy(lang_col).agg(
+        F.min(
+            F.when(F.lit(3) * F.col("cum") >= F.col("tot"), F.col("ppl_bin"))
+        ).alias("cut1"),
+        F.min(
+            F.when(F.lit(3) * F.col("cum") >= F.lit(2) * F.col("tot"), F.col("ppl_bin"))
+        ).alias("cut2"),
+    )
+    bucket = (
+        F.when(F.col("ppl_bin") <= F.col("cut1"), F.lit("head"))
+        .when(F.col("ppl_bin") <= F.col("cut2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.join(F.broadcast(cuts), lang_col).select(
+        F.col(id_col),
+        F.col(lang_col),
+        "surprisal_bits",
+        "ppl_bin",
+        bucket.alias("ppl_bucket"),
+    )
+
+
 DOREMI_Q = 1 << 40  # power-of-two quantization scale: IEEE-exact multiply
 DOREMI_ETA = 0.1
 

@@ -90,6 +90,10 @@ DOC_QUERIES = [
     # class) + (w1,w2)-sorted fold — string-sort parity fuzz-proven via
     # tfidf_top_docs, fold order pinned by construction on both engines
     "kn_doc_surprisal",
+    # CCNet terciles: fuzz-proven kn_doc_surprisal bits (round-6,
+    # bit-identical) -> power-of-two bin floor (IEEE-exact) -> exact-int
+    # histogram CDF; lang is grouped as an opaque string on both engines
+    "ccnet_ppl_buckets",
     # OOV rate: deterministic top-V vocab (count desc, term asc) +
     # exact counts; lower() parity fuzz-proven via tfidf_top_docs
     "oov_rate_docs",

@@ -505,3 +505,44 @@ def test_mojibake_repair_chain_order_is_stable(spark):
     df = spark.createDataFrame([(1, tricky)], "i long, t string")
     got = df.select(mojibake_repair_col(F.col("t")).alias("f")).first()["f"]
     assert got == mojibake_repair_py(tricky)
+
+
+def test_ccnet_ppl_buckets_tercile_invariants(spark):
+    """CCNet head/middle/tail cuts: per language (a) every scored doc
+    gets exactly one bucket; (b) buckets are ORDERED — max head bin <
+    min middle bin < min tail bin; (c) the head prefix is the SMALLEST
+    bin prefix holding >= 1/3 of the language (cum(cut1) >= n/3 but
+    cum(cut1 - 1) < n/3), same for head+middle at 2/3; (d) the scored
+    set is exactly the kn_doc_surprisal support (>= 1 bigram)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = textagg.ccnet_ppl_buckets(docs, "text", "doc_id", "lang").collect()
+    knd = textagg.kn_doc_surprisal(docs, "text", "doc_id").collect()
+    assert {r["doc_id"] for r in out} == {r["doc_id"] for r in knd}
+    assert {r["ppl_bucket"] for r in out} <= {"head", "middle", "tail"}
+
+    from collections import defaultdict
+
+    by_lang = defaultdict(list)
+    for r in out:
+        by_lang[r["lang"]].append(r)
+    assert len(by_lang) > 1
+    for lang, rows in by_lang.items():
+        n = len(rows)
+        bins = {b: [r["ppl_bin"] for r in rows if r["ppl_bucket"] == b]
+                for b in ("head", "middle", "tail")}
+        assert bins["head"], lang  # head is never empty
+        if bins["middle"]:
+            assert max(bins["head"]) < min(bins["middle"])
+        if bins["tail"]:
+            lo = min(bins["tail"])
+            assert max(bins["head"]) < lo
+            if bins["middle"]:
+                assert max(bins["middle"]) < lo
+        # minimality of the cuts, at bin granularity
+        n_head = len(bins["head"])
+        cut1_mass = sum(1 for r in rows if r["ppl_bin"] == max(bins["head"]))
+        assert 3 * n_head >= n and 3 * (n_head - cut1_mass) < n
+        n_hm = n_head + len(bins["middle"])
+        if bins["middle"]:
+            cut2_mass = sum(1 for r in rows if r["ppl_bin"] == max(bins["middle"]))
+            assert 3 * n_hm >= 2 * n and 3 * (n_hm - cut2_mass) < 2 * n
