@@ -2831,6 +2831,56 @@ def q_kn_doc_surprisal(spark, sf_dir):
     return textagg.kn_doc_surprisal(docs, "text", "doc_id")
 
 
+# Multi-level host universe for the blocklist gate (the flat _ol_pages
+# hosts share one registrable domain, which cannot exercise the
+# label-suffix lattice): pure integer arithmetic + concat, so both
+# engines synthesize the identical string per doc_id on ANY corpus.
+_BL_HOSTS_SQL = """SELECT doc_id,
+    (CASE WHEN doc_id % 5 = 0 THEN 'ads.' WHEN doc_id % 7 = 0 THEN 'cdn.' ELSE '' END)
+    || 'w' || CAST(doc_id % 10 AS VARCHAR) || '.site' || CAST(doc_id % 8 AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 0 THEN '.com' WHEN doc_id % 3 = 1 THEN '.net'
+        ELSE '.org' END) AS host
+  FROM documents"""
+
+
+def _bl_hosts(docs):
+    d = F.col("doc_id")
+    sub = (
+        F.when(d % 5 == 0, F.lit("ads."))
+        .when(d % 7 == 0, F.lit("cdn."))
+        .otherwise(F.lit(""))
+    )
+    tld = (
+        F.when(d % 3 == 0, F.lit(".com"))
+        .when(d % 3 == 1, F.lit(".net"))
+        .otherwise(F.lit(".org"))
+    )
+    host = F.concat(
+        sub,
+        F.lit("w"),
+        (d % 10).cast("string"),
+        F.lit(".site"),
+        (d % 8).cast("string"),
+        tld,
+    )
+    return docs.select("doc_id", host.alias("host"))
+
+
+def q_url_blocklist_gate(spark, sf_dir):
+    """UT1-category domain blocklist over the crawl (RefinedWeb §3.1's
+    first gate): block iff any dot-boundary label-suffix of the host is
+    listed; the longest entry names the category (robots longest-match
+    precedent — ads.w0.site0.com takes 'ads' over site0.com's
+    'tracker').  Suffix expansion is a narrow HOF, the list a broadcast
+    dim, the winner a max-struct on the unique page id
+    (links.blocklist_gate)."""
+    docs = _t(spark, sf_dir, "documents")
+    bl = spark.createDataFrame(
+        list(links.HOST_BLOCKLIST), "rule string, category string"
+    )
+    return links.blocklist_gate(_bl_hosts(docs), "host", bl)
+
+
 def q_ccnet_ppl_buckets(spark, sf_dir):
     """CCNet head/middle/tail perplexity terciles PER LANGUAGE (Wenzek
     et al. 1911.00359): the in-engine KN LM scores every doc, then each
@@ -3218,6 +3268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # slots; the 50 r4-green entries rotate to the back.
     return {
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
+        "url_blocklist_gate": q_url_blocklist_gate,
         "ann_recall_report": q_ann_recall_report,
         "doremi_mixture_weights": q_doremi_mixture_weights,
         "ngram_jaccard_global": q_ngram_jaccard_global,
@@ -5695,6 +5746,23 @@ FROM ratios GROUP BY 1"""
 WITH {_url_canon_ctes()}
 SELECT canonical_url, min(doc_id) AS rep_id, CAST(count(*) AS BIGINT) AS n_dups
 FROM canon GROUP BY 1"""
+    _bl_values = ", ".join(f"('{r}', '{c}')" for r, c in links.HOST_BLOCKLIST)
+    out["url_blocklist_gate"] = f"""
+WITH hosts AS ({_BL_HOSTS_SQL}),
+bl(rule, category) AS (VALUES {_bl_values}),
+sufs AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(string_split(host, '.')) + 1),
+    i -> array_to_string(string_split(host, '.')[i:], '.'))) AS suf
+  FROM hosts
+),
+mm AS (
+  SELECT doc_id, rule, category,
+    row_number() OVER (PARTITION BY doc_id ORDER BY length(rule) DESC, rule) AS rn
+  FROM sufs JOIN bl ON suf = rule
+)
+SELECT h.doc_id, h.host, (m.rule IS NOT NULL) AS blocked,
+  m.rule AS matched_rule, m.category
+FROM hosts h LEFT JOIN (SELECT * FROM mm WHERE rn = 1) m USING (doc_id)"""
     return out
 
 

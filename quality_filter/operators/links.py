@@ -211,3 +211,69 @@ def robots_decision(
             "matched_rule", "matched_prefix",
         )
     )
+
+
+# UT1-style category blocklist (RefinedWeb §3.1 "URL filtering": the
+# Université Toulouse 1 blacklists keyed by domain suffix + category).
+# Deterministic test instance — production swaps in the real ~4M-entry
+# list; the PLAN is identical (broadcast dim, label-suffix equi-join).
+HOST_BLOCKLIST: tuple[tuple[str, str], ...] = (
+    ("site0.com", "tracker"),
+    ("ads.w0.site0.com", "ads"),  # longer than site0.com: longest-wins
+    ("site3.net", "adult"),
+    ("site5.org", "malware"),
+    ("w7.site7.com", "phishing"),
+)
+
+
+def blocklist_gate(
+    df: DataFrame,
+    host_col: str,
+    rules: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-blocklist gate with UT1 semantics: a page is blocked iff
+    ANY dot-boundary label-suffix of its host appears in the blocklist
+    (``ads.w0.site0.com`` matches entries ``ads.w0.site0.com``,
+    ``w0.site0.com``, ``site0.com`` and ``com``); the LONGEST matching
+    entry names the category (most-specific rule wins, the robots
+    longest-prefix precedent).  ``rules`` is ``(rule, category)``.
+
+    Scale shape: suffix expansion is a narrow HOF (≤ label-count ≈ 4
+    rows per page, never a shuffle); the blocklist is a broadcast dim
+    (UT1's full list is ~4M rows ≈ 10² MB — broadcastable; past that,
+    bucket both sides on ``rule``); the longest-match winner is a
+    map-side-combined max-struct keyed by the UNIQUE page id, so the
+    only exchange is O(matched pages); verdicts rejoin 1:1 on the id.
+    Equal-length distinct rules cannot both match one host (same-length
+    suffixes of a host are equal), so the winner is deterministic."""
+    parts = F.split(F.col(host_col), r"\.")
+    sufs = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."),
+    )
+    ex = df.select(id_col, F.explode(sufs).alias("suf"))
+    matched = (
+        ex.join(F.broadcast(rules), ex["suf"] == rules["rule"])
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("rule").alias("_l"),
+                    F.col("rule").alias("rule"),
+                    F.col("category").alias("category"),
+                )
+            ).alias("_w")
+        )
+    )
+    return (
+        df.select(id_col, F.col(host_col).alias("host"))
+        .join(matched, id_col, "left")
+        .select(
+            id_col,
+            "host",
+            F.col("_w").isNotNull().alias("blocked"),
+            F.col("_w.rule").alias("matched_rule"),
+            F.col("_w.category").alias("category"),
+        )
+    )

@@ -141,6 +141,10 @@ DOC_QUERIES = [
     "crawl_fetch_plan",
     # source-pair leakage matrix over the fuzz-proven LSH pair relation
     "cross_source_dup_matrix",
+    # UT1 blocklist gate: host synthesized from doc_id by pure integer
+    # arithmetic + concat (corpus-independent), exact-string suffix
+    # equi-join vs a literal dim — no text column ever touched
+    "url_blocklist_gate",
     # exact-count ln expression (bm25 precedent) + exact-int novelty ratio
     "collocation_pmi", "doc_novelty_docs",
     # ASCII-space tokens + log2-of-rational-counts (same class as the

@@ -326,3 +326,60 @@ def test_crawl_fetch_plan_respects_quota_and_politeness(spark):
         rounds = sorted(x["fetch_round"] for x in rs)
         assert rounds == list(range(1, len(rs) + 1)), host
         assert len(rs) <= quota
+
+
+def test_blocklist_gate_longest_suffix_wins(spark):
+    """UT1 gate semantics on hand-built hosts: (a) a host matching two
+    entries takes the LONGEST (ads.w0.site0.com → 'ads', not
+    site0.com's 'tracker'); (b) a registrable-domain entry blocks every
+    subdomain; (c) matching is at dot boundaries only (notsite3.net
+    must NOT match site3.net); (d) unlisted hosts pass."""
+    bl = spark.createDataFrame(
+        list(links.HOST_BLOCKLIST), "rule string, category string"
+    )
+    cases = [
+        (1, "ads.w0.site0.com", True, "ads.w0.site0.com", "ads"),
+        (2, "w3.site0.com", True, "site0.com", "tracker"),
+        (3, "cdn.w1.site3.net", True, "site3.net", "adult"),
+        (4, "notsite3.net", False, None, None),
+        (5, "w7.site7.com", True, "w7.site7.com", "phishing"),
+        (6, "deep.sub.w7.site7.com", True, "w7.site7.com", "phishing"),
+        (7, "w2.site2.org", False, None, None),
+        (8, "com", False, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, *_ in cases], "doc_id long, host string"
+    )
+    got = {
+        r["doc_id"]: (r["blocked"], r["matched_rule"], r["category"])
+        for r in links.blocklist_gate(df, "host", bl).collect()
+    }
+    assert len(got) == len(cases)
+    for i, _h, blocked, rule, cat in cases:
+        assert got[i] == (blocked, rule, cat), (i, got[i])
+
+
+def test_url_blocklist_gate_registry_matches_suffix_classes(spark):
+    """The registered query exercises every match class at sf0.01:
+    full-subdomain, registrable-domain, and longest-wins overlaps all
+    occur; every blocked row's rule IS a dot-boundary suffix of its
+    host; unblocked rows match no listed suffix."""
+    import __spark_entry__ as E
+
+    rows = E.q_url_blocklist_gate(spark, SF).collect()
+    assert len(rows) == 500
+    listed = dict(links.HOST_BLOCKLIST)
+    cats = set()
+    for r in rows:
+        sufs = {
+            ".".join(r["host"].split(".")[i:])
+            for i in range(len(r["host"].split(".")))
+        }
+        hits = sufs & set(listed)
+        if r["blocked"]:
+            assert r["matched_rule"] == max(hits, key=len)
+            assert r["category"] == listed[r["matched_rule"]]
+            cats.add(r["category"])
+        else:
+            assert not hits
+    assert {"tracker", "ads", "adult", "malware"} <= cats
