@@ -1265,29 +1265,13 @@ def q_semantic_decontamination(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").head()[0])
     planes = similarity.make_planes(dim, n_planes=3, seed=99)
-    buckets = similarity.hyperplane_lsh_buckets(emb, "embedding", "vec_id", planes)
-    base = emb.join(buckets, "vec_id")
-    is_bench = F.col("vec_id") % SEMDECON_MOD == 0
-    bench = base.filter(is_bench).select(
-        F.col("embedding").alias("bv"), "bucket"
-    )
-    train = base.filter(~is_bench).select(
-        "vec_id", F.col("embedding").alias("tv"), "bucket"
-    )
-    cos = similarity.cosine_pair_col(F.col("tv"), F.col("bv"))
-    hits = (
-        train.join(bench, "bucket")
-        .withColumn("_cos", cos)
-        .filter(F.col("_cos") >= SEMDECON_COS)
-        .groupBy("vec_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_bench_hits"))
-    )
-    n_hits = F.coalesce("n_bench_hits", F.lit(0)).cast("long")
-    return (
-        emb.filter(~is_bench)
-        .select("vec_id")
-        .join(hits, "vec_id", "left")
-        .select("vec_id", n_hits.alias("n_bench_hits"), (n_hits > 0).alias("contaminated"))
+    return similarity.semantic_decontamination(
+        emb,
+        "embedding",
+        "vec_id",
+        F.col("vec_id") % SEMDECON_MOD == 0,
+        planes,
+        SEMDECON_COS,
     )
 
 

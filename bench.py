@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "dsir_logweights_docs",   # B-row ratio dim -> literal -> zero-shuffle scoring
     "corpus_curation_v3",     # DSIR select -> full v2 curation chain
     "doremi_mixture_weights",  # KN dims -> quantized vocab dim -> per-source EG step
+    "ccnet_ppl_buckets",      # KN scoring -> histogram-CDF per-lang tercile cuts
 ]
 
 

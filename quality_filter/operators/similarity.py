@@ -482,6 +482,50 @@ def make_planes(dim: int, n_planes: int, seed: int = 1234) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def semantic_decontamination(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    is_bench: Column,
+    planes: list[list[float]],
+    cos_min: float,
+) -> DataFrame:
+    """Embedding-space eval-leak guard: flag every TRAIN vector within
+    cos ≥ ``cos_min`` of ANY benchmark vector (``is_bench`` splits the
+    relation).  Candidates are restricted to shared hyperplane-LSH
+    buckets — a bucket equi-join, never train×bench all-pairs, so the
+    per-bucket work is |train_b|×|bench_b| and replicating the training
+    side grows the join LINEARLY (the bench side is the fixed small
+    dimension).  Returns (id, n_bench_hits, contaminated) for every
+    train row.  Recall < 1 by construction (a near-pair split across
+    buckets is missed); the registered oracle applies the identical
+    restriction so correctness is a full value-hash, and the recall
+    question itself is measured by ann_recall_report."""
+    buckets = hyperplane_lsh_buckets(emb, vec_col, id_col, planes)
+    base = emb.join(buckets, id_col)
+    bench = base.filter(is_bench).select(F.col(vec_col).alias("bv"), "bucket")
+    train = base.filter(~is_bench).select(
+        id_col, F.col(vec_col).alias("tv"), "bucket"
+    )
+    cos = cosine_pair_col(F.col("tv"), F.col("bv"))
+    hits = (
+        train.join(bench, "bucket")
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= F.lit(cos_min))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bench_hits"))
+    )
+    n_hits = F.coalesce("n_bench_hits", F.lit(0)).cast("long")
+    return (
+        emb.filter(~is_bench)
+        .select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col, n_hits.alias("n_bench_hits"), (n_hits > 0).alias("contaminated")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact all-pairs without a cartesian node — triangle block join
 # ---------------------------------------------------------------------------
