@@ -1078,6 +1078,19 @@ def q_near_dup_survivors(spark, sf_dir):
     return dedup.near_dup_survivors(docs, "doc_id", comp)
 
 
+def q_near_dup_quality_survivors(spark, sf_dir):
+    """Quality-aware dedup: within each near-dup cluster keep the
+    LONGEST member (ties → smallest id) — the keep-best policy a
+    production curator uses instead of keep-first.  One max-struct agg
+    per cluster (map-side combinable) + a left-anti join for the
+    unclustered corpus; the rank is evaluated only on clustered rows."""
+    docs = _t(spark, sf_dir, "documents")
+    comp = dedup.near_dup_components(q_lsh_band_keys(spark, sf_dir), "doc_id")
+    return dedup.near_dup_best_survivors(
+        docs, "doc_id", comp, F.length("text").cast("long")
+    )
+
+
 def q_ngram_jaccard_dups(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(
@@ -3251,6 +3264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # leads; the oldest-reported (r2/r3) entries fill the remaining window
     # slots; the 50 r4-green entries rotate to the back.
     return {
+        "near_dup_quality_survivors": q_near_dup_quality_survivors,
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "url_blocklist_gate": q_url_blocklist_gate,
         "ann_recall_report": q_ann_recall_report,
@@ -4461,6 +4475,21 @@ FROM xs GROUP BY source_a, source_b""",
         "near_dup_survivors": _components_sql() + """
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> comp)""",
+        "near_dup_quality_survivors": _components_sql() + """,
+mem AS (
+  SELECT c.comp, d.doc_id, length(d.text) AS l
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+),
+mx AS (SELECT comp, max(l) AS mxl FROM mem GROUP BY comp),
+win AS (
+  SELECT m.comp, min(m.doc_id) AS doc_id
+  FROM mem m JOIN mx ON mx.comp = m.comp AND m.l = mx.mxl
+  GROUP BY m.comp
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+UNION ALL
+SELECT doc_id FROM win""",
         "segment_dedup_docs": f"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text, ' '), '[ ]+') AS t FROM documents

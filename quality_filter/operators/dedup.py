@@ -642,6 +642,42 @@ def near_dup_survivors(docs: DataFrame, id_col: str, components: DataFrame) -> D
     return docs.select(id_col).join(losers, id_col, "left_anti")
 
 
+def near_dup_best_survivors(
+    docs: DataFrame, id_col: str, components: DataFrame, rank: Column
+) -> DataFrame:
+    """Quality-aware survivor selection: within each near-dup cluster
+    keep the member with the HIGHEST ``rank`` (ties broken by smallest
+    id) instead of the smallest id — production pipelines keep the
+    longest / highest-quality copy of a duplicated page, not an
+    arbitrary one (``near_dup_survivors`` is the min-id form).
+
+    Scale shape: ``rank`` is evaluated as a narrow map on the clustered
+    member subset only (inner join of the component list against the
+    corpus); the per-cluster argmax is ONE max-struct aggregation —
+    map-side combinable, so a 10^6-member cluster ships one candidate
+    per map task — and unclustered docs never shuffle (left-anti join
+    on the clustered-id dim).  Returns one ``id_col`` row per survivor.
+    ``rank`` must be exactly orderable cross-engine (integers); the
+    struct max totals the order by (rank desc, id asc) via a negated id.
+    """
+    members = components.join(docs, id_col).select(
+        F.col(id_col), F.col("comp"), rank.alias("_rank")
+    )
+    winners = (
+        members.groupBy("comp")
+        .agg(
+            F.max(
+                F.struct(F.col("_rank"), (-F.col(id_col)).alias("_neg"))
+            ).alias("w")
+        )
+        .select((-F.col("w._neg")).alias(id_col))
+    )
+    unclustered = docs.select(id_col).join(
+        components.select(id_col), id_col, "left_anti"
+    )
+    return unclustered.unionByName(winners)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, group_col: str,
     n: int = 3, threshold: float = 0.5,

@@ -39,6 +39,9 @@ DOC_QUERIES = [
     "doc_fingerprints", "dedup_exact_docs", "minhash_signatures",
     "lsh_band_keys", "near_dup_pairs", "near_dup_clusters",
     "near_dup_survivors", "ngram_jaccard_dups", "minhash_jaccard_estimate",
+    # round 5: keep-best representative — fuzz-proven component algebra
+    # + exact-integer length rank (argmax/tie-break bit-identical)
+    "near_dup_quality_survivors",
     "simhash_docs", "simhash_near_dup", "docs_hash_sample",
     "docs_stratified_sample", "corpus_top_terms", "tfidf_top_docs",
     "dup_ngram_ratio_docs", "packed_docs", "corpus_curation",

@@ -690,3 +690,37 @@ def test_exact_jaccard_pairs_global_matches_bruteforce_twin(spark):
     # the capped boilerplate shingle created no pair on its own: doc 5
     # shares only 'zz zz2 zz3'-window shingles with the others
     assert not any(5 in k for k in got)
+
+
+def test_best_survivors_keep_longest_with_min_id_tiebreak(spark):
+    """Quality-aware survivor selection: the cluster representative is
+    the argmax(rank) member with ties broken by MIN id — different from
+    the min-id form whenever a longer copy has a larger id, identical
+    survivor COUNT always (one per cluster + all unclustered)."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),                       # cluster A, short
+        (1, base + " extra tail words"),  # cluster A, longest -> winner
+        (2, base),                       # cluster A, short
+        (10, "zz aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq"),
+        (11, "zz aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq"),
+        # cluster B: exact ties on length -> min id 10 wins
+        (20, "a lone unique document with completely distinct vocabulary"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bands = _bands(docs)
+    comp = dedup.near_dup_components(bands, "doc_id")
+    comp_ids = {r["doc_id"] for r in comp.collect()}
+    assert {0, 1, 2, 10, 11} <= comp_ids and 20 not in comp_ids
+
+    best = dedup.near_dup_best_survivors(
+        docs, "doc_id", comp, F.length("text").cast("long")
+    )
+    got = {r["doc_id"] for r in best.collect()}
+    assert got == {1, 10, 20}
+
+    # min-id form differs on cluster A (picks 0), agrees on count
+    first = dedup.near_dup_survivors(docs, "doc_id", comp)
+    got_first = {r["doc_id"] for r in first.collect()}
+    assert got_first == {0, 10, 20}
+    assert len(got_first) == len(got)
