@@ -3165,6 +3165,23 @@ def q_segment_dedup_docs(spark, sf_dir):
     return dedup.segment_dedup(docs, "text", "doc_id", SEGMENT_WORDS)
 
 
+BOILER_MIN_DF = 3  # sf0.01 has 15 segments at df>=3 (max 6) — removal fires
+
+
+def q_boilerplate_scrub(spark, sf_dir):
+    """RefinedWeb-style boilerplate scrub: remove EVERY occurrence of
+    any segment repeated >= BOILER_MIN_DF times corpus-wide (the
+    nav-bar / cookie-banner verb; segment_dedup's keep-first sibling
+    keeps one copy, the boilerplate verb keeps none).  The hot set is a
+    bounded dimension (<= occurrences/min_df by pigeonhole) broadcast
+    as ONE array row; the corpus is never shuffled — codegen'd HOF
+    filter + array_join narrow map (see dedup.boilerplate_segment_scrub)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.boilerplate_segment_scrub(
+        docs, "text", "doc_id", SEGMENT_WORDS, BOILER_MIN_DF
+    )
+
+
 def q_incremental_near_dup(spark, sf_dir):
     """Daily-increment near-dup: docs with doc_id % 5 != 0 model the
     already-accepted corpus (its persisted LSH band index — see
@@ -3265,6 +3282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # slots; the 50 r4-green entries rotate to the back.
     return {
         "near_dup_quality_survivors": q_near_dup_quality_survivors,
+        "boilerplate_scrub_docs": q_boilerplate_scrub,
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "url_blocklist_gate": q_url_blocklist_gate,
         "ann_recall_report": q_ann_recall_report,
@@ -4514,6 +4532,36 @@ agg AS (
 base AS (SELECT doc_id, CAST(ceil(len(t) / {SEGMENT_WORDS}.0) AS BIGINT) AS n_segs FROM toks)
 SELECT b.doc_id AS doc_id, coalesce(a.text_dedup, '') AS text_dedup,
        b.n_segs AS n_segs, coalesce(a.n_kept, CAST(0 AS BIGINT)) AS n_kept
+FROM base b LEFT JOIN agg a USING (doc_id)""",
+        "boilerplate_scrub_docs": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text, ' '), '[ ]+') AS t FROM documents
+),
+occ0 AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(0, CAST(ceil(len(t) / {SEGMENT_WORDS}.0) AS BIGINT) - 1),
+    i -> struct_pack(seg_idx := i,
+                     seg := array_to_string(t[i*{SEGMENT_WORDS}+1 : i*{SEGMENT_WORDS}+{SEGMENT_WORDS}], ' ')))) AS u
+  FROM toks
+),
+occ AS (SELECT doc_id, u.seg_idx AS seg_idx, u.seg AS seg FROM occ0),
+hot AS (
+  SELECT seg FROM (SELECT seg, count(*) AS c FROM occ GROUP BY seg)
+  WHERE c >= {BOILER_MIN_DF}
+),
+kept AS (
+  SELECT o.doc_id, o.seg_idx, o.seg
+  FROM occ o LEFT JOIN hot h ON h.seg = o.seg
+  WHERE h.seg IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_clean,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+base AS (SELECT doc_id, CAST(ceil(len(t) / {SEGMENT_WORDS}.0) AS BIGINT) AS n_segs FROM toks)
+SELECT b.doc_id AS doc_id, coalesce(a.text_clean, '') AS text_clean,
+       b.n_segs - coalesce(a.n_kept, CAST(0 AS BIGINT)) AS n_removed
 FROM base b LEFT JOIN agg a USING (doc_id)""",
         "incremental_near_dup": f"""
 WITH {_minhash_sig_cte()},

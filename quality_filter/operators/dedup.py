@@ -871,6 +871,61 @@ def segment_dedup(
     )
 
 
+def boilerplate_segment_scrub(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = SEGMENT_WORDS,
+    min_df: int = 100,
+) -> DataFrame:
+    """RefinedWeb-style boilerplate removal: delete EVERY occurrence of
+    any segment whose corpus occurrence count is >= ``min_df`` — nav
+    bars / cookie banners / footers repeat across a large fraction of a
+    crawl, and unlike ``segment_dedup`` (keep FIRST occurrence) the
+    boilerplate verb keeps none of them.
+
+    Scale shape (100 TB): ``segment_dedup``'s accepted two-shuffle
+    shape.  (1) The segment-count agg collapses map-side — a
+    10^9-occurrence cookie banner ships one row per map task — and the
+    surviving hot set is <= total_occurrences / min_df rows by
+    pigeonhole: at any corpus-fraction threshold a bounded dimension,
+    BROADCAST into (2) a hash anti equi-join on the occurrence stream
+    (never a nested-loop node), then (3) one groupBy(id) reassembles
+    surviving segments in order.  Output: (id, text_clean, n_removed);
+    text_clean is whitespace-normalized by the shared segment split
+    (the segment-family contract) and '' when every segment was hot."""
+    occ = segment_occurrences(df, text_col, id_col, k)
+    hot = (
+        occ.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= F.lit(int(min_df)))
+        .select("seg")
+    )
+    kept = occ.join(F.broadcast(hot), "seg", "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).cast("long").alias("_n_kept"),
+    )
+    n_segs = F.size(segments_col(F.col(text_col), k)).cast("long")
+    return (
+        df.select(F.col(id_col), n_segs.alias("_n_segs"))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            (F.col("_n_segs") - F.coalesce("_n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
 def doc_novelty(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:

@@ -51,6 +51,8 @@ DOC_QUERIES = [
     # generate their own media table, not fuzzed)
     "benchmark_decontamination_bloom", "doc_quality_decile_bounds",
     "doc_length_quantiles_approx", "segment_dedup_docs",
+    # round 5: boilerplate verb — fuzz-proven segment algebra + exact df
+    "boilerplate_scrub_docs",
     "incremental_near_dup", "incremental_curation",
     # round-4 follow-up: bit-exact tempered sampling (fuzzed strata sizes
     # exercise the sqrt-threshold chain on arbitrary count ratios)

@@ -724,3 +724,46 @@ def test_best_survivors_keep_longest_with_min_id_tiebreak(spark):
     got_first = {r["doc_id"] for r in first.collect()}
     assert got_first == {0, 10, 20}
     assert len(got_first) == len(got)
+
+
+def test_boilerplate_scrub_removes_every_hot_occurrence(spark):
+    """Boilerplate scrub vs segment dedup: the hot segment vanishes from
+    ALL docs (keep-first keeps one copy); cold docs pass through
+    byte-identically; a threshold above the max df is a no-op."""
+    banner = "accept all cookies to continue reading this site now ok"
+    assert len(banner.split()) == 10  # one exact segment at k=10
+    body = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (0, banner + " " + body),
+        (1, banner + " kilo lima mike november oscar papa quebec romeo sierra tango"),
+        (2, body),  # cold doc, no hot segment
+        (3, banner),  # doc that is ONLY boilerplate
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in dedup.boilerplate_segment_scrub(
+            docs, "text", "doc_id", k=10, min_df=3
+        ).collect()
+    }
+    assert out[0] == (body, 1)
+    assert out[1][1] == 1 and banner not in out[1][0]
+    assert out[2] == (body, 0)
+    assert out[3] == ("", 1)
+
+    # keep-first sibling keeps exactly one banner copy corpus-wide
+    sd = dedup.segment_dedup(docs, "text", "doc_id", k=10)
+    kept_banners = sum(
+        r["text_dedup"].count(banner) for r in sd.collect()
+    )
+    assert kept_banners == 1
+
+    # threshold above max df -> nothing removed, texts round-trip
+    noop = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in dedup.boilerplate_segment_scrub(
+            docs, "text", "doc_id", k=10, min_df=99
+        ).collect()
+    }
+    assert all(n == 0 for _, n in noop.values())
+    assert noop[0][0] == rows[0][1] and noop[3][0] == banner
