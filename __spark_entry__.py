@@ -1288,6 +1288,54 @@ def q_semantic_decontamination(spark, sf_dir):
     )
 
 
+def q_decontamination_report(spark, sf_dir):
+    """Decontamination capstone: ONE per-train-doc verdict combining the
+    exact word-8-gram guard and the semantic (embedding cos ≥ τ) guard
+    under a single benchmark split (doc_id % {mod} — documents and
+    embeddings share an id space in this corpus).  Both legs keep their
+    individual scale shapes — bounded benchmark n-gram dim broadcast
+    into the probe join; LSH-bucket equi-join for the semantic leg —
+    and meet in two left joins on the O(train) id dimension.  A doc
+    flagged by EITHER leg is contaminated; the report is what a curator
+    acts on (and shows the semantic leg catching paraphrases the n-gram
+    leg misses, and vice versa for short verbatim quotes)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    is_bench = F.col("doc_id") % SEMDECON_MOD == 0
+    ng = F.array_distinct(dedup.shingles(F.col("text"), DECONTAM_NGRAM))
+    bench_ng = docs.filter(is_bench).select(F.explode(ng).alias("ng")).distinct()
+    probe = docs.filter(~is_bench).select("doc_id", F.explode(ng).alias("ng"))
+    ng_hits = (
+        probe.join(F.broadcast(bench_ng), "ng")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    dim = len(emb.select("embedding").head()[0])
+    planes = similarity.make_planes(dim, n_planes=3, seed=99)
+    sem = similarity.semantic_decontamination(
+        emb,
+        "embedding",
+        "vec_id",
+        F.col("vec_id") % SEMDECON_MOD == 0,
+        planes,
+        SEMDECON_COS,
+    ).select(F.col("vec_id").alias("doc_id"), F.col("contaminated").alias("_sc"))
+    ngram_hit = F.coalesce("_n", F.lit(0)) > 0
+    sem_hit = F.coalesce("_sc", F.lit(False))
+    return (
+        docs.filter(~is_bench)
+        .select("doc_id")
+        .join(ng_hits, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .select(
+            "doc_id",
+            ngram_hit.alias("ngram_hit"),
+            sem_hit.alias("semantic_hit"),
+            (ngram_hit | sem_hit).alias("contaminated"),
+        )
+    )
+
+
 def q_knn_bruteforce(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
@@ -3283,6 +3331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "near_dup_quality_survivors": q_near_dup_quality_survivors,
         "boilerplate_scrub_docs": q_boilerplate_scrub,
+        "decontamination_report": q_decontamination_report,
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "url_blocklist_gate": q_url_blocklist_gate,
         "ann_recall_report": q_ann_recall_report,
@@ -3830,13 +3879,14 @@ SELECT CAST(g.query_id AS BIGINT) AS query_id, g.gt_k,
 FROM gtc g LEFT JOIN hitc h USING (query_id)"""
 
 
-def _semantic_decon_sql() -> str:
+def _semantic_decon_ctes() -> str:
+    """CTE chain (no WITH prefix) ending in h(vec_id, n): bucket-joined
+    cos>=tau hit counts of train vectors against the benchmark split."""
     from quality_filter.operators import similarity as S
 
     planes = S.make_planes(_embedding_dim(), n_planes=3, seed=99)
     cos = _COS_SQL.format(a="t.tv", b="s.bv")
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 b AS (SELECT vec_id, v, {_bucket_sql('v', planes)} AS bucket FROM e),
 bench AS (SELECT v AS bv, bucket FROM b WHERE vec_id % {SEMDECON_MOD} = 0),
 train AS (SELECT vec_id, v AS tv, bucket FROM b WHERE vec_id % {SEMDECON_MOD} <> 0),
@@ -3845,7 +3895,12 @@ h AS (
   FROM train t JOIN bench s ON t.bucket = s.bucket
   WHERE {cos} >= {SEMDECON_COS}
   GROUP BY 1
-)
+)"""
+
+
+def _semantic_decon_sql() -> str:
+    return f"""
+WITH {_semantic_decon_ctes()}
 SELECT t.vec_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_bench_hits,
   coalesce(h.n, 0) > 0 AS contaminated
 FROM (SELECT vec_id FROM e WHERE vec_id % {SEMDECON_MOD} <> 0) t
@@ -4802,6 +4857,27 @@ SELECT CAST(e.label AS BIGINT) AS label, CAST(pos.i AS BIGINT) AS pos,
   CAST(count(*) AS BIGINT) AS n_vecs
 FROM embeddings e, pos
 GROUP BY 1, 2"""
+    out["decontamination_report"] = f"""
+WITH {_semantic_decon_ctes()},
+ng0 AS (
+  SELECT doc_id, unnest(list_distinct({_ngram_expr_n(DECONTAM_NGRAM)})) AS ng
+  FROM documents
+),
+bng AS (SELECT DISTINCT ng FROM ng0 WHERE doc_id % {SEMDECON_MOD} = 0),
+nh AS (
+  SELECT n.doc_id, CAST(count(*) AS BIGINT) AS c
+  FROM ng0 n JOIN bng USING (ng)
+  WHERE n.doc_id % {SEMDECON_MOD} <> 0
+  GROUP BY 1
+)
+SELECT d.doc_id,
+  coalesce(nh.c, 0) > 0 AS ngram_hit,
+  coalesce(h.n, 0) > 0 AS semantic_hit,
+  (coalesce(nh.c, 0) > 0 OR coalesce(h.n, 0) > 0) AS contaminated
+FROM documents d
+LEFT JOIN nh ON nh.doc_id = d.doc_id
+LEFT JOIN h ON h.vec_id = d.doc_id
+WHERE d.doc_id % {SEMDECON_MOD} <> 0"""
     out["benchmark_decontamination"] = f"""
 WITH ng AS (
   SELECT doc_id, unnest(list_distinct({_ngram_expr_n(DECONTAM_NGRAM)})) AS ng

@@ -218,6 +218,8 @@ EMB_QUERIES = [
     # semantic decontamination: the embedding_near_dup_lsh bucket join
     # with a train/bench split — same plane literals, exact-int counts
     "semantic_decontamination",
+    # round 5: composed exact+semantic verdict — both legs fuzz-proven
+    "decontamination_report",
 ]
 
 WORD_POOLS = (
