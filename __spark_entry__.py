@@ -2938,6 +2938,19 @@ def q_ccnet_ppl_buckets(spark, sf_dir):
     return textagg.ccnet_ppl_buckets(docs, "text", "doc_id", "lang")
 
 
+def q_moore_lewis_selection(spark, sf_dir):
+    """Moore-Lewis cross-entropy-difference selection (ACL 2010): every
+    doc scored as bits/bigram under the lang='fr' in-domain KN model
+    minus bits under the whole-corpus model; selected iff covered >= 1/2
+    (exact-int compare) and the raw difference <= 0.  One shared bigram
+    fact, two vocabulary-bounded model dims broadcast into it
+    (textagg.moore_lewis_scores)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textagg.moore_lewis_scores(
+        docs, "text", "doc_id", F.col("lang") == "fr"
+    )
+
+
 def q_jsonl_roundtrip_stats(spark, sf_dir):
     """Interchange-source fidelity, proven not assumed: documents →
     JSON Lines → explicit-schema FAILFAST read → per-lang counts + an
@@ -3329,6 +3342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # leads; the oldest-reported (r2/r3) entries fill the remaining window
     # slots; the 50 r4-green entries rotate to the back.
     return {
+        "moore_lewis_selection": q_moore_lewis_selection,
         "near_dup_quality_survivors": q_near_dup_quality_survivors,
         "boilerplate_scrub_docs": q_boilerplate_scrub,
         "decontamination_report": q_decontamination_report,
@@ -5630,6 +5644,65 @@ SELECT s.doc_id, s.lang, s.surprisal_bits, s.ppl_bin,
        WHEN s.ppl_bin <= c.cut2 THEN 'middle'
        ELSE 'tail' END AS ppl_bucket
 FROM sb s JOIN cuts c USING (lang)"""
+
+    # moore_lewis: one shared per-doc bigram fact scored under two KN
+    # models (general corpus vs lang='fr' in-domain) — each model chain
+    # is the kn_doc_surprisal CTE pattern with a prefixed namespace
+    def _ml_model(prefix: str, where: str) -> str:
+        p = prefix
+        return f"""{p}pairs AS (
+  SELECT unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM (SELECT regexp_split_to_array(lower(trim(text, ' ')), '[ ]+') AS t
+        FROM documents{where})
+  WHERE len(t) >= 2
+),
+{p}bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM {p}pairs GROUP BY w1, w2),
+{p}bt AS (SELECT count(*) AS nb FROM {p}bg),
+{p}ctx AS (SELECT w1, sum(c12) AS c1 FROM {p}bg GROUP BY w1),
+{p}dp AS (SELECT DISTINCT w1, w2 FROM {p}pairs),
+{p}lc AS (SELECT w2, CAST(count(*) AS BIGINT) AS nlc FROM {p}dp GROUP BY w2),
+{p}rc AS (SELECT w1, CAST(count(*) AS BIGINT) AS nrc FROM {p}dp GROUP BY w1),
+{p}sc AS (
+  SELECT d.doc_id, d.w1, d.w2, d.n_t,
+    CAST(d.n_t AS DOUBLE) * log2(
+      CAST(({_kn_dd} * c12 - {_kn_dn}) * nb + {_kn_dn} * nrc * nlc AS DOUBLE)
+      / CAST({_kn_dd} * c1 * nb AS DOUBLE)) AS contrib
+  FROM ml_dt d JOIN {p}bg USING (w1, w2) JOIN {p}ctx USING (w1)
+  JOIN {p}lc USING (w2) JOIN {p}rc USING (w1), {p}bt
+)"""
+
+    out["moore_lewis_selection"] = f"""
+WITH ml_toksd AS ({_kn_toksd}),
+ml_dt AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS n_t
+  FROM (SELECT doc_id, unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+        FROM ml_toksd WHERE len(t) >= 2)
+  GROUP BY 1, 2, 3
+),
+{_ml_model("g_", "")},
+{_ml_model("i_", " WHERE lang = 'fr'")},
+ml_gen AS (
+  SELECT doc_id, CAST(sum(n_t) AS BIGINT) AS n_bigrams,
+    (-(list_sum(list(contrib ORDER BY w1, w2)))) / CAST(sum(n_t) AS DOUBLE)
+      AS bits_gen
+  FROM g_sc GROUP BY doc_id
+),
+ml_ind AS (
+  SELECT doc_id, CAST(sum(n_t) AS BIGINT) AS n_in_model,
+    (-(list_sum(list(contrib ORDER BY w1, w2)))) / CAST(sum(n_t) AS DOUBLE)
+      AS bits_in
+  FROM i_sc GROUP BY doc_id
+)
+SELECT g.doc_id, g.n_bigrams,
+  coalesce(i.n_in_model, 0) AS n_in_model,
+  round(CAST(coalesce(i.n_in_model, 0) AS DOUBLE)
+        / CAST(g.n_bigrams AS DOUBLE), 6) AS coverage,
+  round(i.bits_in, 6) AS bits_in,
+  round(g.bits_gen, 6) AS bits_gen,
+  round(i.bits_in - g.bits_gen, 6) AS ml_score,
+  coalesce(2 * i.n_in_model >= g.n_bigrams
+           AND (i.bits_in - g.bits_gen) <= 0.0, FALSE) AS selected
+FROM ml_gen g LEFT JOIN ml_ind i USING (doc_id)"""
 
     # degree-7 Horner polynomial exp — the textual twin of textagg._expq
     # (the SPEC is the polynomial: no transcendental-libm seam)

@@ -682,6 +682,110 @@ def ccnet_ppl_buckets(
     )
 
 
+def moore_lewis_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    domain_filter: Column,
+) -> DataFrame:
+    """Moore-Lewis cross-entropy-difference data selection (Moore &
+    Lewis, ACL 2010): score every document by H_in(d) - H_gen(d) — bits
+    per bigram under an LM trained on the IN-DOMAIN subset minus bits
+    under the LM trained on the WHOLE corpus — and keep documents the
+    in-domain model finds easier than the general one.  The classic
+    targeted-selection verb between DSIR (hashed-ngram importance
+    ratios) and CCNet (per-language perplexity cuts): both LMs are the
+    engine's own exact-integer Kneser-Ney bigram models
+    (_kn_model_dims), so the whole score is corpus-relational — no
+    external model artifact.
+
+    Coverage semantics (the honest relational form): the in-domain
+    model only defines probabilities for bigram types it has seen, so
+    bits_in folds over the COVERED bigrams and the row reports
+    coverage = n_in_model / n_bigrams.  A document is `selected` iff
+    2·n_in_model >= n_bigrams (integer form of coverage >= 1/2 — no
+    float threshold seam) AND the raw cross-entropy difference <= 0.
+    Out-of-domain docs fail on either leg: thin coverage, or covered
+    bigrams the in-domain model finds surprising.  Docs with < 2 tokens
+    carry no LM evidence and are excluded (kn_doc_surprisal precedent).
+
+    Determinism: both folds sort (w1, w2) structs before a left fold,
+    and every probability is one fixed log2 over EXACT BIGINT num/den,
+    so bits_in/bits_gen are engine-identical doubles BEFORE rounding —
+    ml_score rounds the raw difference, and the selection predicate
+    compares raw doubles + exact ints (never rounded values).
+
+    Plan shape: ONE bigram explode builds the per-doc fact dt
+    (lineage-truncated — two model joins consume it without re-running
+    the explode); each model is a vocabulary-bounded dim set broadcast
+    into dt; the in-domain model trains on a FILTERED scan (predicate
+    pushdown, no shuffle added).  At 100 TB: two dim-builds + two
+    broadcast-join folds over one shared fact — the same machine as
+    kn_doc_surprisal run twice, sharing its dominant cost (the
+    explode)."""
+    from quality_filter.operators.dedup import _truncate_lineage
+
+    dt = _truncate_lineage(
+        _bigram_pairs(df, text_col, id_col)
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_t")),
+        eager=True,
+        reliable=None,
+    )
+
+    def _fold(model_df: DataFrame, n_col: str, tot_col: str) -> DataFrame:
+        bg, ctx, lc, rc, n_types = _kn_model_dims(model_df, text_col)
+        scored = (
+            dt.join(F.broadcast(bg), ["w1", "w2"])
+            .join(F.broadcast(ctx), "w1")
+            .join(F.broadcast(lc), "w2")
+            .join(F.broadcast(rc), "w1")
+            .select(
+                F.col(id_col),
+                "w1",
+                "w2",
+                "n_t",
+                (F.col("n_t").cast("double") * _kn_log2_prob(n_types)).alias(
+                    "_contrib"
+                ),
+            )
+        )
+        return scored.groupBy(id_col).agg(
+            F.sum("n_t").cast("long").alias(n_col),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("w1", "w2", "_contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_contrib"],
+            ).alias(tot_col),
+        )
+
+    gen = _fold(df, "n_bigrams", "_tot_gen")  # general model covers every bigram
+    ind = _fold(df.filter(domain_filter), "n_in_model", "_tot_in")
+    joined = gen.join(ind, id_col, "left")
+    bits_gen = (-F.col("_tot_gen")) / F.col("n_bigrams").cast("double")
+    bits_in = (-F.col("_tot_in")) / F.col("n_in_model").cast("double")
+    diff = bits_in - bits_gen
+    selected = F.coalesce(
+        (F.lit(2) * F.col("n_in_model") >= F.col("n_bigrams"))
+        & (diff <= F.lit(0.0)),
+        F.lit(False),
+    )
+    return joined.select(
+        F.col(id_col),
+        "n_bigrams",
+        F.coalesce(F.col("n_in_model"), F.lit(0).cast("long")).alias("n_in_model"),
+        F.round(
+            F.coalesce(F.col("n_in_model"), F.lit(0).cast("long")).cast("double")
+            / F.col("n_bigrams").cast("double"),
+            6,
+        ).alias("coverage"),
+        F.round(bits_in, 6).alias("bits_in"),
+        F.round(bits_gen, 6).alias("bits_gen"),
+        F.round(diff, 6).alias("ml_score"),
+        selected.alias("selected"),
+    )
+
+
 DOREMI_Q = 1 << 40  # power-of-two quantization scale: IEEE-exact multiply
 DOREMI_ETA = 0.1
 

@@ -99,6 +99,10 @@ DOC_QUERIES = [
     # bit-identical) -> power-of-two bin floor (IEEE-exact) -> exact-int
     # histogram CDF; lang is grouped as an opaque string on both engines
     "ccnet_ppl_buckets",
+    # Moore-Lewis: two fuzz-proven KN model chains over one shared
+    # bigram fact; selection is exact-int compare + raw-double diff of
+    # engine-identical folds
+    "moore_lewis_selection",
     # OOV rate: deterministic top-V vocab (count desc, term asc) +
     # exact counts; lower() parity fuzz-proven via tfidf_top_docs
     "oov_rate_docs",

@@ -507,6 +507,48 @@ def test_mojibake_repair_chain_order_is_stable(spark):
     assert got == mojibake_repair_py(tricky)
 
 
+def test_moore_lewis_identity_when_domain_is_whole_corpus(spark, docs):
+    """Degenerate-domain pin: training the in-domain model on the WHOLE
+    corpus makes both models the same exact-integer KN model, so
+    bits_in == bits_gen BITWISE (same ints through the same expression
+    tree), ml_score == 0, coverage == 1, and every scored doc is
+    selected (0 <= 0 with full coverage)."""
+    out = textagg.moore_lewis_scores(docs, "text", "doc_id", F.lit(True)).collect()
+    assert out
+    for r in out:
+        assert r["n_in_model"] == r["n_bigrams"]
+        assert r["coverage"] == 1.0
+        assert r["bits_in"] == r["bits_gen"]
+        assert r["ml_score"] == 0.0
+        assert r["selected"] is True
+
+
+def test_moore_lewis_selects_the_target_domain(spark, docs):
+    """Moore-Lewis with lang='fr' as the in-domain corpus: support is
+    exactly the kn_doc_surprisal support; the selection predicate holds
+    row-by-row (2*n_in >= n AND raw diff <= 0); and the score separates
+    the domain — most fr docs selected, few others."""
+    out = textagg.moore_lewis_scores(
+        docs, "text", "doc_id", F.col("lang") == "fr"
+    ).collect()
+    knd = textagg.kn_doc_surprisal(docs, "text", "doc_id").collect()
+    assert {r["doc_id"] for r in out} == {r["doc_id"] for r in knd}
+    langs = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    for r in out:
+        assert 0 <= r["n_in_model"] <= r["n_bigrams"]
+        if r["selected"]:
+            assert 2 * r["n_in_model"] >= r["n_bigrams"]
+            assert r["ml_score"] <= 0.0
+    fr = [r for r in out if langs[r["doc_id"]] == "fr"]
+    other = [r for r in out if langs[r["doc_id"]] != "fr"]
+    assert fr and other
+    fr_rate = sum(r["selected"] for r in fr) / len(fr)
+    other_rate = sum(r["selected"] for r in other) / len(other)
+    assert fr_rate > 0.8 and other_rate < 0.2
+    # in-domain docs are fully covered by their own model
+    assert all(r["coverage"] == 1.0 for r in fr)
+
+
 def test_ccnet_ppl_buckets_tercile_invariants(spark):
     """CCNet head/middle/tail cuts: per language (a) every scored doc
     gets exactly one bucket; (b) buckets are ORDERED — max head bin <
