@@ -1703,6 +1703,23 @@ def q_pii_scrub_docs(spark, sf_dir):
     return docs.select("doc_id", R.scrub_pii_col(aug, CFG).alias("scrubbed"))
 
 
+def q_pii_pseudonymize_docs(spark, sf_dir):
+    """Join-preserving pseudonymization over the augmented-PII corpus:
+    every distinct span → deterministic <NAME:md5[:8]> token (same
+    entity → same token corpus-wide; the shared 192.168.1.x ips and the
+    constant phone number land on identical tokens across docs, which
+    the value hash pins).  One extraction pass per rule on the raw
+    text, one longest-first fold — zero-shuffle narrow map
+    (rules.pseudonymize_pii_col)."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = _pii_aug_col()
+    return docs.select(
+        "doc_id",
+        R.pseudonymize_pii_col(aug, CFG).alias("pseudo"),
+        F.size(R.pii_replacement_pairs(aug, CFG)).cast("long").alias("n_pseudonyms"),
+    )
+
+
 def q_toxicity_gate_docs(spark, sf_dir):
     """The NSFW-gate analog itself, driver-visible: lexicon-density
     toxicity score (codegen'd regexp_count, no UDF) + the calibrated
@@ -3343,6 +3360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # slots; the 50 r4-green entries rotate to the back.
     return {
         "moore_lewis_selection": q_moore_lewis_selection,
+        "pii_pseudonymize_docs": q_pii_pseudonymize_docs,
         "near_dup_quality_survivors": q_near_dup_quality_survivors,
         "boilerplate_scrub_docs": q_boilerplate_scrub,
         "decontamination_report": q_decontamination_report,
@@ -4821,6 +4839,7 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.46""",
         "pii_scrub_docs": _pii_scrub_docs_sql(),
+        "pii_pseudonymize_docs": _pii_pseudonymize_sql(),
         "pii_hit_counts_docs": _pii_hit_counts_sql(),
         "toxicity_gate_docs": _toxicity_gate_sql(),
         "simhash_docs": _simhash_sql(),
@@ -6034,6 +6053,49 @@ def _pii_hit_counts_sql() -> str:
         for rule in CFG.pii_rules
     )
     return f"SELECT doc_id,\n  {cols}\nFROM documents"
+
+
+def _pii_pseudonymize_sql() -> str:
+    """RE2 twin of pseudonymize_pii_col: same raw-text extraction per
+    rule, same (rule, -len, span) ordering, the fold spelled as a
+    recursive CTE applying one replace per step (DuckDB's foldl has no
+    init value; the winnowing recursive-closure precedent)."""
+    from quality_filter.features import py_pattern
+
+    aug = _PII_AUG_SQL
+    branches = []
+    for ri, rule in enumerate(CFG.pii_rules):
+        pat = py_pattern(rule.pattern).replace("'", "''")
+        branches.append(
+            f"SELECT doc_id, {ri} AS ri, '{rule.name.upper()}' AS tag,\n"
+            f"      unnest(list_distinct(regexp_extract_all(t0, '{pat}'))) AS s"
+            f" FROM pz_base"
+        )
+    union = "\n    UNION ALL\n    ".join(branches)
+    return f"""
+WITH RECURSIVE pz_base AS (SELECT doc_id, {aug} AS t0 FROM documents),
+pz_m AS (
+  SELECT doc_id, ri, s, '<' || tag || ':' || substr(md5(s), 1, 8) || '>' AS r
+  FROM (
+    {union}
+  )
+),
+pz_seq AS (
+  SELECT doc_id, s, r,
+    row_number() OVER (PARTITION BY doc_id ORDER BY ri, -length(s), s) AS step
+  FROM pz_m
+),
+pz_cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM pz_seq GROUP BY doc_id),
+pz_rec AS (
+  SELECT doc_id, t0 AS txt, 0 AS step FROM pz_base
+  UNION ALL
+  SELECT q.doc_id, replace(p.txt, q.s, q.r), q.step
+  FROM pz_rec p JOIN pz_seq q ON q.doc_id = p.doc_id AND q.step = p.step + 1
+)
+SELECT b.doc_id, p.txt AS pseudo, coalesce(c.n, 0) AS n_pseudonyms
+FROM pz_base b
+LEFT JOIN pz_cnt c USING (doc_id)
+JOIN pz_rec p ON p.doc_id = b.doc_id AND p.step = coalesce(c.n, 0)"""
 
 
 def _pii_scrub_docs_sql() -> str:

@@ -243,6 +243,64 @@ def scrub_pii_col(text: Column, cfg: RuleConfig) -> Column:
     return out
 
 
+def pii_replacement_pairs(text: Column, cfg: RuleConfig) -> Column:
+    """Ordered array of (search, replacement-token) pairs for every
+    distinct PII span in ``text``: struct(ri, nl, s, r) sorted by
+    (rule order, -length(s), s) — LONGEST spans first within a rule so a
+    span that is a strict substring of another (10.1.1.1 inside
+    10.1.1.10) can never clobber the longer one's occurrence.  The
+    token is ``<NAME:xxxxxxxx>`` with xxxxxxxx = md5(span)[:8] — the
+    md5-universe determinism precedent, so the SAME span maps to the
+    SAME token in every document of the corpus (and in the DuckDB
+    twin)."""
+    # factory, NOT default-arg lambdas: F.transform binds a 2nd lambda
+    # param to the ARRAY INDEX (see CLAUDE.md invariant)
+    def entry_fn(ri: int, name: str):
+        def entry(m: Column) -> Column:
+            return F.struct(
+                F.lit(ri).alias("ri"),
+                (-F.length(m)).alias("nl"),
+                m.alias("s"),
+                F.concat(
+                    F.lit(f"<{name.upper()}:"),
+                    F.substring(F.md5(m), 1, 8),
+                    F.lit(">"),
+                ).alias("r"),
+            )
+
+        return entry
+
+    pairs = None
+    for ri, rule in enumerate(cfg.pii_rules):
+        ms = F.array_distinct(
+            F.regexp_extract_all(text, F.lit(rule.pattern), F.lit(0))
+        )
+        e = F.transform(ms, entry_fn(ri, rule.name))
+        pairs = e if pairs is None else F.concat(pairs, e)
+    return F.array_sort(pairs)
+
+
+def pseudonymize_pii_col(text: Column, cfg: RuleConfig) -> Column:
+    """Join-preserving PII pseudonymization: every distinct PII span is
+    replaced by a deterministic content-addressed token, so downstream
+    analysis can still group/join on the entity (same email → same
+    token corpus-wide) while the raw value never leaves the engine —
+    the anonymization verb ``scrub_pii_col`` (which blanks to a fixed
+    tag) cannot provide.
+
+    Spans are identified on the RAW text (one extraction pass per rule
+    — more principled than chained extraction, and replacement tokens
+    are hex-in-angle-brackets that no rule's pattern can re-match),
+    then applied as ONE left fold over the (rule, -len, span)-sorted
+    pair array.  Zero-shuffle narrow map; per-row cost bounded by
+    (spans per doc)·len(text)."""
+    return F.aggregate(
+        pii_replacement_pairs(text, cfg),
+        text,
+        lambda acc, p: F.replace(acc, p["s"], p["r"]),
+    )
+
+
 def hard_rule_reasons(feats: dict[str, Column], cfg: RuleConfig) -> list[tuple[str, Column]]:
     """(reason name, fail condition) for the native-tier rules, in the
     oracle's frozen order."""

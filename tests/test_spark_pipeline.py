@@ -185,6 +185,48 @@ def test_pii_guard_edge_cases(spark):
     assert got == want
 
 
+def test_pii_pseudonymize_consistent_and_substring_safe(spark):
+    """Pseudonymization invariants: (a) the SAME span maps to the SAME
+    token across documents (join-preserving); (b) distinct spans map to
+    distinct tokens; (c) a span that is a strict substring of another
+    (10.1.1.1 inside 10.1.1.10) never clobbers the longer one — both
+    get their own token, no orphan digits; (d) no raw PII survives."""
+    import re
+
+    from quality_filter.config import load_config, DEFAULT_ARTIFACT_DIR
+    from quality_filter.functions.rules import pseudonymize_pii_col
+    from pyspark.sql import functions as F
+
+    cfg = load_config(DEFAULT_ARTIFACT_DIR)
+    rows = [
+        (1, "write a@b.com and visit 10.1.1.1 or 10.1.1.10 now"),
+        (2, "again a@b.com from 10.1.1.10 tel 555-123-4567 end"),
+        (3, "nothing sensitive here"),
+    ]
+    sdf = spark.createDataFrame(rows, ["i", "t"])
+    got = {
+        r["i"]: r["s"]
+        for r in sdf.select(
+            "i", pseudonymize_pii_col(F.col("t"), cfg).alias("s")
+        ).collect()
+    }
+    # (d) nothing raw survives
+    for s in got.values():
+        assert "a@b.com" not in s and "10.1.1." not in s and "555-123" not in s
+    # (a)+(b): same span -> same token, different spans -> different
+    email_1 = re.findall(r"<EMAIL:[0-9a-f]{8}>", got[1])
+    email_2 = re.findall(r"<EMAIL:[0-9a-f]{8}>", got[2])
+    assert email_1 and email_1 == email_2
+    ips_1 = re.findall(r"<IP:[0-9a-f]{8}>", got[1])
+    assert len(ips_1) == 2 and len(set(ips_1)) == 2  # (c) both spans tokenized
+    ip10_2 = re.findall(r"<IP:[0-9a-f]{8}>", got[2])
+    assert len(ip10_2) == 1 and ip10_2[0] in ips_1  # shared span, shared token
+    # (c) no leftover digit fragments around the tokens
+    assert re.search(r">\d|\d<", got[1]) is None
+    # untouched doc passes through byte-identical
+    assert got[3] == rows[2][1]
+
+
 def test_pii_guard_disabled_for_unsafe_custom_rules(spark):
     """Guard inference must fall back to the unconditional (always-correct)
     replace when a custom rules.json breaks the guard proof: a negated
