@@ -1196,6 +1196,61 @@ def q_minhash_jaccard_estimate(spark, sf_dir):
     )
 
 
+def q_bbit_minhash_estimate(spark, sf_dir):
+    """b-bit minhash (Li & Konig, WWW 2010) next to the full estimator
+    on the same LSH candidate pairs: keep only the LOWEST 2 BITS of each
+    minhash (last hex char's value mod 4 — engine-identical string
+    algebra on the md5 universe) and correct for collisions,
+    est = (P - 1/4)/(1 - 1/4).  A 2-bit signature is a 64x shuffle/
+    memory cut vs the hex minhash — this query is the audit that shows
+    what resolution that compression costs before a 100 TB dedup adopts
+    it (the int8-KNN / S-curve precedent)."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = dedup.lsh_bands(sig, "doc_id", NUM_HASHES, BAND_SIZE)
+    pairs = dedup.near_dup_pairs(bands, "doc_id")
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+
+    def b2(c: str):
+        return F.expr(
+            f"(locate(substring({c}, 32, 1), '0123456789abcdef') - 1) % 4"
+        )
+
+    eq_full = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    eq_b2 = sum(
+        F.when(b2(f"a{i}") == b2(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    est_b2 = (
+        eq_b2.cast("double") / F.lit(float(NUM_HASHES)) - F.lit(0.25)
+    ) / F.lit(0.75)
+    return (
+        pairs.withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            eq_full.cast("long").alias("k_eq_full"),
+            F.round(eq_full.cast("double") / NUM_HASHES, 6).alias(
+                "jaccard_est_full"
+            ),
+            eq_b2.cast("long").alias("k_eq_b2"),
+            F.round(est_b2, 6).alias("jaccard_est_b2"),
+        )
+    )
+
+
 def q_minhash_containment_estimate(spark, sf_dir):
     """Asymmetric containment estimate for LSH candidate pairs — the
     signal that separates 'doc_a quotes doc_b' from 'same size near-dup'
@@ -3361,6 +3416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "moore_lewis_selection": q_moore_lewis_selection,
         "pii_pseudonymize_docs": q_pii_pseudonymize_docs,
+        "bbit_minhash_estimate": q_bbit_minhash_estimate,
         "near_dup_quality_survivors": q_near_dup_quality_survivors,
         "boilerplate_scrub_docs": q_boilerplate_scrub,
         "decontamination_report": q_decontamination_report,
@@ -4711,6 +4767,22 @@ pairs AS (
 )
 SELECT p.doc_a, p.doc_b,
   round(({' + '.join(f'CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END' for i in range(NUM_HASHES))})::DOUBLE / {NUM_HASHES}, 6) AS jaccard_est
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b""",
+        "bbit_minhash_estimate": f"""
+WITH {_minhash_sig_cte()},
+bands AS ({_bands_sql()}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+  CAST({' + '.join(f'CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END' for i in range(NUM_HASHES))} AS BIGINT) AS k_eq_full,
+  round(({' + '.join(f'CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END' for i in range(NUM_HASHES))})::DOUBLE / {NUM_HASHES}, 6) AS jaccard_est_full,
+  CAST({' + '.join(f"CASE WHEN (strpos('0123456789abcdef', substr(sa.mh{i}, 32, 1)) - 1) % 4 = (strpos('0123456789abcdef', substr(sb.mh{i}, 32, 1)) - 1) % 4 THEN 1 ELSE 0 END" for i in range(NUM_HASHES))} AS BIGINT) AS k_eq_b2,
+  round((({' + '.join(f"CASE WHEN (strpos('0123456789abcdef', substr(sa.mh{i}, 32, 1)) - 1) % 4 = (strpos('0123456789abcdef', substr(sb.mh{i}, 32, 1)) - 1) % 4 THEN 1 ELSE 0 END" for i in range(NUM_HASHES))})::DOUBLE / {NUM_HASHES} - 0.25) / 0.75, 6) AS jaccard_est_b2
 FROM pairs p
 JOIN sig sa ON sa.doc_id = p.doc_a
 JOIN sig sb ON sb.doc_id = p.doc_b""",

@@ -39,6 +39,9 @@ DOC_QUERIES = [
     "doc_fingerprints", "dedup_exact_docs", "minhash_signatures",
     "lsh_band_keys", "near_dup_pairs", "near_dup_clusters",
     "near_dup_survivors", "ngram_jaccard_dups", "minhash_jaccard_estimate",
+    # b-bit compression audit: same md5 minhash universe + engine-identical
+    # hex-char algebra (strpos/locate over a literal alphabet)
+    "bbit_minhash_estimate",
     # round 5: keep-best representative — fuzz-proven component algebra
     # + exact-integer length rank (argmax/tie-break bit-identical)
     "near_dup_quality_survivors",
@@ -321,7 +324,7 @@ def run_seed(seed: int) -> int:
         queries = DOC_QUERIES + EVENT_QUERIES + EMB_QUERIES
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "scripts", "check_correctness.py"), *queries],
-            env=env, capture_output=True, text=True, timeout=1200,
+            env=env, capture_output=True, text=True, timeout=2700,
         )
         tail = "\n".join(out.stdout.strip().splitlines()[-3:])
         print(f"--- seed {seed}: {tail}")

@@ -767,3 +767,45 @@ def test_boilerplate_scrub_removes_every_hot_occurrence(spark):
     }
     assert all(n == 0 for _, n in noop.values())
     assert noop[0][0] == rows[0][1] and noop[3][0] == banner
+
+
+def test_bbit_minhash_matches_python_twin_on_engine_signatures(spark):
+    """b-bit estimate pins: (a) the low-2-bit extraction + collision
+    correction equals a Python twin computed from the ENGINE's own
+    signatures (bitwise, via round-6 string compare); (b) an identical
+    pair estimates 1.0 under both full and b-bit; (c) est_b2 is a
+    deterministic function of (k_eq_b2) with k_eq_b2 >= k_eq_full
+    (equal hashes always share low bits)."""
+    import __spark_entry__ as E
+
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in E.queries()["bbit_minhash_estimate"](spark, SF).collect()
+    }
+    assert out
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    k = dedup.DEFAULT_NUM_HASHES
+    sig = {
+        r["doc_id"]: [r[f"mh{i}"] for i in range(k)]
+        for r in dedup.minhash_signature(docs, "text", "doc_id").collect()
+    }
+
+    def b2(h):
+        return int(h[31], 16) % 4
+
+    for (a, b), r in out.items():
+        sa, sb = sig[a], sig[b]
+        k_full = sum(x == y for x, y in zip(sa, sb))
+        k_b2 = sum(b2(x) == b2(y) for x, y in zip(sa, sb))
+        assert r["k_eq_full"] == k_full and r["k_eq_b2"] == k_b2
+        assert k_b2 >= k_full
+        want = round((k_b2 / k - 0.25) / 0.75, 6)
+        assert f"{r['jaccard_est_b2']:.6f}" == f"{want:.6f}"
+    # identical docs -> both estimators saturate at 1.0
+    two = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    s2 = dedup.minhash_signature(two, "text", "doc_id").collect()
+    r1, r2 = sorted(s2, key=lambda r: r["doc_id"])
+    assert all(r1[f"mh{i}"] == r2[f"mh{i}"] for i in range(k))
