@@ -3010,6 +3010,16 @@ def q_ccnet_ppl_buckets(spark, sf_dir):
     return textagg.ccnet_ppl_buckets(docs, "text", "doc_id", "lang")
 
 
+def q_hll_vocab_estimate(spark, sf_dir):
+    """Engine-exact HyperLogLog vocabulary estimate audited against the
+    exact distinct-term count: 256 registers from md5 string algebra,
+    exact-integer harmonic terms (2^(61-M) in DECIMAL), one IEEE
+    division + the standard linear-counting branch
+    (textagg.hll_vocab_estimate)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textagg.hll_vocab_estimate(docs, "text")
+
+
 def q_moore_lewis_selection(spark, sf_dir):
     """Moore-Lewis cross-entropy-difference selection (ACL 2010): every
     doc scored as bits/bigram under the lang='fr' in-domain KN model
@@ -3417,6 +3427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moore_lewis_selection": q_moore_lewis_selection,
         "pii_pseudonymize_docs": q_pii_pseudonymize_docs,
         "bbit_minhash_estimate": q_bbit_minhash_estimate,
+        "hll_vocab_estimate": q_hll_vocab_estimate,
         "near_dup_quality_survivors": q_near_dup_quality_survivors,
         "boilerplate_scrub_docs": q_boilerplate_scrub,
         "decontamination_report": q_decontamination_report,
@@ -5735,6 +5746,52 @@ SELECT s.doc_id, s.lang, s.surprisal_bits, s.ppl_bin,
        WHEN s.ppl_bin <= c.cut2 THEN 'middle'
        ELSE 'tail' END AS ppl_bucket
 FROM sb s JOIN cuts c USING (lang)"""
+
+    # hll: v = 60-bit int from hex chars 3..17 via the strpos polynomial
+    # (DuckDB has no conv(); exact int64 — max term 15*16^14 < 2^61)
+    _hl_v = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {3 + i}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    _hl_pos = f"strpos(lpad(bin({_hl_v}), 60, '0'), '1')"
+    out["hll_vocab_estimate"] = f"""
+WITH hl_toks AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text, ' ')), '[ ]+')) AS term
+  FROM documents
+),
+hl_h AS (SELECT md5(term) AS h FROM hl_toks),
+hl_br AS (
+  SELECT ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) AS bucket,
+    CASE WHEN {_hl_pos} = 0 THEN 61 ELSE {_hl_pos} END AS rho
+  FROM hl_h
+),
+hl_regs AS (SELECT bucket, max(rho) AS m_j FROM hl_br GROUP BY bucket),
+hl_all AS (
+  SELECT gs.b AS bucket, r.m_j
+  FROM (SELECT unnest(generate_series(0, 255)) AS b) gs
+  LEFT JOIN hl_regs r ON r.bucket = gs.b
+),
+hl_s AS (
+  SELECT sum((CAST(1 AS BIGINT) << (61 - coalesce(m_j, 0)))::DECIMAL(38,0)) AS s_int,
+    CAST(sum(CASE WHEN m_j IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_empty
+  FROM hl_all
+),
+hl_ex AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS n_exact FROM hl_toks),
+hl_est AS (
+  SELECT v_empty, n_exact,
+    CASE WHEN v_empty > 0 AND raw <= 640.0
+         THEN 256.0 * ln(256.0 / CAST(v_empty AS DOUBLE))
+         ELSE raw END AS e
+  FROM (
+    SELECT (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 2305843009213693952.0
+           / CAST(s_int AS DOUBLE) AS raw, v_empty, n_exact
+    FROM hl_s, hl_ex
+  )
+)
+SELECT 256 AS m, v_empty, n_exact, round(e, 4) AS hll_estimate,
+  round((e - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6) AS rel_error
+FROM hl_est"""
 
     # moore_lewis: one shared per-doc bigram fact scored under two KN
     # models (general corpus vs lang='fr' in-domain) — each model chain

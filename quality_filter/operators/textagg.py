@@ -682,6 +682,89 @@ def ccnet_ppl_buckets(
     )
 
 
+HLL_REGISTERS = 256  # p = 8 bucket bits (first 2 md5 hex chars)
+HLL_RHO_HEX = 15  # rho read from the next 15 hex chars = 60 bits
+_HLL_RHO_SQL = (
+    "locate('1', lpad(bin(CAST(conv(substring(h, 3, 15), 16, 10) AS BIGINT)),"
+    " 60, '0'))"
+)
+
+
+def hll_vocab_estimate(df: DataFrame, text_col: str) -> DataFrame:
+    """HyperLogLog vocabulary-size estimate (Flajolet et al., AofA 2007)
+    built ENGINE-EXACTLY on the md5 universe, audited against the exact
+    distinct-term count — the sketch-audit verb for cardinality, next
+    to term_cms_sketch (frequency) / ann_recall_report (recall) /
+    minhash_band_scurve (banding).
+
+    Why it matters at 100 TB: the exact vocabulary count is a full
+    term-dimension shuffle; the HLL registers are a 256-row
+    map-side-combined aggregate over raw token occurrences (duplicate
+    terms land on the same (bucket, rho), so MAX needs no distinct).
+    This query prices the sketch's error before a pipeline swaps the
+    exact count out.
+
+    Engine-exactness: bucket = first 2 md5 hex chars as an int; rho =
+    1 + leading-zero count of the next 60 bits via STRING algebra
+    (lpad(bin(v), 60) + locate — no float log2 near power-of-two
+    boundaries); each register's harmonic term is the EXACT integer
+    2^(61 - M_j) summed in DECIMAL(38,0) (order/retry/engine-free), so
+    the one double division + the literal alpha arithmetic are
+    IEEE-identical cross-engine; the standard small-range linear-
+    counting branch (E <= 2.5m, V > 0) compares those identical
+    doubles, so both engines take the same branch (ln parity: the
+    tfidf/bm25 precedent)."""
+    toks = df.select(F.explode(_tokens_lower(F.col(text_col))).alias("term"))
+    hh = toks.select(F.md5("term").alias("h"))
+    br = hh.select(
+        F.expr("CAST(conv(substring(h, 1, 2), 16, 10) AS INT)").alias("bucket"),
+        F.expr(
+            f"CASE WHEN {_HLL_RHO_SQL} = 0 THEN 61 ELSE {_HLL_RHO_SQL} END"
+        ).alias("rho"),
+    )
+    regs = br.groupBy("bucket").agg(F.max("rho").alias("m_j"))
+    allb = df.sparkSession.range(HLL_REGISTERS).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    s = (
+        allb.join(regs, "bucket", "left")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(shiftleft(CAST(1 AS BIGINT), 61 - coalesce(m_j, 0))"
+                    " AS DECIMAL(38,0))"
+                )
+            ).alias("s_int"),
+            F.sum(F.when(F.col("m_j").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("v_empty"),
+        )
+    )
+    exact = toks.agg(F.countDistinct("term").cast("long").alias("n_exact"))
+    joined = s.crossJoin(exact)
+    raw = (
+        (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0)))
+        * F.lit(65536.0)
+        * F.lit(2305843009213693952.0)  # 2^61, exact double literal
+        / F.col("s_int").cast("double")
+    )
+    est = F.when(
+        (F.col("v_empty") > 0) & (raw <= F.lit(640.0)),
+        F.lit(256.0) * F.log(F.lit(256.0) / F.col("v_empty").cast("double")),
+    ).otherwise(raw)
+    return joined.select(
+        F.lit(HLL_REGISTERS).alias("m"),
+        "v_empty",
+        "n_exact",
+        F.round(est, 4).alias("hll_estimate"),
+        F.round(
+            (est - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double"),
+            6,
+        ).alias("rel_error"),
+    )
+
+
 def moore_lewis_scores(
     df: DataFrame,
     text_col: str,

@@ -80,6 +80,9 @@ DOC_QUERIES = [
     "corpus_curation_v2",
     # sqrt-chain E-S keys + md5-bucket CMS cells (both engine-exact)
     "weighted_sample_docs", "term_cms_sketch",
+    # HLL cardinality audit: md5 string algebra + exact-int harmonic sum
+    # + the ln precedent; both branches engine-identical by construction
+    "hll_vocab_estimate",
     # ASCII lexicon \b: RE2 and Java agree on any corpus
     "toxicity_gate_docs",
     # exact integer/rational inputs -> engine-identical arithmetic chain

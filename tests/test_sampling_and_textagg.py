@@ -588,3 +588,57 @@ def test_ccnet_ppl_buckets_tercile_invariants(spark):
         if bins["middle"]:
             cut2_mass = sum(1 for r in rows if r["ppl_bin"] == max(bins["middle"]))
             assert 3 * n_hm >= 2 * n and 3 * (n_hm - cut2_mass) < 2 * n
+
+
+def _hll_py(texts):
+    """Engine-free HLL twin: same tokenizer, same md5 registers, same
+    exact-integer harmonic sum, same literal alpha arithmetic."""
+    import hashlib
+    import math
+    import re
+
+    terms = set()
+    regs = [0] * 256
+    for t in texts:
+        for term in re.split("[ ]+", t.lower().strip(" ")):
+            terms.add(term)
+            h = hashlib.md5(term.encode("utf-8")).hexdigest()
+            b = int(h[:2], 16)
+            v = int(h[2:17], 16)
+            rho = 61 - v.bit_length() if v else 61
+            regs[b] = max(regs[b], rho)
+    s = sum(1 << (61 - m) for m in regs)
+    v_empty = sum(1 for m in regs if m == 0)
+    raw = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 2305843009213693952.0 / float(s)
+    if v_empty > 0 and raw <= 640.0:
+        e = 256.0 * math.log(256.0 / float(v_empty))
+    else:
+        e = raw
+    return len(terms), v_empty, e
+
+
+def test_hll_vocab_estimate_matches_python_twin(spark, docs):
+    """The engine's HLL row equals the engine-free twin on the real
+    corpus (round-4 string compare on the estimate — both sides are the
+    same IEEE expression over the same exact integers)."""
+    r = textagg.hll_vocab_estimate(docs, "text").collect()[0]
+    texts = [x["text"] for x in docs.select("text").collect()]
+    n_exact, v_empty, e = _hll_py(texts)
+    assert r["m"] == 256
+    assert r["n_exact"] == n_exact and r["v_empty"] == v_empty
+    assert f"{r['hll_estimate']:.4f}" == f"{round(e, 4):.4f}"
+
+
+def test_hll_raw_branch_accuracy_on_wide_vocab(spark):
+    """A 3000-term vocabulary forces the harmonic (raw) branch: the
+    twin still matches and the estimate lands within the ~3.3/sqrt(256)
+    error envelope (|rel| < 0.25 is loose but catches register bugs,
+    which produce multiples-off estimates)."""
+    texts = [" ".join(f"tok{j}" for j in range(i * 100, (i + 1) * 100)) for i in range(30)]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    r = textagg.hll_vocab_estimate(df, "text").collect()[0]
+    n_exact, v_empty, e = _hll_py(texts)
+    assert r["n_exact"] == n_exact == 3000
+    assert f"{r['hll_estimate']:.4f}" == f"{round(e, 4):.4f}"
+    assert e > 640.0  # raw branch, not linear counting
+    assert abs(r["rel_error"]) < 0.25
