@@ -273,6 +273,86 @@ def q_quality_gate_docs(spark, sf_dir):
     )
 
 
+def _distill_base(spark, sf_dir):
+    """Staged (id, x0..x5, y) fact with y = the heuristic gate's keep
+    decision — the distillation label (q_quality_gate_docs's plan)."""
+    from quality_filter.operators import distill
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = R.feature_columns(F.col("text"), CFG)
+    feats["ppl_norm"] = F.lit(0.0)
+    q = R.quality_score_col(feats, CFG)
+    fail_any = None
+    for _, cond in R.hard_rule_reasons(feats, CFG):
+        fail_any = cond if fail_any is None else (fail_any | cond)
+    keep = ~fail_any & (q >= CFG.quality_threshold)
+    return docs, distill.staged_base(docs, "doc_id", feats, keep)
+
+
+def q_gate_distill_weights(spark, sf_dir):
+    """The classifier-in-the-loop capstone (DCLM/FineWeb-Edu pattern):
+    a linear student model TRAINED INSIDE THE ENGINE to imitate the
+    heuristic gate, by exact-integer class-balanced Gauss-Seidel
+    (operators/distill.py).  Output = the 6 learned weights — the
+    oracle re-derives every one bit-for-bit from unrolled SQL, so the
+    full training trajectory is value-hash checked."""
+    from quality_filter.operators import distill
+
+    _, base = _distill_base(spark, sf_dir)
+    w = distill.train_distilled_gate(base)
+    rows = [(f, int(w[f])) for f in distill._FEATURES]
+    wdf = spark.createDataFrame(rows, "f string, w_int long")
+    return wdf.select(
+        "f",
+        "w_int",
+        F.round(
+            F.col("w_int").cast("double") / F.lit(float(distill.DISTILL_SCALE)), 6
+        ).alias("w_real"),
+    )
+
+
+def q_distilled_gate_agreement(spark, sf_dir):
+    """Deployment report for the in-engine trained classifier: per
+    source, gate keeps vs model keeps vs agreement.  Scoring is a
+    ZERO-SHUFFLE narrow map over literal weights (margin >= 2^31, an
+    exact integer compare) — the shape that replaces the full rule
+    stack on a 100 TB corpus once agreement is acceptable."""
+    from quality_filter.operators import distill
+
+    docs, base = _distill_base(spark, sf_dir)
+    w = distill.train_distilled_gate(base)
+    km = distill.model_keep_col(
+        {f: F.col(f"_x_{f}") for f in distill._FEATURES}, w
+    )
+    scored = base.select(
+        F.col("_id").alias("doc_id"),
+        F.col("_y").alias("y"),
+        km.cast("int").alias("km"),
+    )
+    return (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("y").cast("long").alias("n_keep_gate"),
+            F.sum("km").cast("long").alias("n_keep_model"),
+            F.sum(F.when(F.col("y") == F.col("km"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_agree"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_keep_gate",
+            "n_keep_model",
+            "n_agree",
+            F.round(
+                F.col("n_agree").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("accuracy"),
+        )
+    )
+
+
 SRC_KEEP_FRAC_MIN = 0.1
 
 
@@ -3428,6 +3508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_pseudonymize_docs": q_pii_pseudonymize_docs,
         "bbit_minhash_estimate": q_bbit_minhash_estimate,
         "hll_vocab_estimate": q_hll_vocab_estimate,
+        "gate_distill_weights": q_gate_distill_weights,
+        "distilled_gate_agreement": q_distilled_gate_agreement,
         "near_dup_quality_survivors": q_near_dup_quality_survivors,
         "boilerplate_scrub_docs": q_boilerplate_scrub,
         "decontamination_report": q_decontamination_report,
@@ -4325,21 +4407,32 @@ def _bands_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
-def oracle_sql() -> dict[str, str]:
-    import math
-
+def _qz_sql() -> str:
+    """The quality-score logit over ratios-CTE columns (ppl_norm = 0) —
+    shared by the gate queries and the distillation label."""
     w = CFG.quality_weights
-    qz = (
+    return (
         f"({CFG.quality_bias} + {w['stopword_ratio']}*stopword_ratio "
         f"+ ({w['symbol_ratio']})*symbol_ratio + {w['distinct_ratio']}*distinct_ratio "
         f"+ {w['length_norm']}*length_norm + 0.0)"
     )
-    hard_fail = (
+
+
+def _hard_fail_sql() -> str:
+    """hard_rule_reasons as one disjunction over ratios-CTE columns."""
+    return (
         f"(n_chars < {CFG.min_chars} OR n_chars > {CFG.max_chars} "
         f"OR n_words < {CFG.min_words} OR stopword_ratio < {CFG.min_stopword_ratio} "
         f"OR symbol_ratio > {CFG.max_symbol_ratio} OR distinct_ratio < {CFG.min_distinct_ratio} "
         f"OR NOT (mean_word_len BETWEEN {CFG.min_mean_word_len} AND {CFG.max_mean_word_len}))"
     )
+
+
+def oracle_sql() -> dict[str, str]:
+    import math
+
+    qz = _qz_sql()
+    hard_fail = _hard_fail_sql()
 
     lang_hits = ",\n    ".join(
         f"CAST(len(list_filter({_SIMPLE_TOKS}, x -> list_contains({_sql_list(STOPWORDS[lang])}, lower(x)))) AS BIGINT) AS h_{lang}"
@@ -5793,6 +5886,42 @@ SELECT 256 AS m, v_empty, n_exact, round(e, 4) AS hll_estimate,
   round((e - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6) AS rel_error
 FROM hl_est"""
 
+    # gate distillation: the unrolled exact-integer training trajectory
+    # (operators/distill.py) — final weights in CTE w{_D_K}
+    from quality_filter.operators.distill import DISTILL_ROUNDS as _D_T
+    from quality_filter.operators.distill import DISTILL_SCALE as _D_S
+    from quality_filter.operators.distill import DISTILL_TARGET as _D_TGT
+    from quality_filter.operators.distill import _FEATURES as _D_F
+
+    _D_K = _D_T * len(_D_F)
+
+    out["gate_distill_weights"] = f"""
+WITH {_features_cte().lstrip()},
+{_distill_sql_ctes()}
+SELECT f, w_int, round(CAST(w_int AS DOUBLE) / {float(_D_S)!r}, 6) AS w_real
+FROM (
+  {_distill_weight_rows_sql()}
+)"""
+
+    out["distilled_gate_agreement"] = f"""
+WITH {_features_cte().lstrip()},
+{_distill_sql_ctes()},
+dscored AS (
+  SELECT b.id AS id, b.y AS y,
+    CASE WHEN {_distill_margin_sql("w", "b")} >= {_D_TGT // 2}
+         THEN 1 ELSE 0 END AS km
+  FROM dbase b, w{_D_K} w
+)
+SELECT doc.source AS source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(s.y) AS BIGINT) AS n_keep_gate,
+  CAST(sum(s.km) AS BIGINT) AS n_keep_model,
+  CAST(sum(CASE WHEN s.y = s.km THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+  round(CAST(sum(CASE WHEN s.y = s.km THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS accuracy
+FROM dscored s JOIN documents doc ON s.id = doc.doc_id
+GROUP BY doc.source"""
+
     # moore_lewis: one shared per-doc bigram fact scored under two KN
     # models (general corpus vs lang='fr' in-domain) — each model chain
     # is the kn_doc_surprisal CTE pattern with a prefixed namespace
@@ -6146,6 +6275,128 @@ _PII_AUG_SQL = (
     "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 192.168.1.' "
     "|| CAST(doc_id % 250 AS VARCHAR) || ' tel 555-123-4567.'"
 )  # SQL twin of _pii_aug_col — keep in lockstep
+
+
+def _distill_margin_sql(w: str, b: str) -> str:
+    """Exact-integer margin over the final weight CTE — SQL twin of
+    distill.margin_col."""
+    from quality_filter.operators.distill import _FEATURES
+
+    return " + ".join(f"{w}.w_{f} * {b}.x_{f}" for f in _FEATURES)
+
+
+def _distill_weight_rows_sql() -> str:
+    """UNION ALL of (f, w_int) rows from the final weight CTE."""
+    from quality_filter.operators.distill import DISTILL_ROUNDS, _FEATURES
+
+    k = DISTILL_ROUNDS * len(_FEATURES)
+    return "\n  UNION ALL\n  ".join(
+        f"SELECT '{f}' AS f, CAST((SELECT w_{f} FROM w{k}) AS BIGINT) AS w_int"
+        for f in _FEATURES
+    )
+
+
+def _distill_sql_ctes() -> str:
+    """CTE chain reproducing operators/distill.train_distilled_gate
+    BIT-FOR-BIT: staged (id, x0..x5, y) base with exact-integer
+    features floored from the shared ratios CTE doubles, class-balance
+    weights from one pre-pass count, then DISTILL_ROUNDS x 6 unrolled
+    exact Gauss-Seidel coordinate steps (the pagerank / HITS
+    unrolled-round precedent).  Every sum is carried in HUGEINT (the
+    Spark side uses DECIMAL(38,0) — identical exact integers below the
+    driver's 10^37 guard); the update's trunc-toward-zero division is
+    spelled sign*(abs // d) so it is engine-proof regardless of an
+    engine's floor/trunc choice (DuckDB ``//`` truncates — verified).
+    Assumes the _features_cte() ratios CTE is in scope (the label y is
+    quality_gate_docs's keep predicate verbatim)."""
+    from quality_filter.operators.distill import (
+        DISTILL_ROUNDS,
+        DISTILL_TARGET,
+        FEAT_SCALE,
+        MWL_SCALE,
+        _FEATURES,
+    )
+
+    qz, hard_fail = _qz_sql(), _hard_fail_sql()
+    ratio_of = {
+        "stop": "stopword_ratio",
+        "sym": "symbol_ratio",
+        "dist": "distinct_ratio",
+        "lennorm": "length_norm",
+    }
+    xcols = [f"CAST({FEAT_SCALE} AS BIGINT) AS x_bias"]
+    for f in ("stop", "sym", "dist", "lennorm"):
+        xcols.append(
+            f"CAST(floor(r.{ratio_of[f]} * {float(FEAT_SCALE)!r}) AS BIGINT) AS x_{f}"
+        )
+    xcols.append(
+        f"CAST(floor(r.mean_word_len * {float(MWL_SCALE)!r}) AS BIGINT) AS x_mwl"
+    )
+
+    def marg(w: str, b: str) -> str:
+        return " + ".join(f"{w}.w_{f} * {b}.x_{f}" for f in _FEATURES)
+
+    hsums = ",\n         ".join(
+        f"CAST(coalesce(sum(c * x_{f} * x_{f}), 0) AS HUGEINT) AS h_{f}"
+        for f in _FEATURES
+    )
+    wzeros = ", ".join(f"CAST(0 AS HUGEINT) AS w_{f}" for f in _FEATURES)
+    xcols_sql = ",\n    ".join(xcols)
+    parts = [
+        f"""dlab AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(CASE WHEN (NOT {hard_fail})
+              AND (1.0 / (1.0 + exp(-{qz})) >= {CFG.quality_threshold})
+         THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM ratios
+),
+dbase AS MATERIALIZED (
+  SELECT r.doc_id AS id,
+    {xcols_sql},
+    l.y AS y
+  FROM ratios r JOIN dlab l ON r.doc_id = l.doc_id
+),
+dcnt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(y), 0) AS BIGINT) AS np
+  FROM dbase
+),
+cbase AS MATERIALIZED (
+  SELECT d.*, CAST(CASE WHEN d.y = 1 THEN c.n - c.np ELSE c.np END AS HUGEINT) AS c
+  FROM dbase d, dcnt c
+),
+hs AS MATERIALIZED (
+  SELECT {hsums}
+  FROM cbase
+),
+w0 AS MATERIALIZED (SELECT {wzeros})"""
+    ]
+    k = 0
+    for _ in range(DISTILL_ROUNDS):
+        for f in _FEATURES:
+            resid = f"({marg('w', 'b')} - CAST(b.y AS HUGEINT) * {DISTILL_TARGET})"
+            step = (
+                f"(CASE WHEN g.g >= 0 THEN 1 ELSE -1 END)"
+                f" * (abs(g.g) // greatest(h.h_{f}, 1))"
+            )
+            wnext = ",\n         ".join(
+                f"CAST(w.w_{fo} - {step} AS HUGEINT) AS w_{fo}"
+                if fo == f
+                else f"w.w_{fo} AS w_{fo}"
+                for fo in _FEATURES
+            )
+            parts.append(
+                f"""g{k} AS MATERIALIZED (
+  SELECT CAST(coalesce(sum(b.c * {resid} * b.x_{f}), 0) AS HUGEINT) AS g
+  FROM cbase b, w{k} w
+),
+w{k + 1} AS MATERIALIZED (
+  SELECT {wnext}
+  FROM w{k} w, g{k} g, hs h
+)"""
+            )
+            k += 1
+    return ",\n".join(parts)
 
 
 def _toxicity_gate_sql() -> str:

@@ -723,25 +723,44 @@ def hll_vocab_estimate(df: DataFrame, text_col: str) -> DataFrame:
         ).alias("rho"),
     )
     regs = br.groupBy("bucket").agg(F.max("rho").alias("m_j"))
-    allb = df.sparkSession.range(HLL_REGISTERS).select(
-        F.col("id").cast("int").alias("bucket")
+    # registers + exact-count fold as ONE tagged union into ONE scalar
+    # aggregate — no join of any kind (a crossJoin of the two 1-row aggs
+    # would plan a BroadcastNestedLoopJoin, the registry-banned node);
+    # absent registers contribute 2^61 each, folded in arithmetically.
+    regrows = regs.select(
+        F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT), 61 - m_j) AS DECIMAL(38,0))"
+        ).alias("t_int"),
+        F.lit(1).cast("long").alias("is_reg"),
+        F.lit(0).cast("long").alias("is_term"),
     )
-    s = (
-        allb.join(regs, "bucket", "left")
-        .agg(
-            F.sum(
-                F.expr(
-                    "CAST(shiftleft(CAST(1 AS BIGINT), 61 - coalesce(m_j, 0))"
-                    " AS DECIMAL(38,0))"
-                )
-            ).alias("s_int"),
-            F.sum(F.when(F.col("m_j").isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("v_empty"),
+    termrows = (
+        toks.select("term")
+        .distinct()
+        .select(
+            F.lit(0).cast("decimal(38,0)").alias("t_int"),
+            F.lit(0).cast("long").alias("is_reg"),
+            F.lit(1).cast("long").alias("is_term"),
         )
     )
-    exact = toks.agg(F.countDistinct("term").cast("long").alias("n_exact"))
-    joined = s.crossJoin(exact)
+    two_pow_61 = F.lit(2305843009213693952).cast("decimal(38,0)")
+    joined = (
+        regrows.unionByName(termrows)
+        .agg(
+            F.sum("t_int").alias("s_p"),
+            F.sum("is_reg").cast("long").alias("v_p"),
+            F.sum("is_term").cast("long").alias("n_exact"),
+        )
+        .select(
+            (
+                F.col("s_p")
+                + (F.lit(HLL_REGISTERS) - F.col("v_p")).cast("decimal(38,0)")
+                * two_pow_61
+            ).alias("s_int"),
+            (F.lit(HLL_REGISTERS) - F.col("v_p")).cast("long").alias("v_empty"),
+            "n_exact",
+        )
+    )
     raw = (
         (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0)))
         * F.lit(65536.0)
