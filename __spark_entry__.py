@@ -353,6 +353,54 @@ def q_distilled_gate_agreement(spark, sf_dir):
     )
 
 
+RELIABILITY_BIN_LO, RELIABILITY_BIN_HI = -8, 15
+
+
+def q_distilled_gate_reliability(spark, sf_dir):
+    """Calibration audit of the in-engine trained student (the
+    reliability-diagram companion to distilled_gate_agreement): per
+    exact-integer margin bin (eighths of a clean-keep margin,
+    floor-div spelled via pmod so both engines bin identically),
+    the teacher's keep rate next to the student's decision — a
+    well-calibrated student shows teacher keep-rate rising through
+    the 0.5-margin decision boundary (bin 4, since TARGET/2 is
+    exactly 4 bin widths).  Everything up to the final rate is
+    exact-integer; scoring stays a zero-shuffle narrow map over
+    literal weights (the distill deploy shape)."""
+    from quality_filter.operators import distill
+
+    _, base = _distill_base(spark, sf_dir)
+    w = distill.train_distilled_gate(base)
+    m = distill.margin_col({f: F.col(f"_x_{f}") for f in distill._FEATURES}, w)
+    bw = distill.DISTILL_TARGET // 8  # bin width 2^29 — TARGET//2 == 4 bins
+    scored = base.select(F.col("_y").alias("y"), m.alias("margin"))
+    fdiv = (
+        (F.col("margin") - F.pmod(F.col("margin"), F.lit(bw))) / F.lit(bw)
+    ).cast("long")  # exact floor-div: |margin| < 2^49 << 2^53
+    bin_id = F.greatest(
+        F.lit(RELIABILITY_BIN_LO), F.least(F.lit(RELIABILITY_BIN_HI), fdiv)
+    ).cast("long")
+    return (
+        scored.select("y", bin_id.alias("bin_id"))
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("y").cast("long").alias("n_keep_gate"),
+        )
+        .select(
+            "bin_id",
+            F.round(F.col("bin_id").cast("double") * 0.125, 6).alias("bin_lo"),
+            "n_docs",
+            "n_keep_gate",
+            F.round(
+                F.col("n_keep_gate").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("keep_rate_gate"),
+            (F.col("bin_id") >= F.lit(4)).alias("model_keep"),
+        )
+    )
+
+
 SRC_KEEP_FRAC_MIN = 0.1
 
 
@@ -3169,6 +3217,38 @@ def q_kmeans_refined_clusters(spark, sf_dir):
     return similarity.ivf_assign(emb, "embedding", "vec_id", cents)
 
 
+CLUSTER_SAMPLE_QUOTA = 20
+
+
+def q_cluster_balanced_sample(spark, sf_dir):
+    """Topic-balanced sampling over LEARNED clusters (the SemDedup/
+    DCLM cluster-proportional curation step, inverted: equal quota per
+    k-means cluster so no topic dominates the training mix — the
+    embedding-space analog of docs_stratified_sample's metadata
+    strata).  Assignment is the shared refined-centroid narrow map;
+    the per-cluster quota is a row_number window ordered by the
+    content-addressed md5 rank (deterministic under retry/repartition,
+    the hash_sample precedent), partition-bounded by cluster — never a
+    global sort.  At 100 TB the assignment output is written bucketed
+    by cluster, so the window sorts one bucket per task."""
+    from pyspark.sql import Window
+
+    emb, cents0 = _sample_centroids(spark, sf_dir)
+    cents = similarity.kmeans_refine(
+        emb, "embedding", cents0, iters=KMEANS_REFINE_ITERS
+    )
+    asg = similarity.ivf_assign(emb, "embedding", "vec_id", cents)
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        asg.select(
+            "vec_id", "cluster", F.row_number().over(w).cast("long").alias("rk")
+        )
+        .filter(F.col("rk") <= CLUSTER_SAMPLE_QUOTA)
+    )
+
+
 SEMDEDUP_THRESHOLD = 0.35
 
 
@@ -3554,6 +3634,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_repair_docs": q_mojibake_repair,
         "crawl_fetch_plan": q_crawl_fetch_plan,
         "cross_source_dup_matrix": q_cross_source_dup_matrix,
+        # round-5 late additions: the driver window (50) is already full
+        # of never-reported entries, so these sit as the contiguous
+        # overflow block right after it (window-invariant test shape);
+        # they are verified by the local full sweep + fuzz + pytest.
+        "distilled_gate_reliability": q_distilled_gate_reliability,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -5921,6 +6007,51 @@ SELECT doc.source AS source,
         / CAST(count(*) AS DOUBLE), 6) AS accuracy
 FROM dscored s JOIN documents doc ON s.id = doc.doc_id
 GROUP BY doc.source"""
+
+    # reliability diagram over the SAME unrolled training chain: bin =
+    # exact floor-div of the HUGEINT margin by TARGET/8 (pmod spelling
+    # — DuckDB % truncates toward zero, +B %B lands in [0,B) exactly
+    # like Spark's pmod), clamped to the same literal range
+    _D_BW = _D_TGT // 8
+    out["distilled_gate_reliability"] = f"""
+WITH {_features_cte().lstrip()},
+{_distill_sql_ctes()},
+dms AS (
+  SELECT b.y AS y, ({_distill_margin_sql("w", "b")}) AS m
+  FROM dbase b, w{_D_K} w
+),
+dbin AS (
+  SELECT y,
+    CAST(greatest({RELIABILITY_BIN_LO}, least({RELIABILITY_BIN_HI},
+      (m - ((m % {_D_BW} + {_D_BW}) % {_D_BW})) // {_D_BW})) AS BIGINT) AS bin_id
+  FROM dms
+)
+SELECT bin_id,
+  round(CAST(bin_id AS DOUBLE) * 0.125, 6) AS bin_lo,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(y) AS BIGINT) AS n_keep_gate,
+  round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS keep_rate_gate,
+  bin_id >= 4 AS model_keep
+FROM dbin GROUP BY bin_id"""
+
+    # equal-quota sample over the refined k-means clusters: identical
+    # centroids via the engine-free twin, identical md5 rank universe
+    from quality_filter.operators import similarity as _S_cb
+
+    _cb_cents = _S_cb.kmeans_refine_local(
+        f"{ORACLE_SF_DIR}/embeddings.parquet", "embedding",
+        _oracle_centroids(), iters=KMEANS_REFINE_ITERS,
+    )
+    out["cluster_balanced_sample"] = f"""
+WITH {_ivf_assign_ctes(_cb_cents)},
+crk AS (
+  SELECT vec_id, cluster,
+    CAST(row_number() OVER (
+      PARTITION BY cluster
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+  FROM assign
+)
+SELECT vec_id, cluster, rk FROM crk WHERE rk <= {CLUSTER_SAMPLE_QUOTA}"""
 
     # moore_lewis: one shared per-doc bigram fact scored under two KN
     # models (general corpus vs lang='fr' in-domain) — each model chain

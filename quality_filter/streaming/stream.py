@@ -448,3 +448,35 @@ def stream_term_cms(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .select(F.col("w.start").alias("window_start"), "sketch_row", "bucket", "cnt")
     )
+
+
+def stream_distilled_gate(
+    sdf: DataFrame,
+    weights: dict,
+    cfg: RuleConfig | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train-batch / serve-streaming: the in-engine trained distilled
+    gate (operators/distill.py) applied to an unbounded document
+    stream.  Scoring is a STATELESS zero-shuffle narrow map over
+    literal weights (exact-integer margin >= 2^31), so it is
+    trigger-compatible unchanged — no state store, no watermark, no
+    Python crossing; the exact deploy shape that replaces the full
+    rule stack per micro-batch once batch-measured agreement is
+    acceptable (distilled_gate_agreement)."""
+    from quality_filter.config import load_config
+    from quality_filter.functions.rules import feature_columns
+    from quality_filter.operators.distill import (
+        DISTILL_TARGET,
+        feature_ints,
+        margin_col,
+        model_keep_col,
+    )
+
+    cfg = cfg or load_config()
+    xi = feature_ints(feature_columns(F.col(text_col), cfg))
+    return sdf.select(
+        "*",
+        margin_col(xi, weights).alias("margin_int"),
+        model_keep_col(xi, weights).alias("model_keep"),
+    )

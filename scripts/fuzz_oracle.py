@@ -83,6 +83,13 @@ DOC_QUERIES = [
     # HLL cardinality audit: md5 string algebra + exact-int harmonic sum
     # + the ln precedent; both branches engine-identical by construction
     "hll_vocab_estimate",
+    # in-engine trained distilled gate: the whole trajectory is
+    # exact-integer (floored IEEE ratio doubles, HUGEINT/DECIMAL sums,
+    # trunc division) so any corpus — degenerate one-class included
+    # (all weights stay 0) — must match bit-for-bit
+    "gate_distill_weights", "distilled_gate_agreement",
+    # reliability bins: same unrolled chain + exact pmod floor-div
+    "distilled_gate_reliability",
     # ASCII lexicon \b: RE2 and Java agree on any corpus
     "toxicity_gate_docs",
     # exact integer/rational inputs -> engine-identical arithmetic chain
@@ -230,6 +237,9 @@ EMB_QUERIES = [
     "semantic_decontamination",
     # round 5: composed exact+semantic verdict — both legs fuzz-proven
     "decontamination_report",
+    # equal-quota sample over refined k-means clusters: engine-free
+    # centroid twin + md5 rank universe, both exact on any corpus
+    "cluster_balanced_sample",
 ]
 
 WORD_POOLS = (

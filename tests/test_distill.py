@@ -139,3 +139,26 @@ def test_train_aborts_past_exact_integer_bound(spark):
     )
     with pytest.raises(ValueError, match="exceeds the exact"):
         distill.train_distilled_gate(base)
+
+
+def test_distilled_gate_reliability_bins_partition_and_calibrate(spark):
+    """The reliability diagram must (a) partition the corpus exactly
+    (sum of bin counts == corpus size), (b) mark model_keep as exactly
+    bin_id >= 4 (TARGET/2 is 4 bin widths — the decision boundary lies
+    ON a bin edge), and (c) show calibration: the teacher's keep rate
+    above the boundary strictly exceeds the rate below it."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["distilled_gate_reliability"](spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["model_keep"] == (r["bin_id"] >= 4)
+        assert abs(r["bin_lo"] - r["bin_id"] * 0.125) < 1e-12
+        assert 0 <= r["n_keep_gate"] <= r["n_docs"]
+    above = [r for r in rows if r["bin_id"] >= 4]
+    below = [r for r in rows if r["bin_id"] < 4]
+    assert above and below, "degenerate: all mass on one side of the boundary"
+    rate_above = sum(r["n_keep_gate"] for r in above) / sum(r["n_docs"] for r in above)
+    rate_below = sum(r["n_keep_gate"] for r in below) / sum(r["n_docs"] for r in below)
+    assert rate_above > rate_below + 0.5, (rate_above, rate_below)

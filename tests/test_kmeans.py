@@ -81,3 +81,37 @@ def test_refinement_improves_quantization(emb, cents0):
 
     refined_full = S.kmeans_refine_local(PQ, "embedding", cents0, iters=3)
     assert abs(objective(refined_full) - objective(cents0)) < 1e-6
+
+
+def test_cluster_balanced_sample_quota_and_membership(spark):
+    """Equal-quota cluster sampling: (a) every emitted rank is within
+    the quota, (b) each cluster contributes exactly min(cluster_size,
+    quota) rows, (c) members carry their true refined-centroid
+    assignment (subset of kmeans_refined_clusters), and (d) the md5
+    rank makes the pick deterministic: re-running yields the identical
+    set."""
+    import __spark_entry__ as E
+
+    Q = E.CLUSTER_SAMPLE_QUOTA
+    got = E.queries()["cluster_balanced_sample"](spark, SF).collect()
+    assert got and all(1 <= r["rk"] <= Q for r in got)
+
+    asg = {
+        r["vec_id"]: r["cluster"]
+        for r in E.queries()["kmeans_refined_clusters"](spark, SF).collect()
+    }
+    sizes = {}
+    for c in asg.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    picked = {}
+    for r in got:
+        assert asg[r["vec_id"]] == r["cluster"]
+        picked[r["cluster"]] = picked.get(r["cluster"], 0) + 1
+    for c, n in sizes.items():
+        assert picked.get(c, 0) == min(n, Q), (c, n, picked.get(c, 0))
+
+    again = {
+        (r["vec_id"], r["cluster"], r["rk"])
+        for r in E.queries()["cluster_balanced_sample"](spark, SF).collect()
+    }
+    assert again == {(r["vec_id"], r["cluster"], r["rk"]) for r in got}

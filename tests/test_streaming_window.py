@@ -431,3 +431,53 @@ def test_stream_winnowing_dedup_matches_batch_components(spark, tmp_path):
     all_urls = set(corpus["url"])
     assert (all_urls - clustered) <= got  # every unclustered doc survives
     assert all(u in got for u in corpus["url"] if u.startswith("tiny://"))
+
+
+def test_stream_distilled_gate_matches_batch_scoring(spark, tmp_path):
+    """The trained distilled gate applied to an unbounded stream must
+    emit exactly the batch narrow map's (doc_id, margin_int, model_keep)
+    rows — scoring is stateless (literal weights, exact-integer margin),
+    so stream==batch row-for-row with no watermark or state store."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from quality_filter.functions.rules import feature_columns
+    from quality_filter.operators import distill
+    from quality_filter.streaming.stream import stream_distilled_gate
+
+    SF = "/root/testdata/sf0.001"
+    docs, base = E._distill_base(spark, SF)
+    w = distill.train_distilled_gate(base)
+
+    src = str(tmp_path / "distgate_src")
+    docs.write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    scored = stream_distilled_gate(stream, w).select(
+        "doc_id", "margin_int", "model_keep"
+    )
+    q = (
+        scored.writeStream.format("memory").queryName("distgate")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["doc_id"], r["margin_int"], r["model_keep"])
+        for r in spark.sql("select * from distgate").collect()
+    }
+
+    xi = distill.feature_ints(feature_columns(F.col("text"), E.CFG))
+    want = {
+        (r["doc_id"], r["margin_int"], r["model_keep"])
+        for r in docs.select(
+            "doc_id",
+            distill.margin_col(xi, w).alias("margin_int"),
+            distill.model_keep_col(xi, w).alias("model_keep"),
+        ).collect()
+    }
+    assert got == want and len(got) > 100
+    # non-degenerate: the student keeps some docs and drops some
+    assert {k for (_, _, k) in got} == {True, False}
