@@ -401,6 +401,56 @@ def q_distilled_gate_reliability(spark, sf_dir):
     )
 
 
+def q_rule_ablation_report(spark, sf_dir):
+    """Per-rule ablation of the quality gate (the gate-tuning
+    observability verb): for each hard rule plus the soft quality
+    threshold, how many docs fail it, and how many fail ONLY it —
+    i.e. the docs that would flip to keep if that rule were removed
+    (its marginal cost to the corpus).  One narrow map computes all
+    8 booleans per doc (shared feature expression tree, CSE'd by
+    Catalyst), then an 8-way struct explode feeding a map-side-
+    combined 8-row groupBy — no second corpus scan per rule, which is
+    how a naive ablation (8 separate gate runs) would burn a 100 TB
+    scan per rule."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = R.feature_columns(F.col("text"), CFG)
+    feats["ppl_norm"] = F.lit(0.0)
+    q = R.quality_score_col(feats, CFG)
+    conds = list(R.hard_rule_reasons(feats, CFG)) + [
+        ("low_quality", q < CFG.quality_threshold)
+    ]
+    n_fails = None
+    for _, c in conds:
+        n_fails = c.cast("int") if n_fails is None else n_fails + c.cast("int")
+    arr = F.array(
+        *[
+            F.struct(F.lit(n).alias("rule"), c.cast("int").alias("fail"))
+            for n, c in conds
+        ]
+    )
+    ex = docs.select(F.explode(arr).alias("rf"), n_fails.alias("nf")).select(
+        F.col("rf.rule").alias("rule"), F.col("rf.fail").alias("fail"), "nf"
+    )
+    return ex.groupBy("rule").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("fail").cast("long").alias("n_fail"),
+        F.sum(F.when((F.col("fail") == 1) & (F.col("nf") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_fail_only"),
+    ).select(
+        "rule",
+        "n_docs",
+        "n_fail",
+        "n_fail_only",
+        F.round(F.col("n_fail").cast("double") / F.col("n_docs"), 6).alias(
+            "fail_rate"
+        ),
+        F.round(F.col("n_fail_only").cast("double") / F.col("n_docs"), 6).alias(
+            "marginal_keep_rate"
+        ),
+    )
+
+
 SRC_KEEP_FRAC_MIN = 0.1
 
 
@@ -3640,6 +3690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # they are verified by the local full sweep + fuzz + pytest.
         "distilled_gate_reliability": q_distilled_gate_reliability,
         "cluster_balanced_sample": q_cluster_balanced_sample,
+        "rule_ablation_report": q_rule_ablation_report,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -6052,6 +6103,52 @@ crk AS (
   FROM assign
 )
 SELECT vec_id, cluster, rk FROM crk WHERE rk <= {CLUSTER_SAMPLE_QUOTA}"""
+
+    # per-rule gate ablation: the same frozen rule predicates as
+    # quality_gate_docs (fuzz-proven expression tree), one flag column
+    # per rule, UNION ALL'd into an 8-row report
+    _abl_rules = [
+        ("too_short", f"n_chars < {CFG.min_chars}"),
+        ("too_long", f"n_chars > {CFG.max_chars}"),
+        ("too_few_words", f"n_words < {CFG.min_words}"),
+        ("low_stopword", f"stopword_ratio < {CFG.min_stopword_ratio}"),
+        ("high_symbol", f"symbol_ratio > {CFG.max_symbol_ratio}"),
+        ("low_distinct", f"distinct_ratio < {CFG.min_distinct_ratio}"),
+        (
+            "word_len",
+            f"NOT (mean_word_len BETWEEN {CFG.min_mean_word_len}"
+            f" AND {CFG.max_mean_word_len})",
+        ),
+        ("low_quality", f"1.0 / (1.0 + exp(-{qz})) < {CFG.quality_threshold}"),
+    ]
+    _abl_flags = ",\n    ".join(
+        f"CAST({cond} AS INT) AS f_{name}" for name, cond in _abl_rules
+    )
+    _abl_nf = " + ".join(f"f_{name}" for name, _ in _abl_rules)
+    _abl_union = "\n  UNION ALL\n  ".join(
+        f"SELECT '{name}' AS rule, f_{name} AS fail, nf FROM abl_tot"
+        for name, _ in _abl_rules
+    )
+    out["rule_ablation_report"] = f"""
+WITH {_features_cte().lstrip()},
+abl_flags AS (
+  SELECT
+    {_abl_flags}
+  FROM ratios
+),
+abl_tot AS (SELECT *, ({_abl_nf}) AS nf FROM abl_flags),
+abl_ex AS (
+  {_abl_union}
+)
+SELECT rule,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(fail) AS BIGINT) AS n_fail,
+  CAST(sum(CASE WHEN fail = 1 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_fail_only,
+  round(CAST(sum(fail) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS fail_rate,
+  round(CAST(sum(CASE WHEN fail = 1 AND nf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS marginal_keep_rate
+FROM abl_ex GROUP BY rule"""
 
     # moore_lewis: one shared per-doc bigram fact scored under two KN
     # models (general corpus vs lang='fr' in-domain) — each model chain

@@ -72,6 +72,9 @@ BENCH_QUERIES = [
     "corpus_curation_v3",     # DSIR select -> full v2 curation chain
     "doremi_mixture_weights",  # KN dims -> quantized vocab dim -> per-source EG step
     "ccnet_ppl_buckets",      # KN scoring -> histogram-CDF per-lang tercile cuts
+    # round-5 classifier-in-the-loop tier
+    "gate_distill_weights",   # staged fact + 12 exact-int Gauss-Seidel scalar aggs
+    "rule_ablation_report",   # 8 gate flags in one scan -> 8-row groupBy
 ]
 
 

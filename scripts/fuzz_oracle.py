@@ -90,6 +90,9 @@ DOC_QUERIES = [
     "gate_distill_weights", "distilled_gate_agreement",
     # reliability bins: same unrolled chain + exact pmod floor-div
     "distilled_gate_reliability",
+    # per-rule ablation: quality_gate's fuzz-proven predicates, one
+    # flag per rule + an exact-int fail count
+    "rule_ablation_report",
     # ASCII lexicon \b: RE2 and Java agree on any corpus
     "toxicity_gate_docs",
     # exact integer/rational inputs -> engine-identical arithmetic chain

@@ -162,3 +162,30 @@ def test_distilled_gate_reliability_bins_partition_and_calibrate(spark):
     rate_above = sum(r["n_keep_gate"] for r in above) / sum(r["n_docs"] for r in above)
     rate_below = sum(r["n_keep_gate"] for r in below) / sum(r["n_docs"] for r in below)
     assert rate_above > rate_below + 0.5, (rate_above, rate_below)
+
+
+def test_rule_ablation_report_is_consistent_with_the_gate(spark):
+    """Ablation invariants: (a) exactly one row per rule (7 hard + the
+    soft quality threshold), (b) n_fail_only <= n_fail <= n_docs, (c)
+    the sum of n_fail_only over rules can't exceed the gate's total
+    drops (a doc failing only rule r is one dropped doc — the flags
+    are the gate's own predicates), and (d) at least one rule carries
+    nonzero marginal cost on this corpus."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["rule_ablation_report"](spark, SF).collect()
+    assert sorted(r["rule"] for r in rows) == sorted(
+        ["too_short", "too_long", "too_few_words", "low_stopword",
+         "high_symbol", "low_distinct", "word_len", "low_quality"]
+    )
+    n_docs = rows[0]["n_docs"]
+    for r in rows:
+        assert r["n_docs"] == n_docs
+        assert 0 <= r["n_fail_only"] <= r["n_fail"] <= n_docs
+
+    gate = E.queries()["quality_gate_docs"](spark, SF).collect()
+    n_keep = sum(1 for g in gate if g["keep_heuristic"])
+    n_drop = len(gate) - n_keep
+    assert sum(r["n_fail_only"] for r in rows) <= n_drop
+    # at least one rule must have a nonzero marginal cost on this corpus
+    assert any(r["n_fail_only"] > 0 for r in rows)
