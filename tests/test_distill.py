@@ -189,3 +189,52 @@ def test_rule_ablation_report_is_consistent_with_the_gate(spark):
     assert sum(r["n_fail_only"] for r in rows) <= n_drop
     # at least one rule must have a nonzero marginal cost on this corpus
     assert any(r["n_fail_only"] > 0 for r in rows)
+
+
+def test_rule_ablation_let_bound_matches_unbound_spec_bitwise(spark):
+    """The let_bound flag struct must reproduce the direct (unbound)
+    per-flag formulation EXACTLY — same integers, same rounded rates
+    (the CLAUDE.md rule: a reformulated expression needs a bitwise
+    differential test, not approx equality).  The unbound tree here IS
+    the spec: each condition references the feature expressions
+    directly, exactly what the oracle SQL spells."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from quality_filter.functions import rules as R
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    feats = R.feature_columns(F.col("text"), E.CFG)
+    feats["ppl_norm"] = F.lit(0.0)
+    q = R.quality_score_col(feats, E.CFG)
+    conds = list(R.hard_rule_reasons(feats, E.CFG)) + [
+        ("low_quality", q < E.CFG.quality_threshold)
+    ]
+    nf = None
+    for _, c in conds:
+        nf = c.cast("int") if nf is None else nf + c.cast("int")
+    arr = F.array(
+        *[F.struct(F.lit(n).alias("rule"), c.cast("int").alias("fail"))
+          for n, c in conds]
+    )
+    spec = (
+        docs.select(F.explode(arr).alias("rf"), nf.alias("nf"))
+        .select(F.col("rf.rule").alias("rule"), F.col("rf.fail").alias("fail"), "nf")
+        .groupBy("rule")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("fail").cast("long").alias("n_fail"),
+            F.sum(F.when((F.col("fail") == 1) & (F.col("nf") == 1), 1).otherwise(0))
+            .cast("long").alias("n_fail_only"),
+        )
+        .select(
+            "rule", "n_docs", "n_fail", "n_fail_only",
+            F.round(F.col("n_fail").cast("double") / F.col("n_docs"), 6).alias("fail_rate"),
+            F.round(F.col("n_fail_only").cast("double") / F.col("n_docs"), 6).alias("marginal_keep_rate"),
+        )
+    )
+    want = sorted(tuple(r) for r in spec.collect())
+    got = sorted(
+        tuple(r) for r in E.queries()["rule_ablation_report"](spark, SF).collect()
+    )
+    assert got == want
