@@ -792,9 +792,13 @@ def _dsir_ratio_df(spark, sf_dir):
     from quality_filter.operators import dsir
 
     docs = _t(spark, sf_dir, "documents")
-    tgt = dsir.bucket_counts(docs.filter(F.col("source") == DSIR_TARGET_SOURCE), "text")
-    raw = dsir.bucket_counts(docs, "text")
-    return dsir.bucket_log_ratios(spark, tgt, raw)
+    # one corpus pass for both count columns (target is a subset of
+    # raw, named by a per-row predicate) — the two-pass form paid the
+    # dominant md5-per-occurrence explode twice
+    pair = dsir.bucket_counts_pair(
+        docs, "text", F.col("source") == DSIR_TARGET_SOURCE
+    )
+    return dsir.bucket_log_ratios_pair(spark, pair)
 
 
 def q_dsir_bucket_ratios(spark, sf_dir):

@@ -82,3 +82,62 @@ def test_selection_enriches_target_source(spark, docs, ratio_df, local_twin):
     # ...while keeping only a sliver of the raw remainder
     kept_raw = len(kept) - kept_target
     assert kept_raw / (len(srcs) - n_target) <= 0.05
+
+
+def test_bucket_counts_pair_matches_two_pass_exactly(spark, docs):
+    """The single-pass (bucket, n_target, n_raw) relation and the
+    derived ratio dimension must equal the two-pass form EXACTLY —
+    integer counts, integer lr_micro (the reformulation rule: bitwise
+    differential test, not approx)."""
+    pair = dsir.bucket_counts_pair(docs, "text", F.col("source") == "src0")
+    got = {
+        r["bucket"]: (r["n_target"], r["n_raw"]) for r in pair.collect()
+    }
+    tgt = {
+        r["bucket"]: r["n"]
+        for r in dsir.bucket_counts(
+            docs.filter(F.col("source") == "src0"), "text"
+        ).collect()
+    }
+    raw = {r["bucket"]: r["n"] for r in dsir.bucket_counts(docs, "text").collect()}
+    assert set(got) == set(raw)
+    for b, (nt, nr) in got.items():
+        assert nr == raw[b] and nt == tgt.get(b, 0)
+
+    r_pair = {
+        tuple(r)
+        for r in dsir.bucket_log_ratios_pair(spark, pair).collect()
+    }
+    r_two = {
+        tuple(r)
+        for r in dsir.bucket_log_ratios(
+            spark,
+            dsir.bucket_counts(docs.filter(F.col("source") == "src0"), "text"),
+            dsir.bucket_counts(docs, "text"),
+        ).collect()
+    }
+    assert r_pair == r_two
+
+
+def test_logweights_let_bound_matches_unbound_spec_bitwise(spark, docs, ratio_df):
+    """dsir_logweights' let_bound fold must reproduce the direct
+    two-reference formulation EXACTLY (exact BIGINT sums either way —
+    any difference is a bug, not noise)."""
+    lrs = dsir.collect_lr_array(ratio_df)
+    got = {
+        r["doc_id"]: (r["logw_micro"], r["n_ngrams"])
+        for r in dsir.dsir_logweights(docs, "doc_id", "text", lrs).collect()
+    }
+    arr = F.array(*[F.lit(int(v)).cast("long") for v in lrs])
+    ng = dsir.hashed_ngrams(F.col("text"))
+    w = F.aggregate(
+        ng, F.lit(0).cast("long"),
+        lambda acc, g: acc + F.element_at(arr, dsir.ngram_bucket(g) + 1),
+    )
+    want = {
+        r["doc_id"]: (r["logw_micro"], r["n_ngrams"])
+        for r in docs.select(
+            "doc_id", w.alias("logw_micro"), F.size(ng).cast("long").alias("n_ngrams")
+        ).collect()
+    }
+    assert got == want
