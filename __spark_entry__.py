@@ -2414,6 +2414,47 @@ def q_bpe_merge_round(spark, sf_dir):
     return textagg.bpe_merge_round(docs, "text", k=BPE_MERGE_K)
 
 
+BPE_TRAIN_MERGES = 6
+
+
+def q_bpe_train_merges(spark, sf_dir):
+    """Multi-round BPE tokenizer training (Sennrich 2016): the full
+    greedy merge-table loop to K rounds over the vocabulary-bounded
+    word-frequency fact — one corpus pass, then every round is a narrow
+    map + map-side-combined pair aggregate over the WORD dimension, one
+    winning pair crossing the driver per round.  Sentinel-prefixed
+    symbols make the literal-replace merge exact for multi-char symbols
+    (textagg.bpe_train_merges)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textagg.bpe_train_merges(docs, "text", n_merges=BPE_TRAIN_MERGES)
+
+
+def q_bpe_token_counts_docs(spark, sf_dir):
+    """Per-doc token count under the engine's own trained BPE merges —
+    the train→apply tokenizer loop closed.  Application is a
+    zero-shuffle narrow map with NO HOF and no explode: one sentinel
+    spacing regexp, K literal replaces, and sentinel-count arithmetic
+    (every symbol owns exactly one \\x01), all codegen'd JVM string ops
+    (textagg.bpe_token_counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textagg.bpe_token_counts(
+        docs, "text", "doc_id", n_merges=BPE_TRAIN_MERGES
+    )
+
+
+def q_bpe_compression_by_lang(spark, sf_dir):
+    """Tokenizer-equity audit: per-language chars-per-token under the
+    engine's own trained BPE merges — the number that exposes a merge
+    table trained on a skewed mix under-serving tail languages before
+    a token budget silently under-buys them.  Same zero-shuffle narrow
+    map as bpe_token_counts_docs, collapsing map-side to the O(#langs)
+    dimension (textagg.bpe_compression_by_lang)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textagg.bpe_compression_by_lang(
+        docs, "text", "lang", n_merges=BPE_TRAIN_MERGES
+    )
+
+
 WINNOW_MAX_DF = 50
 WINNOW_MIN_SHARED = 2
 SNAP_MOD = 5
@@ -3714,6 +3755,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distilled_gate_reliability": q_distilled_gate_reliability,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "rule_ablation_report": q_rule_ablation_report,
+        "bpe_train_merges": q_bpe_train_merges,
+        "bpe_token_counts_docs": q_bpe_token_counts_docs,
+        "bpe_compression_by_lang": q_bpe_compression_by_lang,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -4317,6 +4361,123 @@ def _dsir_selection_ctes() -> str:
 dw AS ({_dsir_weights_sql()}),
 dsel AS (SELECT doc_id FROM dw WHERE logw_micro >= {DSIR_KEEP_PER_NGRAM} * n_ngrams),
 """
+
+
+def _bpe_train_sql(k: int) -> str:
+    """Unrolled K-round BPE training twin of textagg.bpe_train_merges:
+    see _bpe_train_ctes for the chain mechanics."""
+    sel = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, a AS s1, b AS s2,"
+        f" a || b AS merged, n FROM bc{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        "WITH " + _bpe_train_ctes(k) + f"\nSELECT * FROM ({sel}) ORDER BY step"
+    )
+
+
+def _bpe_apply_ctes(k: int) -> str:
+    """Twin of textagg._bpe_apply_cols: re-derives the merge table via
+    _bpe_train_ctes, then applies it doc-wide — sentinel-spaced text,
+    K chained replaces whose patterns come from scalar subqueries on
+    the bc{i} winners (coalesced to the structurally-impossible
+    chr(1)chr(1) so an empty winner round is an identity replace,
+    exactly the Spark loop's break).  Ends in rdk(doc_id, lang, sp,
+    nsp, nch): sp the fully-merged spaced form, nsp the space-symbol
+    count, nch the non-space char count; symbol count = sentinel count
+    minus nsp."""
+    expr = "sp"
+    for i in range(1, k + 1):
+        pat = (
+            f"coalesce(chr(1) || (SELECT a FROM bc{i}) || ' ' ||"
+            f" chr(1) || (SELECT b FROM bc{i}) || ' ', chr(1) || chr(1))"
+        )
+        rep = (
+            f"coalesce(chr(1) || (SELECT a || b FROM bc{i}) || ' ',"
+            f" chr(1) || chr(1))"
+        )
+        expr = f"replace({expr}, {pat}, {rep})"
+    return f"""{_bpe_train_ctes(k)},
+rd0 AS (
+  SELECT doc_id, lang,
+    regexp_replace(replace(lower(trim(text, ' ')), chr(1), ''),
+                   '([\\s\\S])', chr(1) || '\\1 ', 'g') AS sp,
+    length(replace(lower(trim(text, ' ')), chr(1), ''))
+      - length(replace(replace(lower(trim(text, ' ')), chr(1), ''), ' ', '')) AS nsp,
+    length(replace(replace(lower(trim(text, ' ')), chr(1), ''), ' ', '')) AS nch
+  FROM documents
+),
+rdk AS (SELECT doc_id, lang, {expr} AS sp, nsp, nch FROM rd0)"""
+
+
+def _bpe_apply_sql(k: int) -> str:
+    return f"""WITH {_bpe_apply_ctes(k)}
+SELECT doc_id,
+  CAST(length(sp) - length(replace(sp, chr(1), '')) - nsp AS BIGINT)
+    AS n_bpe_tokens
+FROM rdk"""
+
+
+def _bpe_compression_sql(k: int) -> str:
+    """Twin of textagg.bpe_compression_by_lang over the shared apply
+    chain: exact-integer per-lang sums, ONE double division, NULL when
+    a language has zero tokens."""
+    return f"""WITH {_bpe_apply_ctes(k)},
+bagg AS (
+  SELECT lang,
+    CAST(sum(nch) AS BIGINT) AS n_chars,
+    CAST(sum(length(sp) - length(replace(sp, chr(1), '')) - nsp) AS BIGINT)
+      AS n_bpe_tokens
+  FROM rdk GROUP BY lang
+)
+SELECT lang, n_chars, n_bpe_tokens,
+  CASE WHEN n_bpe_tokens > 0
+       THEN round(CAST(n_chars AS DOUBLE) / n_bpe_tokens, 6) END
+    AS chars_per_token
+FROM bagg"""
+
+
+def _bpe_train_ctes(k: int) -> str:
+    """Unrolled K-round BPE training CTE chain (bwf/br{i}/bp{i}/bc{i}):
+    word-frequency fact (tokens containing the chr(1) sentinel excluded
+    on both engines) -> sentinel-prefixed spaced form -> per round, a
+    weighted pair count, the (n DESC, a, b) argmax as a MATERIALIZED
+    1-row CTE, and the merge applied by a literal replace whose pattern
+    is built from scalar subqueries on that winner.  r{{i}} is
+    MATERIALIZED because it is referenced twice (next round's pair scan
+    and next round's replace) — without it the doubly-referenced chain
+    inlines 2^K scans (the distilled-gate CTE lesson).  An empty winner
+    round yields NULL patterns -> NULL spaced rows -> every later round
+    empty, exactly the Spark loop's break."""
+    ctes = [
+        "bwf AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS n"
+        " FROM (SELECT unnest(regexp_split_to_array(lower(trim(text, ' ')),"
+        " '[ ]+')) AS tok FROM documents)"
+        " WHERE NOT contains(tok, chr(1)) GROUP BY tok)",
+        "br0 AS MATERIALIZED (SELECT regexp_replace(tok, '([\\s\\S])',"
+        " chr(1) || '\\1 ', 'g') AS sp, n FROM bwf)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"bp{i} AS (SELECT unnest(s[1:len(s) - 1]) AS s1,"
+            f" unnest(s[2:len(s)]) AS s2, n"
+            f" FROM (SELECT regexp_split_to_array(rtrim(sp), ' ') AS s, n"
+            f" FROM br{i - 1}) WHERE len(s) >= 2)"
+        )
+        ctes.append(
+            f"bc{i} AS MATERIALIZED (SELECT substr(s1, 2) AS a,"
+            f" substr(s2, 2) AS b, CAST(sum(n) AS BIGINT) AS n"
+            f" FROM bp{i} GROUP BY 1, 2 ORDER BY n DESC, a ASC, b ASC LIMIT 1)"
+        )
+        if i < k:
+            ctes.append(
+                f"br{i} AS MATERIALIZED (SELECT replace(sp,"
+                f" chr(1) || (SELECT a FROM bc{i}) || ' ' ||"
+                f" chr(1) || (SELECT b FROM bc{i}) || ' ',"
+                f" chr(1) || (SELECT a || b FROM bc{i}) || ' ') AS sp, n"
+                f" FROM br{i - 1})"
+            )
+    return ",\n".join(ctes)
 
 
 def _dsir_ctes() -> str:
@@ -6378,6 +6539,9 @@ p2 AS (
 SELECT mp AS merged, s1, s2, CAST(count(*) AS BIGINT) AS n
 FROM p2 GROUP BY mp, s1, s2
 ORDER BY n DESC, s1 ASC, s2 ASC LIMIT {BPE_MERGE_K}"""
+    out["bpe_train_merges"] = _bpe_train_sql(BPE_TRAIN_MERGES)
+    out["bpe_token_counts_docs"] = _bpe_apply_sql(BPE_TRAIN_MERGES)
+    out["bpe_compression_by_lang"] = _bpe_compression_sql(BPE_TRAIN_MERGES)
     out["dsir_bucket_ratios"] = f"""
 WITH {_dsir_ctes()}
 SELECT bucket, n_target, n_raw, lr_micro FROM ratios_d"""

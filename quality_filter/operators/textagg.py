@@ -345,6 +345,195 @@ def bpe_merge_round(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
     )
 
 
+# Symbol-boundary sentinel for multi-round BPE: each symbol in the spaced
+# form is PREFIXED with \x01, so the literal merge pattern
+# "\x01a \x01b " can only match at a symbol boundary (a symbol whose
+# spelling merely ENDS with "a" cannot produce a false "a b" hit, the bug
+# the single-round form's char-level symbols never exposed).  Tokens that
+# themselves contain \x01 (adversarial corpora) are excluded from the
+# word fact on BOTH engines — a spec'd seam like crawl_fetch_plan's
+# NULL-host exclusion.
+BPE_SENTINEL = "\x01"
+
+
+def bpe_train_merges(df: DataFrame, text_col: str, n_merges: int = 6) -> DataFrame:
+    """Multi-round BPE tokenizer training: the full greedy merge-table
+    loop (Sennrich et al. 2016) run to ``n_merges`` rounds, returning
+    one row per learned merge ``(step, s1, s2, merged, n)`` — the engine
+    training its own tokenizer over the corpus it curates.
+    ``bpe_pair_counts`` is one counting step and ``bpe_merge_round`` one
+    iteration; this is the loop that produces the artifact a trainer
+    ships.
+
+    Scale shape (the HuggingFace-trainer formulation): ONE corpus pass
+    collapses to the vocabulary-bounded word-frequency fact
+    ``(tok, n)``; every merge round then runs over that persisted word
+    DIMENSION — a narrow map (chained literal replaces) into a
+    map-side-combined pair aggregate — never over the corpus again.
+    Each round moves exactly one winning pair string across the driver;
+    the result is a ``n_merges``-row literal.  At 100 TB the rounds'
+    cost is governed by |vocab|, not corpus size.
+
+    Exactness: integer pair counts weighted by word counts, winner by
+    (n DESC, s1 ASC, s2 ASC) under binary collation — both engines pick
+    the identical merge every round, so the whole table is
+    value-hash-checkable.  Merge application is greedy left-to-right
+    non-overlapping (the BPE spec): a literal ``replace`` over the
+    sentinel-prefixed spaced form restarts scanning AFTER each hit —
+    e.g. winner (a,a) on "aaaa" yields [aa, aa], never [aa, a, a] —
+    because the pattern carries its own trailing delimiter and each
+    symbol its own leading sentinel, no delimiter is shared between
+    adjacent matches."""
+    spark = df.sparkSession
+    merges = _bpe_merge_list(df, text_col, n_merges)
+    return spark.createDataFrame(
+        merges, "step long, s1 string, s2 string, merged string, n long"
+    )
+
+
+def _bpe_merge_list(
+    df: DataFrame, text_col: str, n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """The BPE training loop itself (see bpe_train_merges): returns the
+    learned merge table as driver-side literals so both the training
+    report and corpus-wide application can consume it."""
+    wf = (
+        df.select(F.explode(_tokens_lower(F.col(text_col))).alias("tok"))
+        .filter(~F.col("tok").contains(BPE_SENTINEL))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
+    )
+    try:
+        # "abc" -> "\x01a \x01b \x01c " (every symbol sentinel-prefixed,
+        # trailing space): see the ([\s\S]) note in bpe_merge_round.
+        spaced = F.regexp_replace(
+            F.col("tok"), "([\\s\\S])", BPE_SENTINEL + "$1 "
+        )
+        merges: list[tuple[int, str, str, str, int]] = []
+        for step in range(1, n_merges + 1):
+            syms = wf.select(
+                F.split(F.rtrim(spaced), " ").alias("_s"), "n"
+            ).filter(F.size("_s") >= 2)
+            pairs = syms.select(
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(_s, 1, size(_s) - 1),"
+                        " slice(_s, 2, size(_s) - 1),"
+                        " (a, b) -> struct(a AS s1, b AS s2))"
+                    )
+                ).alias("p"),
+                "n",
+            )
+            top = (
+                pairs.select(
+                    F.expr("substring(p.s1, 2)").alias("a"),
+                    F.expr("substring(p.s2, 2)").alias("b"),
+                    "n",
+                )
+                .groupBy("a", "b")
+                .agg(F.sum("n").cast("long").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break  # no adjacent pairs left; oracle degrades identically
+            a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+            merges.append((step, a, b, a + b, n))
+            spaced = F.replace(
+                spaced,
+                F.lit(f"{BPE_SENTINEL}{a} {BPE_SENTINEL}{b} "),
+                F.lit(f"{BPE_SENTINEL}{a}{b} "),
+            )
+        return merges
+    finally:
+        wf.unpersist()
+
+
+def bpe_token_counts(
+    df: DataFrame, text_col: str, id_col: str, n_merges: int = 6
+) -> DataFrame:
+    """Per-doc token count under the engine's OWN trained BPE tokenizer
+    (``_bpe_merge_list``) — the train→apply loop closed: the number a
+    token-budget plan should use instead of the whitespace/char
+    approximations (``token_count_bpe``).
+
+    Application is a ZERO-SHUFFLE narrow map with no HOF and no
+    per-token explode: the whole doc is sentinel-spaced in one
+    ``regexp_replace`` (space chars become their own ``\\x01␣`` symbols,
+    which no learned pattern can match — merges provably never cross a
+    token boundary), the K learned merges are K chained literal
+    ``replace`` calls, and the symbol count falls out of arithmetic on
+    sentinel counts: every symbol carries exactly one sentinel, so
+    ``n_bpe = count('\\x01') - n_space_symbols``.  All string ops are
+    codegen'd JVM built-ins; cost is O(doc bytes · K) per row with
+    nothing crossing an exchange.
+
+    Data ``\\x01`` bytes are STRIPPED from the text before spacing (the
+    training-side seam, applied at the char level so the sentinel
+    arithmetic stays exact); both engines share the spelling."""
+    merges = _bpe_merge_list(df, text_col, n_merges)
+    n_bpe, _ = _bpe_apply_cols(text_col, merges)
+    return df.select(
+        F.col(id_col), n_bpe.cast("long").alias("n_bpe_tokens")
+    )
+
+
+def _bpe_apply_cols(text_col: str, merges) -> tuple[Column, Column]:
+    """(n_bpe_tokens, n_nonspace_chars) column pair for applying a
+    learned merge list doc-wide — the sentinel-count arithmetic shared
+    by bpe_token_counts and bpe_compression_by_lang."""
+    t = F.replace(F.lower(F.trim(F.col(text_col))), F.lit(BPE_SENTINEL), F.lit(""))
+    sp = F.regexp_replace(t, "([\\s\\S])", BPE_SENTINEL + "$1 ")
+    for _, a, b, _, _ in merges:
+        sp = F.replace(
+            sp,
+            F.lit(f"{BPE_SENTINEL}{a} {BPE_SENTINEL}{b} "),
+            F.lit(f"{BPE_SENTINEL}{a}{b} "),
+        )
+    n_space = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    n_bpe = (
+        F.length(sp) - F.length(F.replace(sp, F.lit(BPE_SENTINEL), F.lit("")))
+    ) - n_space
+    return n_bpe, F.length(t) - n_space
+
+
+def bpe_compression_by_lang(
+    df: DataFrame, text_col: str, lang_col: str, n_merges: int = 6
+) -> DataFrame:
+    """Per-language compression of the engine's own trained BPE: total
+    non-space chars, total BPE tokens, and chars-per-token — the
+    tokenizer-equity audit (a merge table trained on a skewed mix
+    compresses the dominant language better; chars/token per language
+    is the number that exposes it before a token budget silently
+    under-buys the tail languages).
+
+    Same zero-shuffle narrow map as bpe_token_counts, collapsing
+    map-side to the O(#langs) dimension; sums are exact integers, the
+    ratio ONE double division (engine-identical), NULL for a language
+    with zero tokens."""
+    merges = _bpe_merge_list(df, text_col, n_merges)
+    n_bpe, n_chars = _bpe_apply_cols(text_col, merges)
+    agg = (
+        df.select(F.col(lang_col).alias("lang"), n_bpe.alias("_nb"), n_chars.alias("_nc"))
+        .groupBy("lang")
+        .agg(
+            F.sum("_nc").cast("long").alias("n_chars"),
+            F.sum("_nb").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "n_chars",
+        "n_bpe_tokens",
+        F.when(
+            F.col("n_bpe_tokens") > 0,
+            F.round(F.col("n_chars").cast("double") / F.col("n_bpe_tokens"), 6),
+        ).alias("chars_per_token"),
+    )
+
+
 def _bigram_pairs(
     df: DataFrame, text_col: str, id_col: str | None = None
 ) -> DataFrame:

@@ -189,6 +189,15 @@ DOC_QUERIES = [
     # spelling Java and RE2 read identically on any token bytes; the
     # merge is a literal replace (no regex on data)
     "bpe_merge_round",
+    # multi-round BPE training: same ([\s\S]) spaced form + literal
+    # replaces; sentinel-bearing tokens excluded by spec on BOTH
+    # engines, so adversarial \x01 bytes cannot split the engines
+    "bpe_train_merges",
+    # BPE apply: data sentinels stripped char-level on both engines;
+    # counts are length() arithmetic (astral chars count 1 in both)
+    "bpe_token_counts_docs",
+    # per-lang compression: same apply chain, exact-int sums, one division
+    "bpe_compression_by_lang",
     # DSIR: md5-bucket universe + ln of exact Laplace-smoothed count
     # ratios (pmi/bm25 class), per-doc weights exact BIGINT sums; an
     # absent target source (fuzz corpora have host*, not src0) is the

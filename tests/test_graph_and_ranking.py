@@ -194,6 +194,154 @@ def test_bpe_merge_round_pairless_corpus_is_identity(spark):
     assert textagg.bpe_merge_round(df, "text", k=10).collect() == []
 
 
+def _bpe_twin(texts, k):
+    """Engine-free BPE trainer: same tokenizer, same (n DESC, a, b)
+    winner rule, true symbol-list greedy left-to-right non-overlapping
+    merge — the ground truth the literal-replace formulation must hit."""
+    import re
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        for tok in re.split("[ ]+", t.lower().strip(" ")):
+            if "\x01" in tok:
+                continue
+            wf[tok] += 1
+    words = {w: list(w) for w in wf}
+    out = []
+    for step in range(1, k + 1):
+        counts = Counter()
+        for w, n in wf.items():
+            s = words[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += n
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        for w, s in words.items():
+            new, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(s[i])
+                    i += 1
+            words[w] = new
+        out.append((step, a, b, a + b, n))
+    return out
+
+
+def test_bpe_train_merges_matches_python_twin(spark):
+    """Multi-round training equals the symbol-list twin on a corpus
+    engineered to exercise BOTH literal-replace hazards: overlap
+    ('aaaa' must become [aa, aa]) and the multi-char boundary (once
+    'yx' is a symbol, a later (x, ab) merge must NOT fire inside
+    'yx ab' — only the sentinel-prefixed form prevents that suffix
+    match)."""
+    text = " ".join(
+        ["ab"] * 10 + ["yx"] * 20 + ["yxab"] * 5 + ["xab"] * 9 + ["aaaa"] * 3
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [tuple(r) for r in textagg.bpe_train_merges(df, "text", n_merges=6).collect()]
+    want = _bpe_twin([text], 6)
+    assert got == want
+    # the boundary-hazard pair must survive as a real later merge:
+    # [yx, ab] stayed intact until (yx, ab) itself won a round
+    assert ("yx", "ab") in {(a, b) for _, a, b, _, _ in want}
+
+
+def test_bpe_train_merges_sentinel_tokens_excluded(spark):
+    """Tokens containing the \\x01 sentinel are excluded from the word
+    fact (the spec'd seam) — counts come only from clean tokens."""
+    df = spark.createDataFrame(
+        [(1, "\x01ab \x01ab ab cd")], "doc_id long, text string"
+    )
+    rows = [tuple(r) for r in textagg.bpe_train_merges(df, "text", n_merges=2).collect()]
+    assert rows == [(1, "a", "b", "ab", 1), (2, "c", "d", "cd", 1)]
+
+
+def test_bpe_train_merges_pairless_corpus_is_empty(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = textagg.bpe_train_merges(df, "text", n_merges=3)
+    assert out.collect() == []
+    assert out.columns == ["step", "s1", "s2", "merged", "n"]
+
+
+def _bpe_twin_apply(texts, merges):
+    """Apply a learned merge list to each text with true symbol lists,
+    returning per-text BPE token counts (data \\x01 chars stripped, the
+    application-side seam)."""
+    import re
+
+    out = []
+    for t in texts:
+        total = 0
+        clean = t.replace("\x01", "").lower().strip(" ")
+        for tok in re.split("[ ]+", clean):
+            s = list(tok)
+            for _, a, b, _, _ in merges:
+                new, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        new.append(a + b)
+                        i += 2
+                    else:
+                        new.append(s[i])
+                        i += 1
+                s = new
+            total += len(s)
+        out.append(total)
+    return out
+
+
+def test_bpe_token_counts_match_symbol_list_twin(spark):
+    """The sentinel-count arithmetic equals true per-token symbol-list
+    application, including multi-space docs (space symbols are counted
+    out exactly) and a doc carrying a raw \\x01 byte."""
+    texts = [
+        "ab ab yx yxab xab aaaa",
+        "  abab   cd ",
+        "\x01ab zz\x01yx ab",
+        "",
+        "aaaa aaa aa a",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = textagg._bpe_merge_list(df, "text", 5)
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in textagg.bpe_token_counts(df, "text", "doc_id", n_merges=5).collect()
+    }
+    want = _bpe_twin_apply(texts, merges)
+    assert got == {i: n for i, n in enumerate(want)}
+    # and the plan is a pure narrow map: no exchange anywhere
+    plan = textagg.bpe_token_counts(df, "text", "doc_id", n_merges=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_bpe_compression_by_lang_conserves_doc_counts(spark):
+    """Per-lang token/char totals equal the per-doc counts summed —
+    the two apply-path consumers can never drift."""
+    df = spark.createDataFrame(
+        [(1, "abab abab cd", "en"), (2, "yx yxab", "de"), (3, "", "de")],
+        "doc_id long, text string, lang string",
+    )
+    per_doc = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in textagg.bpe_token_counts(df, "text", "doc_id", n_merges=3).collect()
+    }
+    rows = textagg.bpe_compression_by_lang(df, "text", "lang", n_merges=3).collect()
+    assert {r["lang"]: r["n_bpe_tokens"] for r in rows} == {
+        "en": per_doc[1],
+        "de": per_doc[2] + per_doc[3],
+    }
+    for r in rows:
+        if r["n_bpe_tokens"] > 0:
+            assert r["chars_per_token"] == round(r["n_chars"] / r["n_bpe_tokens"], 6)
+
+
 def test_kn_counts_hand_case_and_invariants(spark, docs):
     df = spark.createDataFrame([(1, "a b a b c"), (2, "x")], "doc_id long, text string")
     bg = {(r["w1"], r["w2"]): r["n"] for r in textagg.kn_bigram_counts(df, "text").collect()}
