@@ -1738,6 +1738,46 @@ def q_doc_quality_decile_bounds(spark, sf_dir):
     )
 
 
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum training order: every doc's exact 1-based position in
+    the schedule ORDER BY (quality decile ASC [1 = best first],
+    content-addressed md5 shuffle within decile) — easy-to-hard tiers,
+    deterministic pseudo-random order inside each tier (the
+    hash_sample retry/repartition-proof precedent).
+
+    No global sort anywhere: deciles come from the boundary narrow map
+    (q_doc_quality_decile_bounds's phase-1 percentile literals) and
+    positions from windows.global_order_positions — md5-nibble range
+    subshards ranked in parallel plus offsets on the O(tiers x 16)
+    dimension.  The oracle checks the exact global row_number, proving
+    the two-level decomposition IS the total order."""
+    from quality_filter.operators import windows as WD
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = R.feature_columns(F.col("text"), CFG)
+    feats["ppl_norm"] = F.lit(0.0)
+    q = F.round(R.quality_score_col(feats, CFG), 6)
+    scored = docs.select("doc_id", q.alias("quality_score"))
+    bounds = scored.agg(
+        F.transform(
+            F.percentile(
+                "quality_score", F.array(*[F.lit(i / 10) for i in range(1, 10)])
+            ),
+            lambda x: F.round(x, 6),
+        ).alias("bs")
+    ).head()["bs"]
+    promoted = sum(
+        (F.col("quality_score") >= F.lit(float(b))).cast("int") for b in bounds
+    )
+    tiered = scored.select(
+        "doc_id",
+        (F.lit(10) - promoted).cast("long").alias("decile"),
+        F.md5(F.col("doc_id").cast("string")).alias("_k"),
+    )
+    out = WD.global_order_positions(tiered, "decile", "_k", "doc_id")
+    return out.select("doc_id", "decile", "pos")
+
+
 def q_doc_length_quantiles_approx(spark, sf_dir):
     """Scale-safe quantile twin (round-3 verdict item 3): per-lang
     ``percentile_approx`` — a MERGEABLE sketch with an accuracy-bounded
@@ -3758,6 +3798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_merges": q_bpe_train_merges,
         "bpe_token_counts_docs": q_bpe_token_counts_docs,
         "bpe_compression_by_lang": q_bpe_compression_by_lang,
+        "curriculum_order": q_curriculum_order,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -5282,6 +5323,30 @@ bounds AS (
 SELECT s.doc_id, s.quality_score,
   CAST(10 - len(list_filter(b.bs, x -> s.quality_score >= x)) AS BIGINT) AS decile
 FROM scored s, bounds b""",
+        # the oracle states the TOTAL order directly (one global
+        # row_number); the Spark side must reproduce it from the
+        # two-level nibble decomposition — that equality is the check
+        "curriculum_order": f"""
+WITH {_features_cte()},
+scored AS (
+  SELECT doc_id, round(1.0 / (1.0 + exp(-{qz})), 6) AS quality_score FROM ratios
+),
+bounds AS (
+  SELECT list_transform(
+    quantile_cont(quality_score, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+    x -> round(x, 6)) AS bs
+  FROM scored
+),
+dec AS (
+  SELECT s.doc_id,
+    CAST(10 - len(list_filter(b.bs, x -> s.quality_score >= x)) AS BIGINT) AS decile
+  FROM scored s, bounds b
+)
+SELECT doc_id, decile,
+  CAST(row_number() OVER (
+    ORDER BY decile ASC, md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+  ) AS BIGINT) AS pos
+FROM dec""",
         "doc_length_quantiles_approx": """
 SELECT lang,
   quantile_disc(n_chars, 0.25) AS q25,

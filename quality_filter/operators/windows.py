@@ -160,3 +160,44 @@ def asof_last_value(
         filled.filter(F.col("_is_left") == 1)
         .select(key, ts, tiebreak, F.coalesce(out, F.lit(0.0)).alias(out))
     )
+
+
+def global_order_positions(
+    df: DataFrame, tier_col: str, key_col: str, tie_col: str
+) -> DataFrame:
+    """Exact 1-based global positions under ``ORDER BY (tier, key, tie)``
+    WITHOUT a global sort — the curriculum-ordering primitive (a total
+    training order over the corpus is a global sort by definition; this
+    is the shape that survives it at 100 TB).
+
+    Two-level rank: the first hex nibble of ``key_col`` (a hex digest)
+    RANGE-partitions each tier into 16 ordered subshards — a prefix of
+    the sort key, so ordering by (tier, nibble, key) equals ordering by
+    (tier, key).  Level 1: row_number within (tier, nibble), every
+    window bounded by a tier-sixteenth, all running in parallel.
+    Level 2: subshard offsets from a map-side-combined count on the
+    O(tiers x 16) DIMENSION (one tiny-task running sum), broadcast back.
+    position = offset + within-rank.  Nothing corpus-sized ever sorts
+    in one task; finer sharding is one more nibble."""
+    nib = F.substring(F.col(key_col), 1, 1)
+    base = df.withColumn("_nib", nib)
+    w_in = W.partitionBy(tier_col, "_nib").orderBy(
+        F.col(key_col).asc(), F.col(tie_col).asc()
+    )
+    ranked = base.withColumn("_rn", F.row_number().over(w_in))
+    sizes = base.groupBy(tier_col, "_nib").agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    w_off = (
+        W.orderBy(F.col(tier_col).asc(), F.col("_nib").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        tier_col, "_nib",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), [tier_col, "_nib"])
+        .withColumn("pos", (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_nib", "_rn", "_off")
+    )

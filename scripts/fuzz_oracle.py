@@ -54,6 +54,10 @@ DOC_QUERIES = [
     # generate their own media table, not fuzzed)
     "benchmark_decontamination_bloom", "doc_quality_decile_bounds",
     "doc_length_quantiles_approx", "segment_dedup_docs",
+    # curriculum positions: fuzz-proven decile bounds + md5 rank
+    # universe; the oracle's global row_number vs the two-level nibble
+    # decomposition is exactly what fuzz should stress
+    "curriculum_order",
     # round 5: boilerplate verb — fuzz-proven segment algebra + exact df
     "boilerplate_scrub_docs",
     "incremental_near_dup", "incremental_curation",

@@ -481,3 +481,36 @@ def test_stream_distilled_gate_matches_batch_scoring(spark, tmp_path):
     assert got == want and len(got) > 100
     # non-degenerate: the student keeps some docs and drops some
     assert {k for (_, _, k) in got} == {True, False}
+
+
+def test_global_order_positions_equal_single_window(spark):
+    """The two-level nibble decomposition reproduces the exact global
+    row_number over (tier, key, tie) — including tiers that are empty
+    in some nibbles and md5 keys landing in every nibble."""
+    from pyspark.sql import Window
+
+    from pyspark.sql import functions as F
+    from quality_filter.operators import windows as WD
+
+    df = spark.range(0, 700).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id"), 4) + 1).alias("tier"),
+        F.md5(F.col("id").cast("string")).alias("k"),
+    )
+    got = {
+        r["doc_id"]: r["pos"]
+        for r in WD.global_order_positions(df, "tier", "k", "doc_id").collect()
+    }
+    w = Window.orderBy(F.col("tier").asc(), F.col("k").asc(), F.col("doc_id").asc())
+    want = {
+        r["doc_id"]: r["pos"]
+        for r in df.select("doc_id", F.row_number().over(w).alias("pos")).collect()
+    }
+    assert got == want
+    # scale shape: the corpus side never range-partitions into a global
+    # sort; the only single-partition stage is the O(tiers x 16) offsets
+    plan = (
+        WD.global_order_positions(df, "tier", "k", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" not in plan
