@@ -75,6 +75,10 @@ BENCH_QUERIES = [
     # round-5 classifier-in-the-loop tier
     "gate_distill_weights",   # staged fact + 12 exact-int Gauss-Seidel scalar aggs
     "rule_ablation_report",   # 8 gate flags in one scan -> 8-row groupBy
+    # round-5 tokenizer tier
+    "bpe_train_merges",       # word-dim fact + K driver-loop merge rounds
+    "bpe_token_counts_docs",  # zero-shuffle merge application (sentinel arithmetic)
+    "curriculum_order",       # two-level rank: nibble subshard windows + offsets
 ]
 
 
