@@ -480,3 +480,27 @@ def stream_distilled_gate(
         margin_col(xi, weights).alias("margin_int"),
         model_keep_col(xi, weights).alias("model_keep"),
     )
+
+
+def stream_bpe_token_counts(
+    sdf: DataFrame,
+    merges: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train-batch / serve-streaming for the tokenizer: a merge table
+    learned offline (textagg._bpe_merge_list over the training corpus)
+    applied to an unbounded document stream.  The application is the
+    batch path's own column expression (textagg._bpe_apply_cols):
+    sentinel spacing + K literal replaces + sentinel-count arithmetic —
+    a STATELESS zero-shuffle narrow map, trigger-compatible unchanged
+    (no state store, no watermark, no Python crossing).  This is how a
+    100 TB pipeline prices incoming docs in REAL tokenizer units at
+    ingest time without re-reading the corpus the tokenizer was
+    trained on."""
+    from quality_filter.operators.textagg import _bpe_apply_cols
+
+    n_bpe, _ = _bpe_apply_cols(text_col, merges)
+    return sdf.select(
+        F.col(id_col), n_bpe.cast("long").alias("n_bpe_tokens")
+    )

@@ -514,3 +514,40 @@ def test_global_order_positions_equal_single_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "rangepartitioning" not in plan
+
+
+def test_stream_bpe_token_counts_matches_batch(spark, tmp_path):
+    """A merge table trained offline prices a streamed corpus in the
+    batch path's exact tokenizer units — stateless literal-replace map,
+    so stream==batch row-for-row under availableNow with no state."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from quality_filter.operators import textagg
+    from quality_filter.streaming.stream import stream_bpe_token_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = textagg._bpe_merge_list(docs, "text", 4)
+    assert merges, "training corpus must yield merges"
+
+    src = str(tmp_path / "bpe_src")
+    docs.select("doc_id", "text").write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.select("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        stream_bpe_token_counts(stream, merges)
+        .writeStream.format("memory").queryName("bpestream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["doc_id"], r["n_bpe_tokens"])
+        for r in spark.sql("select * from bpestream").collect()
+    }
+    want = {
+        (r["doc_id"], r["n_bpe_tokens"])
+        for r in textagg.bpe_token_counts(docs, "text", "doc_id", n_merges=4).collect()
+    }
+    assert got == want and len(got) == docs.count()
