@@ -995,6 +995,27 @@ def q_packed_docs(spark, sf_dir):
     return packing.pack_sequences(docs, "doc_id", n_tokens, PACK_CAPACITY, PACK_SHARDS)
 
 
+BPE_PACK_CAPACITY = 4096
+
+
+def q_packed_docs_bpe(spark, sf_dir):
+    """Sequence packing priced in REAL tokenizer units: the engine's own
+    trained BPE merges (bpe_train_merges) count each doc
+    (bpe_token_counts_docs's zero-shuffle apply map), and the packing
+    recurrence bins those counts — the full train-tokenizer → price →
+    pack chain a pretraining pipeline actually runs, replacing the
+    whitespace approximation packed_docs uses.  Scale shape unchanged:
+    the count is a narrow map feeding the one hash-shard shuffle."""
+    from quality_filter.operators import packing
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = textagg._bpe_merge_list(docs, "text", BPE_TRAIN_MERGES)
+    n_bpe, _ = textagg._bpe_apply_cols("text", merges)
+    return packing.pack_sequences(
+        docs, "doc_id", n_bpe, BPE_PACK_CAPACITY, PACK_SHARDS
+    )
+
+
 def q_corpus_curation(spark, sf_dir):
     """The end-to-end curation flow a pretraining corpus actually runs,
     as ONE composed plan: heuristic quality gate → exact-dup
@@ -3799,6 +3820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts_docs": q_bpe_token_counts_docs,
         "bpe_compression_by_lang": q_bpe_compression_by_lang,
         "curriculum_order": q_curriculum_order,
+        "packed_docs_bpe": q_packed_docs_bpe,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -4052,13 +4074,22 @@ def _components_sql() -> str:
     return "\nWITH RECURSIVE " + _components_ctes() + "\n"
 
 
-def _packing_ctes(src: str = "documents") -> str:
+def _packing_ctes(
+    src: str = "documents",
+    tokens_sql: str | None = None,
+    capacity: int | None = None,
+) -> str:
     """CTE chain (no WITH prefix) ending in pack(shard, rn, doc_id,
-    n_tokens, bin_idx, fill) — the greedy packing recurrence."""
+    n_tokens, bin_idx, fill) — the greedy packing recurrence.
+    ``tokens_sql``/``capacity`` default to the whitespace-token contract
+    (packed_docs); packed_docs_bpe passes the BPE sentinel arithmetic
+    over the rdk apply chain and its own capacity."""
+    tokens_sql = tokens_sql or f"len({_SIMPLE_TOKS})"
+    cap = capacity if capacity is not None else PACK_CAPACITY
     return f"""toks AS (
   SELECT doc_id,
     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {PACK_SHARDS} AS INTEGER) AS shard,
-    CAST(len({_SIMPLE_TOKS}) AS BIGINT) AS n_tokens
+    CAST({tokens_sql} AS BIGINT) AS n_tokens
   FROM {src}
 ),
 ordered AS (
@@ -4069,8 +4100,8 @@ pack(shard, rn, doc_id, n_tokens, bin_idx, fill) AS (
   FROM ordered WHERE rn = 1
   UNION ALL
   SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
-    CASE WHEN p.fill + o.n_tokens <= {PACK_CAPACITY} THEN p.bin_idx ELSE p.bin_idx + 1 END,
-    CASE WHEN p.fill + o.n_tokens <= {PACK_CAPACITY} THEN p.fill + o.n_tokens ELSE o.n_tokens END
+    CASE WHEN p.fill + o.n_tokens <= {cap} THEN p.bin_idx ELSE p.bin_idx + 1 END,
+    CASE WHEN p.fill + o.n_tokens <= {cap} THEN p.fill + o.n_tokens ELSE o.n_tokens END
   FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
 )"""
 
@@ -4971,6 +5002,17 @@ SELECT doc_id,
              ELSE 0.0 END, 6) AS dup_ngram_ratio
 FROM sh""",
         "packed_docs": "WITH RECURSIVE " + _packing_ctes("documents")
+        + "\nSELECT doc_id, shard, bin_idx, n_tokens FROM pack",
+        # tokenizer-priced packing: the BPE apply chain (rdk) feeds the
+        # same recurrence with the sentinel-count token expression
+        "packed_docs_bpe": "WITH RECURSIVE "
+        + _bpe_apply_ctes(BPE_TRAIN_MERGES)
+        + ",\n"
+        + _packing_ctes(
+            "rdk",
+            tokens_sql="length(sp) - length(replace(sp, chr(1), '')) - nsp",
+            capacity=BPE_PACK_CAPACITY,
+        )
         + "\nSELECT doc_id, shard, bin_idx, n_tokens FROM pack",
         "corpus_curation": _corpus_curation_sql(qz, hard_fail),
         "corpus_curation_v2": _corpus_curation_v2_sql(qz, hard_fail),

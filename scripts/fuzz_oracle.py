@@ -202,6 +202,9 @@ DOC_QUERIES = [
     "bpe_token_counts_docs",
     # per-lang compression: same apply chain, exact-int sums, one division
     "bpe_compression_by_lang",
+    # tokenizer-priced packing: fuzz-proven BPE apply counts feeding the
+    # fuzz-proven packing recurrence (md5 shard fate + integer fills)
+    "packed_docs_bpe",
     # DSIR: md5-bucket universe + ln of exact Laplace-smoothed count
     # ratios (pmi/bm25 class), per-doc weights exact BIGINT sums; an
     # absent target source (fuzz corpora have host*, not src0) is the

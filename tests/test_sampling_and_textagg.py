@@ -642,3 +642,32 @@ def test_hll_raw_branch_accuracy_on_wide_vocab(spark):
     assert f"{r['hll_estimate']:.4f}" == f"{round(e, 4):.4f}"
     assert e > 640.0  # raw branch, not linear counting
     assert abs(r["rel_error"]) < 0.25
+
+
+def test_packed_docs_bpe_uses_trained_tokenizer_counts(spark):
+    """The tokenizer-priced packing's n_tokens column must be exactly
+    the trained-BPE per-doc counts (not the whitespace approximation),
+    and every packing invariant holds under the BPE capacity."""
+    import __spark_entry__ as E
+    from quality_filter.operators import textagg
+
+    SF = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    packed = E.q_packed_docs_bpe(spark, SF).toPandas()
+    want = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in textagg.bpe_token_counts(
+            docs, "text", "doc_id", n_merges=E.BPE_TRAIN_MERGES
+        ).collect()
+    }
+    assert len(packed) == docs.count() and packed["doc_id"].is_unique
+    got = dict(zip(packed["doc_id"], packed["n_tokens"]))
+    assert got == want
+    stats = (
+        packed.groupby(["shard", "bin_idx"])
+        .agg(n_docs=("doc_id", "size"), fill=("n_tokens", "sum"))
+        .reset_index()
+    )
+    multi = stats[stats["n_docs"] > 1]
+    assert (multi["fill"] <= E.BPE_PACK_CAPACITY).all()
+    assert (multi["n_docs"] > 0).any()  # capacity actually packs >1 doc
