@@ -951,6 +951,18 @@ def q_temperature_mixture_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_zipf_fit_audit(spark, sf_dir):
+    """Zipf rank-frequency fit over the vocabulary head: slope /
+    intercept / r² of the log-log least squares — the corpus-health
+    audit (natural text sits near slope −1; boilerplate floods and
+    synthetic junk drift).  Exact-integer micro sums (DECIMAL(38,0) /
+    HUGEINT — provably in range by construction) make the fit
+    value-hash-checkable; everything after the one vocabulary shuffle
+    is a K-row relation (textagg.zipf_fit)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textagg.zipf_fit(docs, "text")
+
+
 def q_corpus_top_terms(spark, sf_dir):
     """Corpus vocabulary head: explode → map-side partial count →
     O(distinct terms) shuffle → TakeOrderedAndProject top-k."""
@@ -3821,6 +3833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_compression_by_lang": q_bpe_compression_by_lang,
         "curriculum_order": q_curriculum_order,
         "packed_docs_bpe": q_packed_docs_bpe,
+        "zipf_fit_audit": q_zipf_fit_audit,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -5036,6 +5049,44 @@ WITH toks AS (
 )
 SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks
 GROUP BY term ORDER BY n DESC, term ASC LIMIT {TOP_TERMS_K}""",
+        # Zipf fit: same head relation, micro-integerized log-log least
+        # squares in HUGEINT (Spark: DECIMAL(38,0)) — bounds structural,
+        # see textagg.zipf_fit
+        "zipf_fit_audit": f"""
+WITH ztoks AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text, ' ')), '[ ]+')) AS term FROM documents
+),
+zhead AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n FROM ztoks
+  GROUP BY term ORDER BY n DESC, term ASC LIMIT {textagg.ZIPF_HEAD_K}
+),
+zrk AS (
+  SELECT row_number() OVER (ORDER BY n DESC, term ASC) AS r, n FROM zhead
+),
+zxy AS (
+  SELECT CAST(floor(ln(r) * 1000000000) AS HUGEINT) AS x,
+         CAST(floor(ln(n) * 1000000000) AS HUGEINT) AS y
+  FROM zrk
+),
+zs AS (
+  SELECT CAST(count(*) AS HUGEINT) AS k,
+    sum(x) AS sx, sum(y) AS sy,
+    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM zxy
+)
+SELECT CAST(k AS BIGINT) AS n_terms,
+  CASE WHEN (k * sxx - sx * sx) <> 0 THEN
+    round(CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE), 6)
+  END AS slope,
+  CASE WHEN (k * sxx - sx * sx) <> 0 THEN
+    round(CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE)
+          / 1000000000, 6)
+  END AS intercept,
+  CASE WHEN (k * sxx - sx * sx) <> 0 AND (k * syy - sy * sy) <> 0 THEN
+    round((CAST(k * sxy - sx * sy AS DOUBLE) * CAST(k * sxy - sx * sy AS DOUBLE))
+          / (CAST(k * sxx - sx * sx AS DOUBLE) * CAST(k * syy - sy * sy AS DOUBLE)), 6)
+  END AS r2
+FROM zs""",
         "tfidf_top_docs": f"""
 WITH occ AS (
   SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text, ' ')), '[ ]+')) AS term

@@ -1289,3 +1289,68 @@ def cms_estimate(sketch_rows, term: str, depth: int = CMS_DEPTH, width: int = CM
         v = cells.get((r, h), 0)
         est = v if est is None else min(est, v)
     return int(est or 0)
+
+
+ZIPF_HEAD_K = 1000
+ZIPF_SCALE = 10**9
+
+
+def zipf_fit(df: DataFrame, text_col: str, k: int = ZIPF_HEAD_K) -> DataFrame:
+    """Zipf rank-frequency fit over the vocabulary head — the corpus
+    health number (natural text fits log n = intercept + slope * log
+    rank with slope near -1; boilerplate-flooded or synthetic corpora
+    drift): one row (n_terms, slope, intercept, r2).
+
+    Scale shape: term counts collapse map-side to the vocabulary
+    dimension; the fit uses only the TOP-K head (standard practice —
+    the tail is where Zipf breaks anyway), so everything after the one
+    O(distinct-terms) shuffle is a K-row literal-sized relation
+    (TakeOrderedAndProject, no global sort; the rank window orders K
+    rows).
+
+    Exactness (the DSIR/doremi integerization craft): x = floor(ln
+    rank * 1e9), y = floor(ln count * 1e9) as exact integers; all five
+    least-squares sums are DECIMAL(38,0) (HUGEINT on the oracle) —
+    order-free, shuffle/retry/engine-invariant; slope/intercept/r2 are
+    closed forms evaluated as ONE exact-int -> double conversion per
+    factor then a fixed IEEE expression tree.  Every intermediate is
+    PROVABLY in range: rank <= K caps x at ln(K)*1e9 (< 7e9 at
+    K=1000), int64 counts cap y < 4.4e10, so the largest product
+    (sy*sxx < 2.1e36) sits below both DECIMAL(38,0) and HUGEINT — no
+    silent-overflow guard needed, the bound is structural."""
+    from pyspark.sql import Window
+
+    head = top_terms(df, text_col, k)
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    ranked = head.select(F.row_number().over(w).alias("r"), "n")
+    dec = "decimal(38,0)"
+    x = F.floor(F.log(F.col("r").cast("double")) * ZIPF_SCALE).cast(dec)
+    y = F.floor(F.log(F.col("n").cast("double")) * ZIPF_SCALE).cast(dec)
+    agg = ranked.select(x.alias("x"), y.alias("y")).agg(
+        F.count(F.lit(1)).cast(dec).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    icnum = (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+    nz = F.col("denx") != 0.0
+    return agg.select(
+        F.col("k").cast("long").alias("n_terms"),
+        num.alias("num"), denx.alias("denx"), deny.alias("deny"),
+        icnum.alias("icnum"),
+    ).select(
+        "n_terms",
+        F.when(nz, F.round(F.col("num") / F.col("denx"), 6)).alias("slope"),
+        F.when(nz, F.round(F.col("icnum") / F.col("denx") / ZIPF_SCALE, 6)).alias("intercept"),
+        F.when(
+            nz & (F.col("deny") != 0.0),
+            F.round(
+                (F.col("num") * F.col("num")) / (F.col("denx") * F.col("deny")), 6
+            ),
+        ).alias("r2"),
+    )

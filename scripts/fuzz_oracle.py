@@ -205,6 +205,9 @@ DOC_QUERIES = [
     # tokenizer-priced packing: fuzz-proven BPE apply counts feeding the
     # fuzz-proven packing recurrence (md5 shard fate + integer fills)
     "packed_docs_bpe",
+    # Zipf fit: top_terms head (fuzz-proven ordering) + floor(ln*1e9)
+    # micro ints (pmi/bm25 ln parity) + exact HUGEINT/DECIMAL sums
+    "zipf_fit_audit",
     # DSIR: md5-bucket universe + ln of exact Laplace-smoothed count
     # ratios (pmi/bm25 class), per-doc weights exact BIGINT sums; an
     # absent target source (fuzz corpora have host*, not src0) is the

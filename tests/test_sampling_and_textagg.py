@@ -671,3 +671,43 @@ def test_packed_docs_bpe_uses_trained_tokenizer_counts(spark):
     multi = stats[stats["n_docs"] > 1]
     assert (multi["fill"] <= E.BPE_PACK_CAPACITY).all()
     assert (multi["n_docs"] > 0).any()  # capacity actually packs >1 doc
+
+
+def test_zipf_fit_matches_python_least_squares(spark):
+    """The integerized closed form equals an engine-free least-squares
+    on the same floor(ln*1e9) grid (approx to dodge the Python-vs-JVM
+    libm ulp; the cross-ENGINE contract is the DuckDB hash check), and
+    a Zipf-ish corpus fits with negative slope and high r2."""
+    import math
+
+    from quality_filter.operators import textagg
+
+    # frequencies ~ 1/rank: term t1 x 60, t2 x 30, t3 x 20, ... t6 x 10
+    toks = []
+    for i, n in enumerate([60, 30, 20, 15, 12, 10], start=1):
+        toks += [f"t{i}"] * n
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    row = textagg.zipf_fit(df, "text").collect()[0]
+
+    xs = [math.floor(math.log(r) * 10**9) for r in range(1, 7)]
+    ys = [math.floor(math.log(n) * 10**9) for n in [60, 30, 20, 15, 12, 10]]
+    k = 6
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert row["n_terms"] == 6
+    assert abs(row["slope"] - round(slope, 6)) <= 1e-6
+    assert row["slope"] < -0.8 and row["r2"] > 0.95
+    assert abs(row["intercept"] - round(math.log(60), 4)) < 0.3
+
+
+def test_zipf_fit_degenerate_single_term(spark):
+    """One distinct term: zero x-variance -> slope/intercept/r2 NULL,
+    never a divide-by-zero seam."""
+    from quality_filter.operators import textagg
+
+    df = spark.createDataFrame([(1, "a a a a")], "doc_id long, text string")
+    row = textagg.zipf_fit(df, "text").collect()[0]
+    assert row["n_terms"] == 1
+    assert row["slope"] is None and row["intercept"] is None and row["r2"] is None
