@@ -5064,8 +5064,8 @@ zrk AS (
   SELECT row_number() OVER (ORDER BY n DESC, term ASC) AS r, n FROM zhead
 ),
 zxy AS (
-  SELECT CAST(floor(ln(r) * 1000000000) AS HUGEINT) AS x,
-         CAST(floor(ln(n) * 1000000000) AS HUGEINT) AS y
+  SELECT CAST(floor(ln(r) * {textagg.ZIPF_SCALE}) AS HUGEINT) AS x,
+         CAST(floor(ln(n) * {textagg.ZIPF_SCALE}) AS HUGEINT) AS y
   FROM zrk
 ),
 zs AS (
@@ -5080,7 +5080,7 @@ SELECT CAST(k AS BIGINT) AS n_terms,
   END AS slope,
   CASE WHEN (k * sxx - sx * sx) <> 0 THEN
     round(CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE)
-          / 1000000000, 6)
+          / {textagg.ZIPF_SCALE}, 6)
   END AS intercept,
   CASE WHEN (k * sxx - sx * sx) <> 0 AND (k * syy - sy * sy) <> 0 THEN
     round((CAST(k * sxy - sx * sy AS DOUBLE) * CAST(k * sxy - sx * sy AS DOUBLE))

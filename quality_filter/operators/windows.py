@@ -179,8 +179,19 @@ def global_order_positions(
     O(tiers x 16) DIMENSION (one tiny-task running sum), broadcast back.
     position = offset + within-rank.  Nothing corpus-sized ever sorts
     in one task; finer sharding is one more nibble."""
+    from quality_filter.operators.dedup import _truncate_lineage
+
     nib = F.substring(F.col(key_col), 1, 1)
-    base = df.withColumn("_nib", nib)
+    # `base` feeds TWO branches (the rank window and the size agg).
+    # Column pruning gives each branch a different exchange subtree, so
+    # ReusedExchange never fires and the caller's upstream (e.g.
+    # curriculum_order's regex-heavy feature scoring) would run twice —
+    # truncate lineage once (lazy localCheckpoint / reliable dir seam,
+    # the dedup-iteration machinery) so both branches read the
+    # materialized slim relation (review finding).
+    base = _truncate_lineage(
+        df.withColumn("_nib", nib), eager=False, reliable=None
+    )
     w_in = W.partitionBy(tier_col, "_nib").orderBy(
         F.col(key_col).asc(), F.col(tie_col).asc()
     )
