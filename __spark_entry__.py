@@ -963,6 +963,16 @@ def q_zipf_fit_audit(spark, sf_dir):
     return textagg.zipf_fit(docs, "text")
 
 
+def q_heaps_fit_audit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit (Zipf's companion): β and ln K
+    of V ≈ K·N^β over id-space power-of-two prefixes — near-dup floods
+    depress β, random noise pushes it toward 1.  First-occurrence fact
+    is vocabulary-bounded, checkpoints a ≤64-row literal, least squares
+    the shared exact-integer core (textagg.heaps_fit)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textagg.heaps_fit(docs, "text", "doc_id")
+
+
 def q_corpus_top_terms(spark, sf_dir):
     """Corpus vocabulary head: explode → map-side partial count →
     O(distinct terms) shuffle → TakeOrderedAndProject top-k."""
@@ -3834,6 +3844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": q_curriculum_order,
         "packed_docs_bpe": q_packed_docs_bpe,
         "zipf_fit_audit": q_zipf_fit_audit,
+        "heaps_fit_audit": q_heaps_fit_audit,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -4448,6 +4459,38 @@ dsel AS (SELECT doc_id FROM dw WHERE logw_micro >= {DSIR_KEEP_PER_NGRAM} * n_ngr
 """
 
 
+def _ls_fit_sql(points: str, xcol: str, ycol: str, count_alias: str) -> str:
+    """SQL twin of textagg._loglog_ls_fit over ``points(xcol, ycol)``:
+    floor(ln*scale) micro ints, HUGEINT sums, closed forms via one
+    exact-int->double conversion per factor.  Appends the zxy/zs CTEs
+    and the final 1-row select; prepend the points CTEs + 'WITH'."""
+    S = textagg.ZIPF_SCALE
+    return f"""zxy AS (
+  SELECT CAST(floor(ln({xcol}) * {S}) AS HUGEINT) AS x,
+         CAST(floor(ln({ycol}) * {S}) AS HUGEINT) AS y
+  FROM {points}
+),
+zs AS (
+  SELECT CAST(count(*) AS HUGEINT) AS k,
+    sum(x) AS sx, sum(y) AS sy,
+    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM zxy
+)
+SELECT CAST(k AS BIGINT) AS {count_alias},
+  CASE WHEN (k * sxx - sx * sx) <> 0 THEN
+    round(CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE), 6)
+  END AS slope,
+  CASE WHEN (k * sxx - sx * sx) <> 0 THEN
+    round(CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE)
+          / {S}, 6)
+  END AS intercept,
+  CASE WHEN (k * sxx - sx * sx) <> 0 AND (k * syy - sy * sy) <> 0 THEN
+    round((CAST(k * sxy - sx * sy AS DOUBLE) * CAST(k * sxy - sx * sy AS DOUBLE))
+          / (CAST(k * sxx - sx * sx AS DOUBLE) * CAST(k * syy - sy * sy AS DOUBLE)), 6)
+  END AS r2
+FROM zs"""
+
+
 def _bpe_train_sql(k: int) -> str:
     """Unrolled K-round BPE training twin of textagg.bpe_train_merges:
     see _bpe_train_ctes for the chain mechanics."""
@@ -5052,42 +5095,47 @@ GROUP BY term ORDER BY n DESC, term ASC LIMIT {TOP_TERMS_K}""",
         # Zipf fit: same head relation, micro-integerized log-log least
         # squares in HUGEINT (Spark: DECIMAL(38,0)) — bounds structural,
         # see textagg.zipf_fit
-        "zipf_fit_audit": f"""
+        "zipf_fit_audit": """
 WITH ztoks AS (
   SELECT unnest(regexp_split_to_array(lower(trim(text, ' ')), '[ ]+')) AS term FROM documents
 ),
 zhead AS (
   SELECT term, CAST(count(*) AS BIGINT) AS n FROM ztoks
-  GROUP BY term ORDER BY n DESC, term ASC LIMIT {textagg.ZIPF_HEAD_K}
+  GROUP BY term ORDER BY n DESC, term ASC LIMIT """ + str(textagg.ZIPF_HEAD_K) + """
 ),
-zrk AS (
+zpts AS (
   SELECT row_number() OVER (ORDER BY n DESC, term ASC) AS r, n FROM zhead
 ),
-zxy AS (
-  SELECT CAST(floor(ln(r) * {textagg.ZIPF_SCALE}) AS HUGEINT) AS x,
-         CAST(floor(ln(n) * {textagg.ZIPF_SCALE}) AS HUGEINT) AS y
-  FROM zrk
+""" + _ls_fit_sql("zpts", "r", "n", "n_terms"),
+        # Heaps fit: id-space power-of-two checkpoints (+ max_id+1) from
+        # the corpus itself; N(c)/V(c) exact counts; same LS core
+        "heaps_fit_audit": """
+WITH hocc AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text, ' ')), '[ ]+')) AS term
+  FROM documents
 ),
-zs AS (
-  SELECT CAST(count(*) AS HUGEINT) AS k,
-    sum(x) AS sx, sum(y) AS sy,
-    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
-  FROM zxy
-)
-SELECT CAST(k AS BIGINT) AS n_terms,
-  CASE WHEN (k * sxx - sx * sx) <> 0 THEN
-    round(CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE), 6)
-  END AS slope,
-  CASE WHEN (k * sxx - sx * sx) <> 0 THEN
-    round(CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE)
-          / {textagg.ZIPF_SCALE}, 6)
-  END AS intercept,
-  CASE WHEN (k * sxx - sx * sx) <> 0 AND (k * syy - sy * sy) <> 0 THEN
-    round((CAST(k * sxy - sx * sy AS DOUBLE) * CAST(k * sxy - sx * sy AS DOUBLE))
-          / (CAST(k * sxx - sx * sx AS DOUBLE) * CAST(k * syy - sy * sy AS DOUBLE)), 6)
-  END AS r2
-FROM zs""",
-        "tfidf_top_docs": f"""
+hfd AS (SELECT term, min(doc_id) AS first_doc FROM hocc GROUP BY term),
+hmx AS (SELECT max(doc_id) AS m FROM documents),
+hck AS (
+  SELECT DISTINCT c FROM (
+    SELECT (CAST(1 AS BIGINT) << j) AS c
+    FROM generate_series(0, 62) t(j), hmx
+    WHERE (CAST(1 AS BIGINT) << j) <= m + 1
+    UNION ALL SELECT m + 1 FROM hmx
+  )
+),
+hvc AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS v FROM hfd, hck
+  WHERE first_doc < c GROUP BY c
+),
+hnc AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS nd FROM documents, hck
+  WHERE doc_id < c GROUP BY c
+),
+hpts AS (
+  SELECT nd, v FROM hnc JOIN hvc USING (c) WHERE nd > 0 AND v > 0
+),
+""" + _ls_fit_sql("hpts", "nd", "v", "n_points"),        "tfidf_top_docs": f"""
 WITH occ AS (
   SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text, ' ')), '[ ]+')) AS term
   FROM documents

@@ -1323,10 +1323,20 @@ def zipf_fit(df: DataFrame, text_col: str, k: int = ZIPF_HEAD_K) -> DataFrame:
     head = top_terms(df, text_col, k)
     w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
     ranked = head.select(F.row_number().over(w).alias("r"), "n")
+    return _loglog_ls_fit(ranked, F.col("r"), F.col("n"), "n_terms")
+
+
+def _loglog_ls_fit(points: DataFrame, xv: Column, yv: Column, count_alias: str) -> DataFrame:
+    """Shared exact-integer log-log least-squares core (zipf_fit /
+    heaps_fit): x = floor(ln xv * 1e9), y = floor(ln yv * 1e9) micro
+    ints, five DECIMAL(38,0) sums, closed forms via one exact-int ->
+    double conversion per factor.  ``points`` must be a bounded
+    dimension (zipf: the K-term head; heaps: <= 64 checkpoints) so the
+    structural overflow bounds hold (see zipf_fit docstring)."""
     dec = "decimal(38,0)"
-    x = F.floor(F.log(F.col("r").cast("double")) * ZIPF_SCALE).cast(dec)
-    y = F.floor(F.log(F.col("n").cast("double")) * ZIPF_SCALE).cast(dec)
-    agg = ranked.select(x.alias("x"), y.alias("y")).agg(
+    x = F.floor(F.log(xv.cast("double")) * ZIPF_SCALE).cast(dec)
+    y = F.floor(F.log(yv.cast("double")) * ZIPF_SCALE).cast(dec)
+    agg = points.select(x.alias("x"), y.alias("y")).agg(
         F.count(F.lit(1)).cast(dec).alias("k"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
@@ -1340,11 +1350,11 @@ def zipf_fit(df: DataFrame, text_col: str, k: int = ZIPF_HEAD_K) -> DataFrame:
     icnum = (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
     nz = F.col("denx") != 0.0
     return agg.select(
-        F.col("k").cast("long").alias("n_terms"),
+        F.col("k").cast("long").alias(count_alias),
         num.alias("num"), denx.alias("denx"), deny.alias("deny"),
         icnum.alias("icnum"),
     ).select(
-        "n_terms",
+        count_alias,
         F.when(nz, F.round(F.col("num") / F.col("denx"), 6)).alias("slope"),
         F.when(nz, F.round(F.col("icnum") / F.col("denx") / ZIPF_SCALE, 6)).alias("intercept"),
         F.when(
@@ -1354,3 +1364,53 @@ def zipf_fit(df: DataFrame, text_col: str, k: int = ZIPF_HEAD_K) -> DataFrame:
             ),
         ).alias("r2"),
     )
+
+
+def heaps_fit(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit — Zipf's companion corpus-health
+    audit: distinct vocabulary V over the first N docs grows ~ K·N^β
+    (β ≈ 0.4-0.8 for natural text; near-duplicate floods push β down,
+    random noise pushes it toward 1).  One row (n_points, slope=β,
+    intercept=ln K, r2).
+
+    Prefix spec (contiguity-free, id-space checkpoints): for each
+    checkpoint c ∈ {2^j} ∪ {max_id+1}, N(c) = #docs with id < c and
+    V(c) = #terms whose MINIMUM containing doc id < c; points with
+    N=0 or V=0 drop (ln undefined; both engines).  The fit is ln V vs
+    ln N — checkpoint positions cancel out, so non-contiguous ids are
+    fine.
+
+    Scale shape: one corpus explode collapses map-side to the
+    vocabulary-bounded (term, first_doc) fact; checkpoints are a ≤64-
+    row literal (query-literal pattern: max_id crosses the driver
+    once); the per-checkpoint counts are map-side-combined aggregates
+    over vocab×64 and docs×64 exploded rows — both dimension-bounded.
+    Least squares = _loglog_ls_fit (structural DECIMAL(38,0)/HUGEINT
+    bounds: ≤64 points, int64 counts)."""
+    max_id = df.agg(F.max(F.col(id_col))).head()[0]
+    if max_id is None:
+        return _loglog_ls_fit(
+            df.select(F.lit(1).alias("a"), F.lit(1).alias("b")).limit(0),
+            F.col("a"), F.col("b"), "n_points",
+        )
+    cs = sorted({1 << j for j in range(63) if (1 << j) <= max_id + 1} | {max_id + 1})
+    carr = F.array(*[F.lit(c) for c in cs])
+    fd = (
+        df.select(F.col(id_col).alias("_d"), F.explode(_tokens_lower(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.min("_d").alias("first_doc"))
+    )
+    vc = (
+        fd.select(F.explode(carr).alias("c"), "first_doc")
+        .filter(F.col("first_doc") < F.col("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    nc = (
+        df.select(F.explode(carr).alias("c"), F.col(id_col).alias("_d"))
+        .filter(F.col("_d") < F.col("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    )
+    pts = nc.join(vc, "c").filter((F.col("nd") > 0) & (F.col("v") > 0))
+    return _loglog_ls_fit(pts, F.col("nd"), F.col("v"), "n_points")

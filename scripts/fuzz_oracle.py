@@ -208,6 +208,9 @@ DOC_QUERIES = [
     # Zipf fit: top_terms head (fuzz-proven ordering) + floor(ln*1e9)
     # micro ints (pmi/bm25 ln parity) + exact HUGEINT/DECIMAL sums
     "zipf_fit_audit",
+    # Heaps fit: exact first-occurrence/prefix counts from the corpus's
+    # own id space + the same LS core
+    "heaps_fit_audit",
     # DSIR: md5-bucket universe + ln of exact Laplace-smoothed count
     # ratios (pmi/bm25 class), per-doc weights exact BIGINT sums; an
     # absent target source (fuzz corpora have host*, not src0) is the

@@ -711,3 +711,28 @@ def test_zipf_fit_degenerate_single_term(spark):
     row = textagg.zipf_fit(df, "text").collect()[0]
     assert row["n_terms"] == 1
     assert row["slope"] is None and row["intercept"] is None and row["r2"] is None
+
+
+def test_heaps_fit_growth_and_invariants(spark):
+    """A corpus whose vocabulary keeps growing fits with 0 < beta <= 1
+    and high r2; a one-doc corpus has a single checkpoint pair ->
+    zero x-variance -> NULL fit."""
+    import random
+
+    from quality_filter.operators import textagg
+
+    rnd = random.Random(7)
+    rows = []
+    for d in range(64):
+        # each doc introduces fresh terms plus repeats of old ones
+        toks = [f"w{rnd.randrange(0, 10 + 4 * d)}" for _ in range(30)]
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    row = textagg.heaps_fit(df, "text", "doc_id").collect()[0]
+    assert row["n_points"] >= 5
+    assert 0.0 < row["slope"] <= 1.0 and row["r2"] > 0.8
+
+    one = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    r1 = textagg.heaps_fit(one, "text", "doc_id").collect()[0]
+    # max_id = 0 -> checkpoints {1}: one point -> zero variance
+    assert r1["n_points"] == 1 and r1["slope"] is None
