@@ -2525,6 +2525,19 @@ def q_bpe_token_counts_docs(spark, sf_dir):
     )
 
 
+BPE_VOCAB_K = 100
+
+
+def q_bpe_vocab(spark, sf_dir):
+    """The learned BPE vocabulary: top-k (symbol, n) over the segmented
+    corpus — the second half of the shipped tokenizer artifact next to
+    bpe_train_merges' merge table.  Word-dimension narrow map +
+    map-side-combined symbol counts; TakeOrderedAndProject
+    (textagg.bpe_vocab)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textagg.bpe_vocab(docs, "text", n_merges=BPE_TRAIN_MERGES, k=BPE_VOCAB_K)
+
+
 def q_bpe_compression_by_lang(spark, sf_dir):
     """Tokenizer-equity audit: per-language chars-per-token under the
     engine's own trained BPE merges — the number that exposes a merge
@@ -3845,6 +3858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_docs_bpe": q_packed_docs_bpe,
         "zipf_fit_audit": q_zipf_fit_audit,
         "heaps_fit_audit": q_heaps_fit_audit,
+        "bpe_vocab": q_bpe_vocab,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -4514,17 +4528,7 @@ def _bpe_apply_ctes(k: int) -> str:
     nsp, nch): sp the fully-merged spaced form, nsp the space-symbol
     count, nch the non-space char count; symbol count = sentinel count
     minus nsp."""
-    expr = "sp"
-    for i in range(1, k + 1):
-        pat = (
-            f"coalesce(chr(1) || (SELECT a FROM bc{i}) || ' ' ||"
-            f" chr(1) || (SELECT b FROM bc{i}) || ' ', chr(1) || chr(1))"
-        )
-        rep = (
-            f"coalesce(chr(1) || (SELECT a || b FROM bc{i}) || ' ',"
-            f" chr(1) || chr(1))"
-        )
-        expr = f"replace({expr}, {pat}, {rep})"
+    expr = _bpe_chain_expr("sp", k)
     return f"""{_bpe_train_ctes(k)},
 rd0 AS (
   SELECT doc_id, lang,
@@ -4563,6 +4567,43 @@ SELECT lang, n_chars, n_bpe_tokens,
        THEN round(CAST(n_chars AS DOUBLE) / n_bpe_tokens, 6) END
     AS chars_per_token
 FROM bagg"""
+
+
+def _bpe_chain_expr(base: str, k: int) -> str:
+    """The coalesced K-round literal-replace chain over ``base`` —
+    patterns from the bc{i} winner scalar subqueries, coalesced to the
+    structurally-impossible chr(1)chr(1) so a round the training loop
+    never reached is an identity replace on both engines (shared by the
+    apply chain and the vocab segmentation)."""
+    expr = base
+    for i in range(1, k + 1):
+        pat = (
+            f"coalesce(chr(1) || (SELECT a FROM bc{i}) || ' ' ||"
+            f" chr(1) || (SELECT b FROM bc{i}) || ' ', chr(1) || chr(1))"
+        )
+        rep = (
+            f"coalesce(chr(1) || (SELECT a || b FROM bc{i}) || ' ',"
+            f" chr(1) || chr(1))"
+        )
+        expr = f"replace({expr}, {pat}, {rep})"
+    return expr
+
+
+def _bpe_vocab_sql(k: int, top: int) -> str:
+    """Twin of textagg.bpe_vocab: word fact segmented by the coalesced
+    chain, symbol counts weighted by word frequency, top-k."""
+    chain = _bpe_chain_expr(
+        "regexp_replace(tok, '([\\s\\S])', chr(1) || '\\1 ', 'g')", k
+    )
+    return f"""WITH {_bpe_train_ctes(k)},
+bvz AS (
+  SELECT {chain} AS sp, n FROM bwf WHERE length(tok) > 0
+),
+bsy AS (
+  SELECT unnest(regexp_split_to_array(rtrim(sp), ' ')) AS s, n FROM bvz
+)
+SELECT substr(s, 2) AS symbol, CAST(sum(n) AS BIGINT) AS n
+FROM bsy GROUP BY 1 ORDER BY n DESC, symbol ASC LIMIT {top}"""
 
 
 def _bpe_train_ctes(k: int) -> str:
@@ -6748,6 +6789,7 @@ ORDER BY n DESC, s1 ASC, s2 ASC LIMIT {BPE_MERGE_K}"""
     out["bpe_train_merges"] = _bpe_train_sql(BPE_TRAIN_MERGES)
     out["bpe_token_counts_docs"] = _bpe_apply_sql(BPE_TRAIN_MERGES)
     out["bpe_compression_by_lang"] = _bpe_compression_sql(BPE_TRAIN_MERGES)
+    out["bpe_vocab"] = _bpe_vocab_sql(BPE_TRAIN_MERGES, BPE_VOCAB_K)
     out["dsir_bucket_ratios"] = f"""
 WITH {_dsir_ctes()}
 SELECT bucket, n_target, n_raw, lr_micro FROM ratios_d"""

@@ -397,13 +397,7 @@ def _bpe_merge_list(
     """The BPE training loop itself (see bpe_train_merges): returns the
     learned merge table as driver-side literals so both the training
     report and corpus-wide application can consume it."""
-    wf = (
-        df.select(F.explode(_tokens_lower(F.col(text_col))).alias("tok"))
-        .filter(~F.col("tok").contains(BPE_SENTINEL))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .persist()
-    )
+    wf = _bpe_word_fact(df, text_col).persist()
     try:
         # "abc" -> "\x01a \x01b \x01c " (every symbol sentinel-prefixed,
         # trailing space): see the ([\s\S]) note in bpe_merge_round.
@@ -449,6 +443,56 @@ def _bpe_merge_list(
         return merges
     finally:
         wf.unpersist()
+
+
+def _bpe_word_fact(df: DataFrame, text_col: str) -> DataFrame:
+    """Vocabulary-bounded (tok, n) word-frequency fact — the one corpus
+    pass every BPE consumer trains or applies against (sentinel-bearing
+    tokens excluded, the spec'd seam)."""
+    return (
+        df.select(F.explode(_tokens_lower(F.col(text_col))).alias("tok"))
+        .filter(~F.col("tok").contains(BPE_SENTINEL))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def bpe_vocab(
+    df: DataFrame, text_col: str, n_merges: int = 6, k: int = 100
+) -> DataFrame:
+    """The learned vocabulary after ``n_merges`` BPE rounds: top-k
+    (symbol, n) by corpus occurrence — the second half of the artifact
+    a tokenizer ships (merge table + vocabulary).  A symbol's count is
+    the number of times it appears in the SEGMENTED corpus (weighted by
+    word frequency), so single chars that every merge consumed sink and
+    merged units rise.
+
+    Scale shape: the word fact is the one corpus pass; segmentation is
+    a narrow map over the WORD dimension (the coalesced literal-replace
+    chain — identity for rounds the training loop never reached, so an
+    early-exhausted corpus segments identically on both engines);
+    symbol counts collapse map-side to the symbol vocabulary before the
+    one dimension shuffle; TakeOrderedAndProject top-k."""
+    merges = _bpe_merge_list(df, text_col, n_merges)
+    wf = _bpe_word_fact(df, text_col)
+    spaced = F.regexp_replace(F.col("tok"), "([\\s\\S])", BPE_SENTINEL + "$1 ")
+    for _, a, b, _, _ in merges:
+        spaced = F.replace(
+            spaced,
+            F.lit(f"{BPE_SENTINEL}{a} {BPE_SENTINEL}{b} "),
+            F.lit(f"{BPE_SENTINEL}{a}{b} "),
+        )
+    syms = (
+        wf.filter(F.length("tok") > 0)
+        .select(F.explode(F.split(F.rtrim(spaced), " ")).alias("s"), "n")
+        .select(F.expr("substring(s, 2)").alias("symbol"), "n")
+    )
+    return (
+        syms.groupBy("symbol")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("symbol").asc())
+        .limit(k)
+    )
 
 
 def bpe_token_counts(

@@ -211,6 +211,9 @@ DOC_QUERIES = [
     # Heaps fit: exact first-occurrence/prefix counts from the corpus's
     # own id space + the same LS core
     "heaps_fit_audit",
+    # learned vocabulary: fuzz-proven training chain + the coalesced
+    # apply segmentation over the word fact, exact weighted counts
+    "bpe_vocab",
     # DSIR: md5-bucket universe + ln of exact Laplace-smoothed count
     # ratios (pmi/bm25 class), per-doc weights exact BIGINT sums; an
     # absent target source (fuzz corpora have host*, not src0) is the

@@ -915,3 +915,23 @@ def test_hits_rejects_negative_edge_weights(spark):
     e = spark.createDataFrame([("a", "b", -1)], "src string, dst string, w long")
     with pytest.raises(Exception, match="negative edge weight"):
         graph.hits(e, iters=1).collect()
+
+
+def test_bpe_vocab_conserves_symbol_mass(spark):
+    """Total vocabulary occurrence mass equals the per-doc BPE token
+    counts summed (segmentation and counting can never drift), and the
+    learned merge products appear as vocabulary symbols."""
+    df = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "yx yxab ab"), (3, "")],
+        "doc_id long, text string",
+    )
+    merges = textagg._bpe_merge_list(df, "text", 4)
+    vocab = textagg.bpe_vocab(df, "text", n_merges=4, k=10**6).collect()
+    total_vocab = sum(r["n"] for r in vocab)
+    total_docs = sum(
+        r["n_bpe_tokens"]
+        for r in textagg.bpe_token_counts(df, "text", "doc_id", n_merges=4).collect()
+    )
+    assert total_vocab == total_docs
+    symbols = {r["symbol"] for r in vocab}
+    assert {m[3] for m in merges} & symbols  # merged units surface
