@@ -4597,7 +4597,7 @@ def _bpe_vocab_sql(k: int, top: int) -> str:
     )
     return f"""WITH {_bpe_train_ctes(k)},
 bvz AS (
-  SELECT {chain} AS sp, n FROM bwf WHERE length(tok) > 0
+  SELECT {chain} AS sp, n FROM bwf
 ),
 bsy AS (
   SELECT unnest(regexp_split_to_array(rtrim(sp), ' ')) AS s, n FROM bvz
@@ -4608,8 +4608,9 @@ FROM bsy GROUP BY 1 ORDER BY n DESC, symbol ASC LIMIT {top}"""
 
 def _bpe_train_ctes(k: int) -> str:
     """Unrolled K-round BPE training CTE chain (bwf/br{i}/bp{i}/bc{i}):
-    word-frequency fact (tokens containing the chr(1) sentinel excluded
-    on both engines) -> sentinel-prefixed spaced form -> per round, a
+    word-frequency fact (data chr(1) bytes stripped char-level on both
+    engines — the apply path's seam) -> sentinel-prefixed spaced form
+    -> per round, a
     weighted pair count, the (n DESC, a, b) argmax as a MATERIALIZED
     1-row CTE, and the merge applied by a literal replace whose pattern
     is built from scalar subqueries on that winner.  r{{i}} is
@@ -4619,10 +4620,13 @@ def _bpe_train_ctes(k: int) -> str:
     round yields NULL patterns -> NULL spaced rows -> every later round
     empty, exactly the Spark loop's break."""
     ctes = [
+        # data sentinels stripped char-level, emptied tokens dropped —
+        # the ONE seam shared with the apply path (rd0) and vocabulary
         "bwf AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS n"
+        " FROM (SELECT replace(rawtok, chr(1), '') AS tok"
         " FROM (SELECT unnest(regexp_split_to_array(lower(trim(text, ' ')),"
-        " '[ ]+')) AS tok FROM documents)"
-        " WHERE NOT contains(tok, chr(1)) GROUP BY tok)",
+        " '[ ]+')) AS rawtok FROM documents))"
+        " WHERE length(tok) > 0 GROUP BY tok)",
         "br0 AS MATERIALIZED (SELECT regexp_replace(tok, '([\\s\\S])',"
         " chr(1) || '\\1 ', 'g') AS sp, n FROM bwf)",
     ]

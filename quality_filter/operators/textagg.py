@@ -349,10 +349,11 @@ def bpe_merge_round(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
 # form is PREFIXED with \x01, so the literal merge pattern
 # "\x01a \x01b " can only match at a symbol boundary (a symbol whose
 # spelling merely ENDS with "a" cannot produce a false "a b" hit, the bug
-# the single-round form's char-level symbols never exposed).  Tokens that
-# themselves contain \x01 (adversarial corpora) are excluded from the
-# word fact on BOTH engines — a spec'd seam like crawl_fetch_plan's
-# NULL-host exclusion.
+# the single-round form's char-level symbols never exposed).  Data \x01
+# bytes (adversarial corpora) are STRIPPED char-level on BOTH engines —
+# ONE seam shared by training, application, and vocabulary (a
+# drop-the-token training seam next to a strip-the-char apply seam would
+# let the two sides of the artifact drift; second review pass).
 BPE_SENTINEL = "\x01"
 
 
@@ -392,12 +393,16 @@ def bpe_train_merges(df: DataFrame, text_col: str, n_merges: int = 6) -> DataFra
 
 
 def _bpe_merge_list(
-    df: DataFrame, text_col: str, n_merges: int
+    df: DataFrame, text_col: str, n_merges: int, wf: DataFrame | None = None
 ) -> list[tuple[int, str, str, str, int]]:
     """The BPE training loop itself (see bpe_train_merges): returns the
     learned merge table as driver-side literals so both the training
-    report and corpus-wide application can consume it."""
-    wf = _bpe_word_fact(df, text_col).persist()
+    report and corpus-wide application can consume it.  Pass an
+    already-persisted word fact via ``wf`` to share the one corpus pass
+    with another consumer (bpe_vocab); the caller then owns its
+    lifecycle."""
+    own_wf = wf is None
+    wf = _bpe_word_fact(df, text_col).persist() if own_wf else wf
     try:
         # "abc" -> "\x01a \x01b \x01c " (every symbol sentinel-prefixed,
         # trailing space): see the ([\s\S]) note in bpe_merge_round.
@@ -442,16 +447,21 @@ def _bpe_merge_list(
             )
         return merges
     finally:
-        wf.unpersist()
+        if own_wf:
+            wf.unpersist()
 
 
 def _bpe_word_fact(df: DataFrame, text_col: str) -> DataFrame:
     """Vocabulary-bounded (tok, n) word-frequency fact — the one corpus
-    pass every BPE consumer trains or applies against (sentinel-bearing
-    tokens excluded, the spec'd seam)."""
+    pass every BPE consumer trains or applies against.  Data sentinels
+    are stripped char-level and emptied tokens dropped: the SAME seam
+    the apply path uses, so vocabulary mass and per-doc counts
+    conserve on any corpus."""
+    stripped = F.replace(F.col("_rawtok"), F.lit(BPE_SENTINEL), F.lit(""))
     return (
-        df.select(F.explode(_tokens_lower(F.col(text_col))).alias("tok"))
-        .filter(~F.col("tok").contains(BPE_SENTINEL))
+        df.select(F.explode(_tokens_lower(F.col(text_col))).alias("_rawtok"))
+        .select(stripped.alias("tok"))
+        .filter(F.length("tok") > 0)
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
@@ -467,32 +477,39 @@ def bpe_vocab(
     word frequency), so single chars that every merge consumed sink and
     merged units rise.
 
-    Scale shape: the word fact is the one corpus pass; segmentation is
-    a narrow map over the WORD dimension (the coalesced literal-replace
-    chain — identity for rounds the training loop never reached, so an
-    early-exhausted corpus segments identically on both engines);
-    symbol counts collapse map-side to the symbol vocabulary before the
-    one dimension shuffle; TakeOrderedAndProject top-k."""
-    merges = _bpe_merge_list(df, text_col, n_merges)
-    wf = _bpe_word_fact(df, text_col)
-    spaced = F.regexp_replace(F.col("tok"), "([\\s\\S])", BPE_SENTINEL + "$1 ")
-    for _, a, b, _, _ in merges:
-        spaced = F.replace(
-            spaced,
-            F.lit(f"{BPE_SENTINEL}{a} {BPE_SENTINEL}{b} "),
-            F.lit(f"{BPE_SENTINEL}{a}{b} "),
+    Scale shape: ONE shared persisted word fact serves both the
+    training loop and the final segmentation (the one corpus pass —
+    second-review fix of a rebuilt-fact double scan); segmentation is
+    a narrow map over the WORD dimension; symbol counts collapse
+    map-side to the symbol vocabulary before the one dimension
+    shuffle; the top-k result is collected and returned as a literal
+    (the bpe_train_merges pattern) so the persisted fact can be
+    released eagerly."""
+    wf = _bpe_word_fact(df, text_col).persist()
+    try:
+        merges = _bpe_merge_list(df, text_col, n_merges, wf=wf)
+        spaced = F.regexp_replace(F.col("tok"), "([\\s\\S])", BPE_SENTINEL + "$1 ")
+        for _, a, b, _, _ in merges:
+            spaced = F.replace(
+                spaced,
+                F.lit(f"{BPE_SENTINEL}{a} {BPE_SENTINEL}{b} "),
+                F.lit(f"{BPE_SENTINEL}{a}{b} "),
+            )
+        syms = wf.select(
+            F.explode(F.split(F.rtrim(spaced), " ")).alias("s"), "n"
+        ).select(F.expr("substring(s, 2)").alias("symbol"), "n")
+        rows = (
+            syms.groupBy("symbol")
+            .agg(F.sum("n").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("symbol").asc())
+            .limit(k)
+            .collect()
         )
-    syms = (
-        wf.filter(F.length("tok") > 0)
-        .select(F.explode(F.split(F.rtrim(spaced), " ")).alias("s"), "n")
-        .select(F.expr("substring(s, 2)").alias("symbol"), "n")
-    )
-    return (
-        syms.groupBy("symbol")
-        .agg(F.sum("n").cast("long").alias("n"))
-        .orderBy(F.col("n").desc(), F.col("symbol").asc())
-        .limit(k)
-    )
+        return df.sparkSession.createDataFrame(
+            [(r["symbol"], r["n"]) for r in rows], "symbol string, n long"
+        )
+    finally:
+        wf.unpersist()
 
 
 def bpe_token_counts(
@@ -1427,10 +1444,15 @@ def heaps_fit(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Scale shape: one corpus explode collapses map-side to the
     vocabulary-bounded (term, first_doc) fact; checkpoints are a ≤64-
     row literal (query-literal pattern: max_id crosses the driver
-    once); the per-checkpoint counts are map-side-combined aggregates
-    over vocab×64 and docs×64 exploded rows — both dimension-bounded.
+    once); each row is assigned its SMALLEST COVERING checkpoint by a
+    codegen'd ≤64-branch CASE (the sniff-CASE precedent — never a
+    corpus×64 explode; second-review fix), the ≤64-bucket histograms
+    combine map-side, and the prefix counts N(c)/V(c) fall out of one
+    running sum over the checkpoint DIMENSION (the offsets pattern).
     Least squares = _loglog_ls_fit (structural DECIMAL(38,0)/HUGEINT
     bounds: ≤64 points, int64 counts)."""
+    from pyspark.sql import Window
+
     max_id = df.agg(F.max(F.col(id_col))).head()[0]
     if max_id is None:
         return _loglog_ls_fit(
@@ -1438,23 +1460,35 @@ def heaps_fit(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.col("a"), F.col("b"), "n_points",
         )
     cs = sorted({1 << j for j in range(63) if (1 << j) <= max_id + 1} | {max_id + 1})
-    carr = F.array(*[F.lit(c) for c in cs])
+
+    def smallest_covering(col: Column) -> Column:
+        # id < c for the first (smallest) checkpoint c — chained CASE,
+        # fully codegen'd; every id is < max_id+1 so the chain is total
+        out = None
+        for c in cs:
+            branch = F.when(col < F.lit(c), F.lit(c))
+            out = branch if out is None else out.when(col < F.lit(c), F.lit(c))
+        return out
+
+    def prefix_counts(assigned: DataFrame, out_name: str) -> DataFrame:
+        hist = assigned.groupBy("c").agg(
+            F.count(F.lit(1)).cast("long").alias("_inc")
+        )
+        full = assigned.sparkSession.createDataFrame(
+            [(c,) for c in cs], "c long"
+        ).join(hist, "c", "left")
+        w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+        return full.select(
+            "c",
+            F.sum(F.coalesce("_inc", F.lit(0))).over(w).alias(out_name),
+        )
+
     fd = (
         df.select(F.col(id_col).alias("_d"), F.explode(_tokens_lower(F.col(text_col))).alias("term"))
         .groupBy("term")
         .agg(F.min("_d").alias("first_doc"))
     )
-    vc = (
-        fd.select(F.explode(carr).alias("c"), "first_doc")
-        .filter(F.col("first_doc") < F.col("c"))
-        .groupBy("c")
-        .agg(F.count(F.lit(1)).cast("long").alias("v"))
-    )
-    nc = (
-        df.select(F.explode(carr).alias("c"), F.col(id_col).alias("_d"))
-        .filter(F.col("_d") < F.col("c"))
-        .groupBy("c")
-        .agg(F.count(F.lit(1)).cast("long").alias("nd"))
-    )
+    vc = prefix_counts(fd.select(smallest_covering(F.col("first_doc")).alias("c")), "v")
+    nc = prefix_counts(df.select(smallest_covering(F.col(id_col)).alias("c")), "nd")
     pts = nc.join(vc, "c").filter((F.col("nd") > 0) & (F.col("v") > 0))
     return _loglog_ls_fit(pts, F.col("nd"), F.col("v"), "n_points")

@@ -186,11 +186,15 @@ def global_order_positions(
     # Column pruning gives each branch a different exchange subtree, so
     # ReusedExchange never fires and the caller's upstream (e.g.
     # curriculum_order's regex-heavy feature scoring) would run twice —
-    # truncate lineage once (lazy localCheckpoint / reliable dir seam,
-    # the dedup-iteration machinery) so both branches read the
-    # materialized slim relation (review finding).
+    # truncate lineage once so both branches read the materialized slim
+    # relation (review finding).  reliable=False is REQUIRED here, not
+    # the dedup loops' auto-select: a lazy RELIABLE checkpoint does not
+    # persist, so with a checkpoint dir set both branches would still
+    # recompute upstream AND a third recompute would write the
+    # checkpoint files — only localCheckpoint's MEMORY_AND_DISK persist
+    # actually deduplicates the two consumers (second review pass).
     base = _truncate_lineage(
-        df.withColumn("_nib", nib), eager=False, reliable=None
+        df.withColumn("_nib", nib), eager=False, reliable=False
     )
     w_in = W.partitionBy(tier_col, "_nib").orderBy(
         F.col(key_col).asc(), F.col(tie_col).asc()

@@ -194,8 +194,9 @@ DOC_QUERIES = [
     # merge is a literal replace (no regex on data)
     "bpe_merge_round",
     # multi-round BPE training: same ([\s\S]) spaced form + literal
-    # replaces; sentinel-bearing tokens excluded by spec on BOTH
-    # engines, so adversarial \x01 bytes cannot split the engines
+    # replaces; data \x01 bytes stripped char-level by spec on BOTH
+    # engines (the apply path's seam), so adversarial sentinels cannot
+    # split the engines
     "bpe_train_merges",
     # BPE apply: data sentinels stripped char-level on both engines;
     # counts are length() arithmetic (astral chars count 1 in both)

@@ -204,7 +204,8 @@ def _bpe_twin(texts, k):
     wf = Counter()
     for t in texts:
         for tok in re.split("[ ]+", t.lower().strip(" ")):
-            if "\x01" in tok:
+            tok = tok.replace("\x01", "")
+            if not tok:
                 continue
             wf[tok] += 1
     words = {w: list(w) for w in wf}
@@ -251,14 +252,15 @@ def test_bpe_train_merges_matches_python_twin(spark):
     assert ("yx", "ab") in {(a, b) for _, a, b, _, _ in want}
 
 
-def test_bpe_train_merges_sentinel_tokens_excluded(spark):
-    """Tokens containing the \\x01 sentinel are excluded from the word
-    fact (the spec'd seam) — counts come only from clean tokens."""
+def test_bpe_train_merges_sentinel_chars_stripped(spark):
+    """Data \\x01 bytes are stripped char-level from the word fact (the
+    SAME seam the apply path uses, so mass conserves): '\\x01ab' counts
+    as 'ab', a lone sentinel token vanishes."""
     df = spark.createDataFrame(
-        [(1, "\x01ab \x01ab ab cd")], "doc_id long, text string"
+        [(1, "\x01ab \x01ab ab \x01 cd")], "doc_id long, text string"
     )
     rows = [tuple(r) for r in textagg.bpe_train_merges(df, "text", n_merges=2).collect()]
-    assert rows == [(1, "a", "b", "ab", 1), (2, "c", "d", "cd", 1)]
+    assert rows == [(1, "a", "b", "ab", 3), (2, "c", "d", "cd", 1)]
 
 
 def test_bpe_train_merges_pairless_corpus_is_empty(spark):
@@ -919,10 +921,11 @@ def test_hits_rejects_negative_edge_weights(spark):
 
 def test_bpe_vocab_conserves_symbol_mass(spark):
     """Total vocabulary occurrence mass equals the per-doc BPE token
-    counts summed (segmentation and counting can never drift), and the
+    counts summed (segmentation and counting share ONE sentinel seam so
+    they can never drift — including on \\x01-bearing docs), and the
     learned merge products appear as vocabulary symbols."""
     df = spark.createDataFrame(
-        [(1, "abab abab cd"), (2, "yx yxab ab"), (3, "")],
+        [(1, "abab abab cd"), (2, "yx yxab ab"), (3, ""), (4, "a\x01b \x01 cd")],
         "doc_id long, text string",
     )
     merges = textagg._bpe_merge_list(df, "text", 4)
