@@ -4600,7 +4600,7 @@ bvz AS (
   SELECT {chain} AS sp, n FROM bwf
 ),
 bsy AS (
-  SELECT unnest(regexp_split_to_array(rtrim(sp), ' ')) AS s, n FROM bvz
+  SELECT unnest(regexp_split_to_array(rtrim(sp, ' '), ' ')) AS s, n FROM bvz
 )
 SELECT substr(s, 2) AS symbol, CAST(sum(n) AS BIGINT) AS n
 FROM bsy GROUP BY 1 ORDER BY n DESC, symbol ASC LIMIT {top}"""
@@ -4634,7 +4634,7 @@ def _bpe_train_ctes(k: int) -> str:
         ctes.append(
             f"bp{i} AS (SELECT unnest(s[1:len(s) - 1]) AS s1,"
             f" unnest(s[2:len(s)]) AS s2, n"
-            f" FROM (SELECT regexp_split_to_array(rtrim(sp), ' ') AS s, n"
+            f" FROM (SELECT regexp_split_to_array(rtrim(sp, ' '), ' ') AS s, n"
             f" FROM br{i - 1}) WHERE len(s) >= 2)"
         )
         ctes.append(
@@ -6780,7 +6780,7 @@ m AS (
       rtrim(replace(
         regexp_replace(t2.tok, '([\\s\\S])', '\\1 ', 'g'),
         substr(top.mp, 1, 1) || ' ' || substr(top.mp, 2, 1) || ' ',
-        top.mp || ' ')), ' ') AS s
+        top.mp || ' '), ' '), ' ') AS s
   FROM t2, top
 ),
 p2 AS (
