@@ -2538,6 +2538,16 @@ def q_bpe_vocab(spark, sf_dir):
     return textagg.bpe_vocab(docs, "text", n_merges=BPE_TRAIN_MERGES, k=BPE_VOCAB_K)
 
 
+def q_bpe_merge_curve(spark, sf_dir):
+    """BPE training compression curve: corpus token count after each
+    merge round 0..K (step 0 = raw chars) — the diminishing-returns
+    measurement that prices each merge's vocabulary slot.  One shared
+    word fact, one narrow map of K+1 chain prefixes (CSE'd), one
+    scalar agg of exact integer sums (textagg.bpe_merge_curve)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textagg.bpe_merge_curve(docs, "text", n_merges=BPE_TRAIN_MERGES)
+
+
 def q_bpe_compression_by_lang(spark, sf_dir):
     """Tokenizer-equity audit: per-language chars-per-token under the
     engine's own trained BPE merges — the number that exposes a merge
@@ -3859,6 +3869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit_audit": q_zipf_fit_audit,
         "heaps_fit_audit": q_heaps_fit_audit,
         "bpe_vocab": q_bpe_vocab,
+        "bpe_merge_curve": q_bpe_merge_curve,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -4587,6 +4598,27 @@ def _bpe_chain_expr(base: str, k: int) -> str:
         )
         expr = f"replace({expr}, {pat}, {rep})"
     return expr
+
+
+def _bpe_curve_sql(k: int) -> str:
+    """Twin of textagg.bpe_merge_curve: K+1 prefix lengths of the
+    coalesced chain (round 0 = the bare spaced form), each an exact
+    integer sentinel-count sum over the word fact; unreached rounds are
+    identity replaces so both engines emit exactly K+1 rows."""
+    spaced0 = "regexp_replace(tok, '([\\s\\S])', chr(1) || '\\1 ', 'g')"
+    selects = []
+    for i in range(k + 1):
+        expr = _bpe_chain_expr(spaced0, i)
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS step,"
+            f" CAST(coalesce(sum(n * (length(sp) - length(replace(sp, chr(1), '')))), 0)"
+            f" AS BIGINT) AS n_tokens"
+            f" FROM (SELECT {expr} AS sp, n FROM bwf)"
+        )
+    return (
+        "WITH " + _bpe_train_ctes(k)
+        + "\nSELECT * FROM (" + "\nUNION ALL ".join(selects) + ") ORDER BY step"
+    )
 
 
 def _bpe_vocab_sql(k: int, top: int) -> str:
@@ -6794,6 +6826,7 @@ ORDER BY n DESC, s1 ASC, s2 ASC LIMIT {BPE_MERGE_K}"""
     out["bpe_token_counts_docs"] = _bpe_apply_sql(BPE_TRAIN_MERGES)
     out["bpe_compression_by_lang"] = _bpe_compression_sql(BPE_TRAIN_MERGES)
     out["bpe_vocab"] = _bpe_vocab_sql(BPE_TRAIN_MERGES, BPE_VOCAB_K)
+    out["bpe_merge_curve"] = _bpe_curve_sql(BPE_TRAIN_MERGES)
     out["dsir_bucket_ratios"] = f"""
 WITH {_dsir_ctes()}
 SELECT bucket, n_target, n_raw, lr_micro FROM ratios_d"""

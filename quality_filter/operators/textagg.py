@@ -1492,3 +1492,41 @@ def heaps_fit(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     nc = prefix_counts(df.select(smallest_covering(F.col(id_col)).alias("c")), "nd")
     pts = nc.join(vc, "c").filter((F.col("nd") > 0) & (F.col("v") > 0))
     return _loglog_ls_fit(pts, F.col("nd"), F.col("v"), "n_points")
+
+
+def bpe_merge_curve(df: DataFrame, text_col: str, n_merges: int = 6) -> DataFrame:
+    """Compression curve of BPE training: corpus token count after each
+    merge round 0..n_merges (step 0 = raw characters) — the
+    diminishing-returns measurement that tells a trainer when more
+    merges stop paying for their vocabulary slots.
+
+    One shared persisted word fact serves training AND the curve; the
+    curve itself is ONE narrow map producing all K+1 per-word symbol
+    counts (the chain prefixes share subexpressions — Catalyst CSE
+    collapses the nested replaces) into ONE scalar aggregate of exact
+    integer sums; the result is a (K+1)-row literal.  Rounds past an
+    early-exhausted corpus repeat the final count (identity replaces) —
+    the oracle's coalesced chain degrades identically, so both engines
+    always emit exactly K+1 rows."""
+    wf = _bpe_word_fact(df, text_col).persist()
+    try:
+        merges = _bpe_merge_list(df, text_col, n_merges, wf=wf)
+        spaced = F.regexp_replace(F.col("tok"), "([\\s\\S])", BPE_SENTINEL + "$1 ")
+        sums = []
+        for i in range(n_merges + 1):
+            if 0 < i <= len(merges):
+                _, a, b, _, _ = merges[i - 1]
+                spaced = F.replace(
+                    spaced,
+                    F.lit(f"{BPE_SENTINEL}{a} {BPE_SENTINEL}{b} "),
+                    F.lit(f"{BPE_SENTINEL}{a}{b} "),
+                )
+            nsym = F.length(spaced) - F.length(
+                F.replace(spaced, F.lit(BPE_SENTINEL), F.lit(""))
+            )
+            sums.append(F.sum(F.col("n") * nsym).cast("long").alias(f"_s{i}"))
+        row = wf.agg(*sums).head()
+        data = [(i, int(row[f"_s{i}"] or 0)) for i in range(n_merges + 1)]
+        return df.sparkSession.createDataFrame(data, "step long, n_tokens long")
+    finally:
+        wf.unpersist()

@@ -215,6 +215,8 @@ DOC_QUERIES = [
     # learned vocabulary: fuzz-proven training chain + the coalesced
     # apply segmentation over the word fact, exact weighted counts
     "bpe_vocab",
+    # compression curve: K+1 prefix counts of the same chain, exact sums
+    "bpe_merge_curve",
     # DSIR: md5-bucket universe + ln of exact Laplace-smoothed count
     # ratios (pmi/bm25 class), per-doc weights exact BIGINT sums; an
     # absent target source (fuzz corpora have host*, not src0) is the

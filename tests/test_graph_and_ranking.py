@@ -938,3 +938,32 @@ def test_bpe_vocab_conserves_symbol_mass(spark):
     assert total_vocab == total_docs
     symbols = {r["symbol"] for r in vocab}
     assert {m[3] for m in merges} & symbols  # merged units surface
+
+
+def test_bpe_merge_curve_monotone_and_consistent(spark):
+    """The curve is nonincreasing, step 0 equals raw character mass,
+    each applied merge round strictly saves its winner count, and the
+    final step equals the per-doc BPE counts summed (one seam)."""
+    df = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "yx yxab ab"), (3, "a\x01b")],
+        "doc_id long, text string",
+    )
+    merges = textagg._bpe_merge_list(df, "text", 4)
+    curve = {
+        r["step"]: r["n_tokens"]
+        for r in textagg.bpe_merge_curve(df, "text", n_merges=4).collect()
+    }
+    assert sorted(curve) == [0, 1, 2, 3, 4]
+    vals = [curve[i] for i in range(5)]
+    assert vals == sorted(vals, reverse=True)
+    raw_chars = sum(len(t.replace("\x01", "").replace(" ", "")) for _, t in
+                    [(1, "abab abab cd"), (2, "yx yxab ab"), (3, "a\x01b")])
+    assert curve[0] == raw_chars
+    # each applied round saves exactly its winner's occurrence count
+    for step, _, _, _, n in merges:
+        assert curve[step - 1] - curve[step] == n
+    total_docs = sum(
+        r["n_bpe_tokens"]
+        for r in textagg.bpe_token_counts(df, "text", "doc_id", n_merges=4).collect()
+    )
+    assert curve[max(curve)] == total_docs
