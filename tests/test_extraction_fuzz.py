@@ -73,8 +73,12 @@ def test_fast_equals_reference_on_well_formed(html):
 @given(well_formed())
 def test_extraction_invariants(html):
     out = extract_text(html)
-    # no markup survives
-    assert "<p" not in out and "</" not in out
+    # no markup survives — unless the SOURCE text legitimately decodes
+    # to a '<' (the generator's &lt; charref): '&lt;p' extracting to
+    # literal '<p' is correct entity decoding, not surviving markup
+    # (hypothesis-found falsifying example '&lt;p')
+    if "&lt;" not in html:
+        assert "<p" not in out and "</" not in out
     # whitespace fully collapsed (single spaces, no edge spaces)
     assert out == " ".join(out.split())
     # NFC-normalized
